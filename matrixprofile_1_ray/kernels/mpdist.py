@@ -1,0 +1,88 @@
+"""MPDist scalar/vector distances and all-pairs distance computation.
+
+Semantics follow reference matrixprofile/algorithms/mpdist.py:20-184 and
+algorithms/pairwise_dist.py:36-101.  ``pairwise_dist`` here is the serial
+kernel; the distributed pairs-table version lives in stages/pairs.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .mass import mass2
+from .moving_stats import moving_min
+from .mpx import mpx_ab
+
+
+def mpdist(ts, ts_b, w: int, threshold: float = 0.05) -> float:
+    """k-th smallest of the concatenated AB/BA join profiles with
+    k = ceil(threshold*(len(a)+len(b))) - 1 (reference mpdist.py:20-77)."""
+    ts = np.asarray(ts, dtype="d")
+    ts_b = np.asarray(ts_b, dtype="d")
+    if ts.ndim != 1 or ts_b.ndim != 1:
+        raise ValueError("ts and ts_b must be one dimensional!")
+    if not isinstance(threshold, float) or not (0 < threshold < 1):
+        raise ValueError("threshold must be a float greater than 0 and less than 1")
+
+    mp, _, mpb, _ = mpx_ab(ts, ts_b, w)
+    mp_abba = np.concatenate((mp, mpb))
+    data_len = len(ts) + len(ts_b)
+    abba_sorted = np.sort(mp_abba[np.isfinite(mp_abba)])
+
+    if abba_sorted.size == 0:
+        return np.inf
+    upper_idx = int(np.ceil(threshold * data_len)) - 1
+    return float(abba_sorted[min(abba_sorted.size - 1, upper_idx)])
+
+
+def mass_distance_matrix(ts, query, w: int) -> np.ndarray:
+    """Row i = MASS profile of query window i over ts
+    (reference mpdist.py:80-106)."""
+    subseq_num = len(query) - w + 1
+    return np.array([np.real(mass2(ts, query[i : i + w])) for i in range(subseq_num)])
+
+
+def calculate_mpdist(profile, threshold: float, data_length: int) -> float:
+    """Order statistic of a pooled profile (reference mpdist.py:109-142) —
+    note the un-decremented index, a deliberate parity quirk vs ``mpdist``."""
+    dist_loc = int(np.ceil(threshold * data_length))
+    srt = np.sort(profile)
+    clean = srt[np.isfinite(srt)]
+    if clean.size < 1:
+        return np.inf
+    if clean.size >= dist_loc:
+        return float(clean[dist_loc])
+    return float(np.max(clean))
+
+
+def mpdist_vector(ts, ts_b, w: int) -> np.ndarray:
+    """Sliding MPDist of ts_b against every offset of ts
+    (reference mpdist.py:145-184)."""
+    matrix = mass_distance_matrix(ts, ts_b, w)
+    rows, _ = matrix.shape
+
+    all_right_hist = matrix.min(axis=0)
+    mass_minimums = np.stack([moving_min(row, rows) for row in matrix])
+
+    mpdist_length = len(ts) - len(ts_b) + 1
+    right_hist_length = len(ts_b) - w + 1
+    out = np.empty(mpdist_length)
+    for i in range(mpdist_length):
+        profile = np.concatenate(
+            (mass_minimums[:, i], all_right_hist[i : right_hist_length + i])
+        )
+        out[i] = calculate_mpdist(profile, 0.05, 2 * len(ts_b))
+    return out
+
+
+def pairwise_dist(X, window_size: int, threshold: float = 0.05) -> np.ndarray:
+    """Condensed all-pairs MPDist matrix (reference pairwise_dist.py:36-101).
+    Serial kernel; see stages/pairs.py for the pairs-table fan-out."""
+    m = len(X)
+    dm = np.empty((m * (m - 1)) // 2, dtype="d")
+    k = 0
+    for i in range(m - 1):
+        for j in range(i + 1, m):
+            dm[k] = mpdist(X[i], X[j], window_size, threshold=threshold)
+            k += 1
+    return dm

@@ -1,0 +1,224 @@
+"""PreSCRIMP and SCRIMP++ anytime matrix profiles.
+
+Semantics follow reference matrixprofile/algorithms/scrimp.py:211-406
+(``prescrimp``: anchor sampling every floor(w*step) offsets, MASS distance
+profile per anchor, forward/backward dot-product recursion refinement) and
+scrimp.py:409-565 (``scrimp_plus_plus``: diagonal refinement over a random
+sample of diagonals, ez = ceil(w/4)).  Boundary quirks of the reference
+(``dist1[0:idx-1]``, ``dist2[pl-idx+2:]``, ``beginidx >= 2-idx_diff``) are
+preserved so outputs match value-for-value.  Randomness uses the legacy
+global NumPy RNG seeded exactly as the reference seeds it, so a given
+``random_state`` reproduces the reference's sampling.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .mass import apply_exclusion_zone
+from .moving_stats import moving_avg_std
+
+
+def _anchor_distance_profile(X, subseq, n, m, mux, sigx):
+    """MASS profile against a precomputed fft(ts) (scrimp.py:35-82)."""
+    y = np.concatenate((subseq[::-1], np.zeros(n - m)))
+    z = np.fft.ifft(X * np.fft.fft(y))
+    sumy = np.sum(y)
+    sumy2 = np.sum(y ** 2)
+    meany = sumy / m
+    sigmay = np.sqrt(sumy2 / m - meany ** 2)
+    dist = np.real(2 * (m - (z[m - 1 : n] - m * mux * meany) / (sigx * sigmay)))
+    return np.sqrt(np.absolute(dist))
+
+
+def prescrimp(ts, window_size: int, query=None, step_size: float = 0.25,
+              sample_pct: float = 0.1, random_state=None):
+    """Approximate MP via anchor sampling + local refinement
+    (reference scrimp.py:211-406)."""
+    is_join = query is not None
+    ts = np.asarray(ts, dtype="d")
+    query_arr = np.asarray(query, dtype="d") if is_join else ts
+
+    if not isinstance(step_size, float) or step_size > 1 or step_size < 0:
+        raise ValueError("step_size should be a float between 0 and 1.")
+    if not isinstance(sample_pct, float) or sample_pct > 1 or sample_pct < 0:
+        raise ValueError("sample_pct should be a float between 0 and 1.")
+    if random_state is not None:
+        try:
+            np.random.seed(random_state)
+        except Exception:
+            raise ValueError("Invalid random_state value given.")
+    if window_size < 4:
+        raise ValueError("window size must be at least 4.")
+    if window_size > len(query_arr) / 2:
+        raise ValueError("Time series is too short relative to desired window size")
+
+    m = window_size
+    step = int(math.floor(m * step_size))
+    n = len(ts)
+    pl = n - m + 1
+    ez = int(np.ceil(m / 4.0))
+
+    mp = np.zeros(pl)
+    pi = np.zeros(pl, dtype=np.int64)
+
+    X = np.fft.fft(ts)
+    mux, sigx = moving_avg_std(ts, m)
+
+    dotproduct = np.zeros(pl)
+    refine = np.full(pl, np.inf)
+    orig_index = np.arange(pl)
+
+    for iteration, idx in enumerate(np.arange(0, pl, step)):
+        subseq = ts[idx : idx + m]
+        dp = _anchor_distance_profile(X, subseq, n, m, mux, sigx)
+        dp = apply_exclusion_zone(ez, is_join, m, n, idx, dp)
+
+        if iteration == 0:
+            mp = dp
+            pi[:] = idx
+        else:
+            upd = dp < mp
+            pi[upd] = idx
+            mp[upd] = dp[upd]
+
+        idx_min = int(np.argmin(dp))
+        mp[idx] = dp[idx_min]
+        pi[idx] = idx_min
+        idx_nn = idx_min
+
+        idx_diff = idx_nn - idx
+        endidx = min(pl - 1, idx + step - 1, pl - idx_diff - 1)
+        beginidx = max(0, idx - step + 1, 2 - idx_diff)
+
+        # seed the dot product at the anchor from its refined distance
+        dotproduct[idx] = (
+            (m - mp[idx] ** 2 / 2) * sigx[idx] * sigx[idx_nn]
+            + m * mux[idx] * mux[idx_nn]
+        )
+
+        # forward recursion (scrimp.py:92-116)
+        if endidx > idx:
+            inc = (
+                ts[idx + m : endidx + m] * ts[idx_nn + m : endidx + m + idx_diff]
+                - ts[idx:endidx] * ts[idx_nn : endidx + idx_diff]
+            )
+            dotproduct[idx + 1 : endidx + 1] = dotproduct[idx] + np.cumsum(inc)
+            num = dotproduct[idx + 1 : endidx + 1] - m * (
+                mux[idx + 1 : endidx + 1] * mux[idx_nn + 1 : endidx + idx_diff + 1]
+            )
+            den = sigx[idx + 1 : endidx + 1] * sigx[idx_nn + 1 : endidx + idx_diff + 1]
+            refine[idx + 1 : endidx + 1] = np.sqrt(np.abs(2 * (m - num / den)))
+
+        # backward recursion (scrimp.py:119-156)
+        back = np.arange(idx - 1, beginidx - 1, -1)
+        if back.size:
+            inc = (
+                ts[back] * ts[np.arange(idx_nn - 1, beginidx + idx_diff - 1, -1)]
+                - ts[back + m] * ts[np.arange(idx_nn - 1 + m, beginidx + idx_diff + m - 1, -1)]
+            )
+            dotproduct[back] = dotproduct[idx] + np.cumsum(inc)
+        if beginidx < idx:
+            num = dotproduct[beginidx:idx] - m * (
+                mux[beginidx:idx] * mux[beginidx + idx_diff : idx_nn]
+            )
+            den = sigx[beginidx:idx] * sigx[beginidx + idx_diff : idx_nn]
+            refine[beginidx:idx] = np.sqrt(np.abs(2 * (m - num / den)))
+
+        # apply refinements both at the refined index and its mirror
+        # (scrimp.py:159-179)
+        win = slice(beginidx, endidx + 1)
+        pos = np.flatnonzero(refine[win] < mp[win]) + beginidx
+        if pos.size:
+            mp[pos] = refine[pos]
+            pi[pos] = orig_index[pos] + idx_diff
+        mirror = np.flatnonzero(
+            refine[win] < mp[beginidx + idx_diff : endidx + idx_diff + 1]
+        ) + beginidx
+        if mirror.size:
+            mp[mirror + idx_diff] = refine[mirror]
+            pi[mirror + idx_diff] = orig_index[mirror]
+
+    return {
+        "mp": mp,
+        "pi": pi,
+        "rmp": None,
+        "rpi": None,
+        "lmp": None,
+        "lpi": None,
+        "w": m,
+        "ez": ez,
+        "join": is_join,
+        "sample_pct": sample_pct,
+        "metric": "euclidean",
+        "data": {"ts": ts, "query": query_arr if is_join else None},
+        "class": "MatrixProfile",
+        "algorithm": "prescrimp",
+    }
+
+
+def scrimp_plus_plus(ts, window_size: int, query=None, step_size: float = 0.25,
+                     sample_pct: float = 0.1, random_state=None):
+    """PreSCRIMP followed by SCRIMP diagonal refinement
+    (reference scrimp.py:409-565)."""
+    if random_state is not None:
+        try:
+            np.random.seed(random_state)
+        except Exception:
+            raise ValueError("Invalid random_state value given.")
+
+    profile = prescrimp(ts, window_size, query=query, step_size=step_size,
+                        sample_pct=sample_pct, random_state=random_state)
+
+    ts = profile["data"]["ts"]
+    m = profile["w"]
+    ez = profile["ez"]
+    n = len(ts)
+    pl = n - m + 1
+
+    mu, sig = moving_avg_std(ts, m)
+
+    orig_index = np.arange(pl)
+    compute_order = orig_index[orig_index > ez]
+    sample_size = int(np.ceil(len(compute_order) * sample_pct))
+    compute_order = np.random.choice(compute_order, size=sample_size, replace=False)
+
+    curlastz = np.zeros(pl)
+    curdistance = np.zeros(pl)
+    dist1 = np.full(pl, np.inf)
+    dist2 = np.full(pl, np.inf)
+
+    mp = profile["mp"]
+    pi = profile["pi"]
+
+    for idx in compute_order:
+        curlastz[idx] = np.sum(ts[:m] * ts[idx : idx + m])
+        curlastz[idx + 1 :] = curlastz[idx] + np.cumsum(
+            ts[m : n - idx] * ts[idx + m : n]
+            - ts[: pl - idx - 1] * ts[idx : pl - 1]
+        )
+        curdistance[idx:] = np.sqrt(np.abs(
+            2 * (m - (curlastz[idx:pl]
+                      - m * (mu[idx:] * mu[: pl - idx]))
+                 / (sig[idx:] * sig[: pl - idx]))
+        ))
+
+        dist1[: idx - 1] = np.inf
+        dist1[idx:] = curdistance[idx:]
+        dist2[: pl - idx] = curdistance[idx:]
+        dist2[pl - idx + 2 :] = np.inf
+
+        loc1 = dist1 < mp
+        if loc1.any():
+            mp[loc1] = dist1[loc1]
+            pi[loc1] = orig_index[loc1] - idx
+        loc2 = dist2 < mp
+        if loc2.any():
+            mp[loc2] = dist2[loc2]
+            pi[loc2] = orig_index[loc2] + idx
+
+    profile["algorithm"] = "scrimp++"
+    profile["sample_pct"] = sample_pct
+    return profile
