@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in matrixprofile_1_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 plus the training-data operator set; ``oracle_sql()`` carries
+the DuckDB-equivalent SQL for every query whose semantics ANSI SQL can
+express (matrix-profile kernels, LSH and heuristics get rows-only checks).
+Column names and types match between engine output and SQL aliases.
 """
 
 from __future__ import annotations
@@ -18,27 +15,269 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+# SQL fragment shared by every sequences-derived oracle: the deterministic
+# documents -> sequences tokenization (matches functions/tokenize.py).
+_SEQ_CTE = """
+WITH seq AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         source,
+         text,
+         list_transform(split(text, ''), x -> ascii(x)) AS toks
+  FROM documents
+), ex AS (
+  SELECT doc_id, source,
+         CAST(unnest(toks) AS BIGINT) AS tok,
+         CAST(unnest(range(len(toks))) AS BIGINT) AS idx
+  FROM seq
+)
+"""
+
+
+def _rollup_sql(tier: str, bucket: int) -> str:
+    return _SEQ_CTE + f"""
+SELECT doc_id, source, '{tier}' AS tier, idx // {bucket} AS bucket,
+       CAST(min(tok) AS DOUBLE) AS t_min,
+       CAST(max(tok) AS DOUBLE) AS t_max,
+       CAST(sum(tok) AS DOUBLE) AS t_sum,
+       count(*) AS t_count,
+       CAST(sum(tok) AS DOUBLE) / count(*) AS t_mean
+FROM ex GROUP BY doc_id, source, bucket
+"""
+
+
+def _rollup_query(tier: str):
+    from matrixprofile_1_ray.pipelines.flagship import token_rollup_pipeline
+    from matrixprofile_1_ray.stages.rollup import TIERS
+
+    def run(sf_dir: str):
+        return token_rollup_pipeline(sf_dir, tiers={tier: TIERS[tier]})
+
+    return run
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: sequences -> gap-fill -> codec
+    round-trip check -> token tier rollups (raw->1m->1h->1d)."""
+    from matrixprofile_1_ray.pipelines.flagship import token_rollup_pipeline
+
+    return token_rollup_pipeline("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from matrixprofile_1_ray.pipelines.flagship import (
+        mp_rollup_pipeline,
+        profiles_pipeline,
+        sequences_pipeline,
+        token_rollup_pipeline,
+    )
+    from matrixprofile_1_ray.stages.ann import brute_force_topk, ivf_topk
+    from matrixprofile_1_ray.stages.dedup import exact_dedup, simhash_batch
+    from matrixprofile_1_ray.stages.discover_stage import (
+        corpus_top_discords,
+        discords_batch,
+        motifs_batch,
+        regimes_batch,
+    )
+    from matrixprofile_1_ray.stages.rollup import mp_rollup_batch
+    from matrixprofile_1_ray.stages.text_stage import (
+        doc_stats_batch,
+        fingerprint_batch,
+        langid_batch,
+        moving_stats_batch,
+        quality_batch,
+        sequences_meta_batch,
+        word_count_batch,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def seq_stage(fn, **kwargs):
+        def run(sf_dir: str):
+            ds = sequences_pipeline(sf_dir, verify_codec=False)
+            return ds.map_batches(lambda b: fn(b, **kwargs) if kwargs else fn(b),
+                                  batch_format="pyarrow")
+        return run
+
+    def profiles_scalar(sf_dir: str):
+        import pyarrow.compute as pc
+
+        ds = profiles_pipeline(sf_dir, w=32)
+
+        def scalars(batch):
+            import pyarrow as pa
+
+            mins = []
+            for row, ok in zip(batch["mp"], batch["valid"]):
+                vals = np.asarray(row.as_py(), dtype="d") if ok.as_py() else None
+                mins.append(float(np.min(vals)) if vals is not None and vals.size else None)
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "w": batch["w"],
+                "valid": batch["valid"],
+                "profile_len": pc.list_value_length(batch["mp"]).cast(pa.int64()),
+                "mp_min": pa.array(mins, pa.float64()),
+            })
+
+        return ds.map_batches(scalars, batch_format="pyarrow")
+
+    def ann_query(sf_dir: str):
+        import pyarrow.parquet as pq
+
+        head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 8)
+        queries_mat = np.stack([np.asarray(v, dtype="d")
+                                for v in head["embedding"].to_pylist()])
+        import ray.data
+
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+        out = brute_force_topk(ds, queries_mat, k=5)
+        # round for cross-engine float stability in the value-hash compare
+        return out.map_batches(_round_score, batch_format="pandas")
+
+    def ann_ivf_query(sf_dir: str):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 4)
+        queries_mat = np.stack([np.asarray(v, dtype="d")
+                                for v in head["embedding"].to_pylist()])
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+        return ivf_topk(ds, queries_mat, k=5)
+
+    def dedup_query(sf_dir: str):
+        return exact_dedup(sequences_pipeline(sf_dir, verify_codec=False))
+
+    def minhash_query(sf_dir: str):
+        from matrixprofile_1_ray.stages.dedup import minhash_candidates
+
+        return minhash_candidates(sequences_pipeline(sf_dir, verify_codec=False))
+
+    def events_rollup(sf_dir: str):
+        import pandas as pd
+        import ray.data
+
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "ts", "value"])
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            # pre-aggregate inside the batch before the shuffle
+            df = df.assign(bucket=df["ts"].values.astype("datetime64[h]")
+                           .astype("datetime64[us]"))
+            g = df.groupby(["event_type", "bucket"], as_index=False).agg(
+                n_events=("value", "size"), v_min=("value", "min"),
+                v_max=("value", "max"))
+            return g
+
+        partials = ds.map_batches(partial, batch_format="pandas")
+        from ray.data.aggregate import Max, Min, Sum
+
+        out = partials.groupby(["event_type", "bucket"]).aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Min("v_min", alias_name="v_min"),
+            Max("v_max", alias_name="v_max"),
+        )
+        return out
+
+    qs: dict[str, Callable[[str], Any]] = {
+        # sequences / rollups (oracle-checked)
+        "sequences_meta": seq_stage(sequences_meta_batch),
+        "rollup_1m": _rollup_query("1m"),
+        "rollup_1h": _rollup_query("1h"),
+        "rollup_1d": _rollup_query("1d"),
+        "doc_stats": seq_stage(doc_stats_batch),
+        "moving_stats_w8": seq_stage(moving_stats_batch, window=8),
+        "quality": seq_stage(quality_batch),
+        "word_counts": seq_stage(word_count_batch),
+        "dedup_exact": dedup_query,
+        "events_rollup_hourly": events_rollup,
+        # matrix-profile operators (rows-only checks)
+        "mp_profiles": profiles_scalar,
+        "mp_rollup_1m": lambda sf: mp_rollup_pipeline(sf, w=32, tiers={"1m": 60}),
+        "discords": lambda sf: profiles_pipeline(sf, w=32).map_batches(
+            discords_batch, batch_format="pyarrow"),
+        "motifs": lambda sf: profiles_pipeline(sf, w=32, keep_tokens=True)
+            .map_batches(motifs_batch, batch_format="pyarrow"),
+        "regimes": lambda sf: profiles_pipeline(sf, w=32).map_batches(
+            regimes_batch, batch_format="pyarrow"),
+        "corpus_top_discords": lambda sf: corpus_top_discords(
+            profiles_pipeline(sf, w=32)),
+        # training-data operators
+        "langid": seq_stage(langid_batch),
+        "fingerprints": seq_stage(fingerprint_batch),
+        "simhash": seq_stage(simhash_batch),
+        "dedup_minhash_lsh": minhash_query,
+        "ann_topk": ann_query,
+        "ann_ivf_topk": ann_ivf_query,
+    }
+    return qs
+
+
+def _round_score(df):
+    df["score"] = df["score"].round(6)
+    return df
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "sequences_meta": _SEQ_CTE + """
+SELECT s.doc_id, s.source,
+       CAST(length(s.text) AS BIGINT) AS n_tok,
+       CAST(coalesce(list_sum(s.toks), 0) AS BIGINT) AS tok_sum,
+       CAST(CASE WHEN length(s.text) > 0 THEN s.toks[1] ELSE -1 END AS BIGINT) AS tok_first,
+       CAST(CASE WHEN length(s.text) > 0 THEN s.toks[-1] ELSE -1 END AS BIGINT) AS tok_last
+FROM seq s
+""",
+        "rollup_1m": _rollup_sql("1m", 60),
+        "rollup_1h": _rollup_sql("1h", 3600),
+        "rollup_1d": _rollup_sql("1d", 86400),
+        "doc_stats": _SEQ_CTE + """
+SELECT doc_id, source,
+       count(*) AS t_count,
+       CAST(min(tok) AS DOUBLE) AS t_min,
+       CAST(max(tok) AS DOUBLE) AS t_max,
+       CAST(sum(tok) AS DOUBLE) AS t_sum,
+       CAST(sum(tok) AS DOUBLE) / count(*) AS t_mean,
+       median(tok) AS t_median
+FROM ex GROUP BY doc_id, source
+""",
+        "moving_stats_w8": _SEQ_CTE + """
+, win AS (
+  SELECT doc_id, idx,
+         CAST(min(tok) OVER w AS DOUBLE) AS mov_min,
+         CAST(max(tok) OVER w AS DOUBLE) AS mov_max,
+         CAST(sum(tok) OVER w AS DOUBLE) / 8 AS mov_mean,
+         count(*) OVER w AS cnt
+  FROM ex
+  WINDOW w AS (PARTITION BY doc_id ORDER BY idx
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+)
+SELECT doc_id, idx, mov_min, mov_max, mov_mean
+FROM win WHERE cnt = 8
+""",
+        "quality": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_word_len
+FROM documents
+""",
+        "word_counts": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+FROM documents
+""",
+        "dedup_exact": """
+SELECT min(CAST(doc_id AS VARCHAR)) AS rep_doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY text
+""",
+        "events_rollup_hourly": """
+SELECT event_type, date_trunc('hour', ts) AS bucket,
+       count(*) AS n_events,
+       min(value) AS v_min,
+       max(value) AS v_max
+FROM events GROUP BY event_type, bucket
+""",
+    }

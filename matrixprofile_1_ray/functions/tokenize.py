@@ -1,0 +1,78 @@
+"""Deterministic text -> token-array derivation.
+
+The engine's sequences table (BASELINE.json input_hint: doc_id, tokens
+list<int32>, n_tok, source) is derived from the testdata ``documents`` table
+by mapping each character to its code point.  For ASCII corpora this is
+zero-copy from the Arrow string buffers (utf8 bytes == code points); the
+same derivation is expressible in the DuckDB oracle as
+``list_transform(split(text, ''), x -> ascii(x))``, which is what makes the
+tokenizer itself oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def tokenize_text_column(texts: pa.ChunkedArray | pa.Array) -> pa.ListArray:
+    """Map a utf8 string column to list<int32> code points.
+
+    ASCII fast path: reinterpret the value buffer (zero copy from the object
+    store) and reuse the string offsets for the list layout.  Non-ASCII rows
+    fall back to a utf-32 reinterpretation per batch.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if pa.types.is_large_string(texts.type):
+        texts = texts.cast(pa.string())
+
+    buffers = texts.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int32)[
+        texts.offset : texts.offset + len(texts) + 1
+    ]
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+    values = data[offsets[0] : offsets[-1]]
+
+    if values.size == 0 or values.max() < 0x80:
+        tokens = values.astype(np.int32)
+        rel_offsets = (offsets - offsets[0]).astype(np.int32)
+    else:
+        # rare path: real code points via utf-32 round-trip
+        joined = "".join(texts.to_pylist())
+        tokens = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
+        lens = np.fromiter((len(t) for t in texts.to_pylist()), count=len(texts), dtype=np.int64)
+        rel_offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+
+    return pa.ListArray.from_arrays(pa.array(rel_offsets, type=pa.int32()),
+                                    pa.array(tokens, type=pa.int32()))
+
+
+def detokenize(tokens) -> str:
+    """Inverse map for tests: code points -> text."""
+    return "".join(chr(int(t)) for t in tokens)
+
+
+def list_column_to_numpy(col: pa.ChunkedArray | pa.Array):
+    """(values, offsets) view of a list<numeric> column — zero copy.
+
+    Returns the flat values as one ndarray plus int64 row offsets; row i is
+    ``values[offsets[i]:offsets[i+1]]``.  This is how every kernel stage
+    reads the ragged tokens column without materializing Python lists.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.LargeListArray):
+        offsets = col.offsets.to_numpy()
+    else:
+        offsets = col.offsets.to_numpy().astype(np.int64)
+    values = col.values.to_numpy(zero_copy_only=False)
+    # account for a sliced array whose offsets do not start at 0
+    return values, offsets
+
+
+def numpy_to_list_column(values: np.ndarray, offsets: np.ndarray,
+                         value_type=None) -> pa.ListArray:
+    """Build a list column back from flat values + offsets."""
+    arr = pa.array(values, type=value_type) if value_type else pa.array(values)
+    return pa.ListArray.from_arrays(pa.array(offsets - offsets[0], type=pa.int32()), arr)

@@ -1,0 +1,138 @@
+"""Sequences-table sources.
+
+Two constructors for the BASELINE.json input_hint table
+``(doc_id: string, tokens: list<int32>, n_tok: int32, source: string)``:
+
+* :func:`sequences_from_documents` — deterministic derivation from the
+  driver's ``documents.parquet`` (char code points; oracle-expressible in
+  DuckDB, see functions/tokenize.py), used by the correctness gate.
+* :func:`synthetic_sequences_table` — the FIXTURES.md F1 corpus: seeded
+  per-row RNG, log-uniform lengths, Zipf-skewed sources, planted motifs and
+  discords; used by kernels-at-scale tests and the bench harness.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.tokenize import tokenize_text_column
+
+VOCAB = 50257
+SOURCES = [f"src{i}" for i in range(8)]
+_ZIPF_WEIGHTS = 1.0 / np.arange(1, len(SOURCES) + 1) ** 1.2
+
+
+def tokenize_documents_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id,text,source) -> sequences batch; zero-copy tokens."""
+    tokens = tokenize_text_column(batch["text"])
+    return pa.table({
+        "doc_id": batch["doc_id"].cast(pa.string()),
+        "tokens": tokens,
+        "n_tok": pc.list_value_length(tokens).cast(pa.int32()),
+        "source": batch["source"],
+    })
+
+
+def sequences_from_documents(sf_dir: str):
+    """Lazy Ray Dataset of sequences derived from documents.parquet
+    (columns pruned at the read)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    return ds.map_batches(tokenize_documents_batch, batch_format="pyarrow")
+
+
+def sequences_table_from_documents(sf_dir: str) -> pa.Table:
+    """Driver-side (no Ray) variant for unit tests and DuckDB cross-checks."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    return tokenize_documents_batch(docs)
+
+
+def _row_rng(seed: int, doc_id: str) -> np.random.Generator:
+    return np.random.default_rng((seed << 32) ^ zlib.crc32(doc_id.encode()))
+
+
+def synthetic_sequences_row(seed: int, i: int, motif_frac: float = 0.3,
+                            discord_frac: float = 0.2,
+                            min_len: int = 64, max_len: int = 4096):
+    """One deterministic synthetic row (FIXTURES.md F1)."""
+    # Zipf-skewed source pick, deterministic per row index
+    src_rng = np.random.default_rng((seed << 16) ^ i)
+    source = SOURCES[src_rng.choice(len(SOURCES), p=_ZIPF_WEIGHTS / _ZIPF_WEIGHTS.sum())]
+    doc_id = f"{source}-{i:08d}"
+    rng = _row_rng(seed, doc_id)
+
+    n = int(np.exp(rng.uniform(np.log(min_len), np.log(max_len))))
+    # smooth token walk so delta-of-delta compression has realistic structure
+    tokens = np.cumsum(rng.integers(-40, 41, size=n)) + VOCAB // 2
+    tokens = np.clip(tokens, 0, VOCAB - 1).astype(np.int32)
+
+    if n >= 128 and rng.random() < motif_frac:
+        motif = rng.integers(0, VOCAB, size=32).astype(np.int32)
+        a = int(rng.integers(0, n - 96))
+        b = int(rng.integers(a + 40, n - 32))
+        tokens[a : a + 32] = motif
+        tokens[b : b + 32] = motif
+    if n >= 128 and rng.random() < discord_frac:
+        d = int(rng.integers(0, n - 32))
+        tokens[d : d + 32] = rng.integers(0, VOCAB, size=32)
+    return doc_id, tokens, source
+
+
+def synthetic_sequences_table(num_rows: int, seed: int = 42,
+                              start: int = 0, **kwargs) -> pa.Table:
+    """Rows [start, start+num_rows) of the synthetic corpus as one Arrow
+    table — the generator is addressable by row range so Ray tasks can each
+    build their own shard without coordination."""
+    ids, toks, srcs = [], [], []
+    for i in range(start, start + num_rows):
+        doc_id, tokens, source = synthetic_sequences_row(seed, i, **kwargs)
+        ids.append(doc_id)
+        toks.append(tokens)
+        srcs.append(source)
+    lens = np.array([len(t) for t in toks], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    flat = np.concatenate(toks) if toks else np.empty(0, np.int32)
+    tokens_col = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                          pa.array(flat, type=pa.int32()))
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.string()),
+        "tokens": tokens_col,
+        "n_tok": pa.array(lens, type=pa.int32()),
+        "source": pa.array(srcs, type=pa.string()),
+    })
+
+
+def synthetic_sequences_dataset(num_rows: int, seed: int = 42,
+                                rows_per_block: int = 1000, **kwargs):
+    """Distributed synthetic corpus: one Ray task per block of row indices."""
+    import ray.data
+
+    starts = list(range(0, num_rows, rows_per_block))
+
+    def gen(batch: pa.Table) -> pa.Table:
+        out = [synthetic_sequences_table(
+            min(rows_per_block, num_rows - int(s)), seed=seed, start=int(s),
+            **kwargs) for s in batch["start"].to_pylist()]
+        return pa.concat_tables(out)
+
+    ds = ray.data.from_arrow(pa.table({"start": pa.array(starts, pa.int64())}))
+    return ds.repartition(len(starts)).map_batches(gen, batch_format="pyarrow")
+
+
+def write_synthetic_sequences(path: str, num_rows: int, seed: int = 42,
+                              rows_per_block: int = 1000, **kwargs) -> str:
+    """Materialize the synthetic corpus as partitioned Parquet (resumable
+    layout: one file per row-range block)."""
+    ds = synthetic_sequences_dataset(num_rows, seed=seed,
+                                     rows_per_block=rows_per_block, **kwargs)
+    ds.write_parquet(path)
+    return path

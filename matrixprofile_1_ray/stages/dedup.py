@@ -1,0 +1,166 @@
+"""Distributed deduplication over the sequences table.
+
+Exact dedup: content-hash per row in ``map_batches`` (vectorized), then one
+``groupby(content_hash)`` keeping the lexicographically-first doc — the
+hash-partition + per-group-first pattern.  At 100 TB the shuffle moves only
+(hash, doc_id, source) triples, never the tokens.
+
+MinHash-LSH near-dup: shingle -> minhash -> band keys per batch, explode to
+(band, band_key, doc_id) rows, ``groupby`` the band buckets, emit candidate
+pairs, then verify exact shingle Jaccard for candidate pairs only.
+
+SimHash near-dup: one fingerprint per row; identical fingerprints bucket
+together via the same groupby machinery.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.dedup import (
+    band_keys,
+    jaccard,
+    minhash_signatures,
+    shingle_hashes,
+    simhash,
+)
+from ..functions.tokenize import list_column_to_numpy
+
+
+def content_hash_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, source, content_hash) — sha1 of the raw token bytes."""
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    values = np.ascontiguousarray(values, dtype=np.int32)
+    hashes = [
+        hashlib.sha1(values[offsets[i] : offsets[i + 1]].tobytes()).hexdigest()
+        for i in range(len(batch))
+    ]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "source": batch["source"],
+        "content_hash": pa.array(hashes, pa.string()),
+    })
+
+
+def exact_dedup(ds):
+    """-> (rep_doc_id, dup_count) one row per distinct content."""
+    hashed = ds.map_batches(content_hash_batch, batch_format="pyarrow")
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "rep_doc_id": [g["doc_id"].min()],
+            "dup_count": np.array([len(g)], dtype=np.int64),
+        })
+
+    return hashed.groupby("content_hash").map_groups(first_per_group,
+                                                     batch_format="pandas")
+
+
+def minhash_band_batch(batch: pa.Table, k: int = 5, num_perm: int = 64,
+                       bands: int = 16, seed: int = 7) -> pa.Table:
+    """Explode each row to its LSH band rows: (band, band_key, doc_id)."""
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    flat, sh_off = shingle_hashes(values, offsets, k=k)
+    sig = minhash_signatures(flat, sh_off, num_perm=num_perm, seed=seed)
+    keys = band_keys(sig, bands=bands)
+    n_rows = len(batch)
+    doc_rep = batch["doc_id"].take(
+        pa.array(np.repeat(np.arange(n_rows), bands), pa.int64()))
+    return pa.table({
+        "band": pa.array(np.tile(np.arange(bands), n_rows), pa.int32()),
+        "band_key": pa.array(keys.reshape(-1), pa.uint64()),
+        "doc_id": doc_rep,
+    })
+
+
+def minhash_candidates(ds, k: int = 5, num_perm: int = 64, bands: int = 16,
+                       seed: int = 7):
+    """-> candidate near-dup pairs (doc_a, doc_b) from shared LSH buckets."""
+    band_rows = ds.map_batches(
+        lambda b: minhash_band_batch(b, k=k, num_perm=num_perm, bands=bands,
+                                     seed=seed),
+        batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(set(g["doc_id"]))
+        if len(docs) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = zip(*[(docs[i], docs[j]) for i in range(len(docs))
+                     for j in range(i + 1, len(docs))])
+        return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+
+    cand = band_rows.groupby(["band", "band_key"]).map_groups(
+        pairs, batch_format="pandas")
+    # the same pair can surface from several bands — dedup the pair list
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def verify_jaccard_pairs(pairs_df: pd.DataFrame, sequences: pa.Table,
+                         k: int = 5, threshold: float = 0.8) -> pd.DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (driver-side or per-bucket;
+    the candidate set is orders of magnitude smaller than the corpus)."""
+    values, offsets = list_column_to_numpy(sequences["tokens"])
+    flat, sh_off = shingle_hashes(values, offsets, k=k)
+    index = {d: i for i, d in enumerate(sequences["doc_id"].to_pylist())}
+
+    def row_set(doc):
+        i = index[doc]
+        return flat[sh_off[i] : sh_off[i + 1]]
+
+    sims = [jaccard(row_set(a), row_set(b))
+            for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"])]
+    out = pairs_df.copy()
+    out["jaccard"] = sims
+    return out[out["jaccard"] >= threshold].reset_index(drop=True)
+
+
+def simhash_batch(batch: pa.Table, k: int = 5) -> pa.Table:
+    """(doc_id, simhash) fingerprints."""
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    flat, sh_off = shingle_hashes(values, offsets, k=k)
+    fp = simhash(flat, sh_off)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "fingerprint": pa.array(fp, pa.uint64()),
+    })
+
+
+def embedding_near_dup(ds, threshold: float = 0.95, planes: int = 16,
+                       seed: int = 11, dim: int = 64):
+    """Embedding-cosine near-dup: random-hyperplane LSH bucket per vector,
+    exact cosine verification inside each bucket."""
+    rng = np.random.default_rng(seed)
+    hyper = rng.normal(size=(dim, planes))
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        emb, offsets = list_column_to_numpy(batch["embedding"])
+        mat = emb.astype("d").reshape(len(batch), -1)
+        signs = (mat @ hyper) > 0
+        key = (signs << np.arange(planes)).sum(axis=1).astype(np.int64)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "bucket": pa.array(key, pa.int64()),
+            "embedding": batch["embedding"],
+        })
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(g["embedding"].to_numpy()).astype("d")
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        sims = (mat / norms) @ (mat / norms).T
+        ids = g["vec_id"].to_numpy()
+        ii, jj = np.where(np.triu(sims, 1) >= threshold)
+        return pd.DataFrame({
+            "vec_a": ids[ii].astype(np.int64),
+            "vec_b": ids[jj].astype(np.int64),
+            "cosine": sims[ii, jj],
+        })
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(verify, batch_format="pandas"))

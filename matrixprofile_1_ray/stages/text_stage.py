@@ -1,0 +1,138 @@
+"""Text-analysis stages over the sequences table: quality metrics, token
+counts, language ID, document fingerprints, and per-doc global / moving
+statistics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.text import (
+    predict_language,
+    quality_metrics,
+    rolling_fingerprint,
+    segment_counts,
+    row_sums,
+)
+from ..functions.tokenize import detokenize, list_column_to_numpy
+from ..kernels.moving_stats import moving_avg_std, moving_max, moving_min
+
+
+def sequences_meta_batch(batch: pa.Table) -> pa.Table:
+    """Tokenizer-verification projection: per-doc first/last/sum of tokens.
+    Exact-integer arithmetic -> bitwise-stable against the DuckDB oracle."""
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    lengths = np.diff(offsets)
+    first = np.where(lengths > 0, values[np.minimum(offsets[:-1], len(values) - 1)], -1)
+    last = np.where(lengths > 0, values[np.maximum(offsets[1:] - 1, 0)], -1)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "source": batch["source"],
+        "n_tok": pa.array(lengths, pa.int64()),
+        "tok_sum": pa.array(row_sums(values, offsets), pa.int64()),
+        "tok_first": pa.array(first.astype(np.int64)),
+        "tok_last": pa.array(last.astype(np.int64)),
+    })
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_chars, n_words, avg_word_len) quality metrics."""
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    n_chars, n_words, avg_word_len = quality_metrics(values, offsets)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "n_words": pa.array(n_words, pa.int64()),
+        "avg_word_len": pa.array(avg_word_len, pa.float64()),
+    })
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, lang_pred) — stopword/charset heuristic (rows-only check)."""
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    preds = [predict_language(detokenize(values[offsets[i] : offsets[i + 1]]))
+             for i in range(len(batch))]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "lang_pred": pa.array(preds, pa.string()),
+    })
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, fingerprint) rolling-hash document fingerprints."""
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    fp = rolling_fingerprint(values, offsets)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "fingerprint": pa.array(fp, pa.uint64()),
+    })
+
+
+def doc_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc global statistics (reference statistics.py:76-90 flattened);
+    min/max/sum/count/mean/median are exact-integer-derived, so they hash
+    identically to the SQL oracle."""
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    fvals = values.astype("d")
+    lengths = np.diff(offsets)
+    sums = row_sums(values, offsets)
+    mins = np.minimum.reduceat(fvals, offsets[:-1][lengths > 0])
+    maxs = np.maximum.reduceat(fvals, offsets[:-1][lengths > 0])
+    medians = np.array([np.median(fvals[offsets[i] : offsets[i + 1]])
+                        for i in range(len(batch)) if lengths[i] > 0])
+    keep = lengths > 0
+    take = pa.array(np.flatnonzero(keep), pa.int64())
+    return pa.table({
+        "doc_id": batch["doc_id"].take(take),
+        "source": batch["source"].take(take),
+        "t_count": pa.array(lengths[keep], pa.int64()),
+        "t_min": pa.array(mins, pa.float64()),
+        "t_max": pa.array(maxs, pa.float64()),
+        "t_sum": pa.array(sums[keep].astype("d"), pa.float64()),
+        "t_mean": pa.array(sums[keep] / lengths[keep], pa.float64()),
+        "t_median": pa.array(medians, pa.float64()),
+    })
+
+
+def moving_stats_batch(batch: pa.Table, window: int = 8) -> pa.Table:
+    """Long-format moving min/max/mean per doc (window = ``window`` tokens,
+    reference core.py:282-337 semantics) — SQL-expressible as window
+    functions over the unnested stream."""
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    doc_rows, idxs, mmins, mmaxs, mmeans = [], [], [], [], []
+    for i in range(len(batch)):
+        seg = values[offsets[i] : offsets[i + 1]].astype("d")
+        if seg.shape[0] < window:
+            continue
+        mu, _sig = moving_avg_std(seg, window)
+        mmins.append(moving_min(seg, window))
+        mmaxs.append(moving_max(seg, window))
+        # exact integer mean: windowed integer sum / window
+        csum = np.concatenate(([0], np.cumsum(seg.astype(np.int64))))
+        mmeans.append((csum[window:] - csum[: seg.shape[0] - window + 1]) / window)
+        k = seg.shape[0] - window + 1
+        doc_rows.append(np.full(k, i, dtype=np.int64))
+        idxs.append(np.arange(k, dtype=np.int64))
+    if not doc_rows:
+        return pa.table({"doc_id": pa.array([], pa.string()),
+                         "idx": pa.array([], pa.int64()),
+                         "mov_min": pa.array([], pa.float64()),
+                         "mov_max": pa.array([], pa.float64()),
+                         "mov_mean": pa.array([], pa.float64())})
+    take = pa.array(np.concatenate(doc_rows), pa.int64())
+    return pa.table({
+        "doc_id": batch["doc_id"].take(take),
+        "idx": pa.array(np.concatenate(idxs), pa.int64()),
+        "mov_min": pa.array(np.concatenate(mmins), pa.float64()),
+        "mov_max": pa.array(np.concatenate(mmaxs), pa.float64()),
+        "mov_mean": pa.array(np.concatenate(mmeans), pa.float64()),
+    })
+
+
+def word_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_words) whitespace token counting."""
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(segment_counts(values, offsets), pa.int64()),
+    })

@@ -1,0 +1,114 @@
+"""End-to-end Ray Data pipelines on sf0.001, cross-checked against the
+DuckDB oracle SQL — the same comparison the driver's correctness gate runs."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="session")
+def entry_mod(ray_session):
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+@pytest.fixture(scope="session")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _to_pandas(result):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _compare(engine_df: pd.DataFrame, oracle_df: pd.DataFrame):
+    assert sorted(engine_df.columns) == sorted(oracle_df.columns), (
+        engine_df.columns, oracle_df.columns)
+    cols = sorted(engine_df.columns)
+    a = engine_df[cols].sort_values(cols).reset_index(drop=True)
+    b = oracle_df[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b), (len(a), len(b))
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            np.testing.assert_array_equal(av.astype("d"), bv.astype("d"),
+                                          err_msg=c)
+        else:
+            assert (av == bv).all(), c
+
+
+def test_entry_smoke(entry_mod):
+    ds = entry_mod.entry()
+    df = ds.to_pandas()
+    assert len(df) > 0
+    assert set(df.columns) == {"doc_id", "source", "tier", "bucket", "t_min",
+                               "t_max", "t_sum", "t_count", "t_mean"}
+    assert set(df.tier) == {"1m", "1h", "1d"}
+
+
+@pytest.mark.parametrize("name", ["sequences_meta", "rollup_1m", "rollup_1h",
+                                  "doc_stats", "quality", "word_counts",
+                                  "dedup_exact", "events_rollup_hourly",
+                                  "moving_stats_w8"])
+def test_oracle_parity(entry_mod, oracle_con, name):
+    engine = _to_pandas(entry_mod.queries()[name](SF))
+    oracle = oracle_con.execute(entry_mod.oracle_sql()[name]).df()
+    _compare(engine, oracle)
+
+
+def test_mp_profiles_rows(entry_mod):
+    df = _to_pandas(entry_mod.queries()["mp_profiles"](SF))
+    assert len(df) == 500
+    valid = df[df.valid]
+    assert len(valid) > 300
+    assert (valid.profile_len > 0).all()
+    assert (valid.mp_min >= 0).all()
+
+
+def test_discords_and_regimes_rows(entry_mod):
+    discords = _to_pandas(entry_mod.queries()["discords"](SF))
+    assert {"doc_id", "rank", "discord_idx", "mp_value"} <= set(discords.columns)
+    assert len(discords) > 100
+
+    top = _to_pandas(entry_mod.queries()["corpus_top_discords"](SF))
+    assert len(top) == 10
+    assert (top.mp_value.values == np.sort(top.mp_value.values)[::-1]).all()
+
+
+def test_ann_topk(entry_mod):
+    df = _to_pandas(entry_mod.queries()["ann_topk"](SF))
+    # 8 queries x top-5
+    assert len(df) == 40
+    # each query's own vector must rank first (cosine = 1 with itself)
+    best = df[df["rank"] == 0]
+    assert (best.query_id.to_numpy() ==
+            np.arange(8)[np.argsort(best.query_id.to_numpy())]).all()
+    for q in range(8):
+        sub = df[df.query_id == q].sort_values("rank")
+        assert sub.iloc[0].vec_id == q  # vec_ids 0..7 are the queries
+        assert sub.iloc[0].score >= sub.iloc[-1].score
+
+
+def test_dedup_exact_counts(entry_mod, oracle_con):
+    df = _to_pandas(entry_mod.queries()["dedup_exact"](SF))
+    n_unique = oracle_con.execute(
+        "SELECT count(DISTINCT text) FROM documents").fetchone()[0]
+    assert len(df) == n_unique
+    assert df.dup_count.sum() == 500

@@ -1,0 +1,137 @@
+"""Engine stages: tokenization parity, rollup correctness vs a NumPy
+oracle, profile stage, gap-fill, codec stages — driver-side (no Ray)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from matrixprofile_1_ray.functions.tokenize import (
+    list_column_to_numpy,
+    tokenize_text_column,
+)
+from matrixprofile_1_ray.kernels import mpx
+from matrixprofile_1_ray.sources import (
+    sequences_table_from_documents,
+    synthetic_sequences_table,
+)
+from matrixprofile_1_ray.stages.codec_stage import (
+    decode_batch,
+    encode_batch,
+    verify_roundtrip_batch,
+)
+from matrixprofile_1_ray.stages.gapfill import gapfill_batch
+from matrixprofile_1_ray.stages.profile import compute_profiles_batch
+from matrixprofile_1_ray.stages.rollup import mp_rollup_batch, rollup_batch
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tokenize_matches_ord():
+    texts = pa.array(["abc", "", "hello world", "x"])
+    toks = tokenize_text_column(texts)
+    assert toks.to_pylist() == [[97, 98, 99], [], [ord(c) for c in "hello world"], [120]]
+
+
+def test_tokenize_non_ascii_fallback():
+    texts = pa.array(["héllo", "日本"])
+    toks = tokenize_text_column(texts)
+    assert toks.to_pylist() == [[ord(c) for c in "héllo"], [ord(c) for c in "日本"]]
+
+
+def test_sequences_from_documents_schema():
+    table = sequences_table_from_documents(SF)
+    assert [f.name for f in table.schema] == ["doc_id", "tokens", "n_tok", "source"]
+    assert table["n_tok"].to_pylist() == [len(t) for t in table["tokens"].to_pylist()]
+    # spot-check tokenization against Python ord()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    assert table["tokens"][0].as_py() == [ord(c) for c in docs["text"][0].as_py()]
+
+
+def test_rollup_matches_numpy_oracle():
+    table = synthetic_sequences_table(20, seed=1)
+    out = rollup_batch(table, tiers={"1m": 60})
+    vals, offs = list_column_to_numpy(table["tokens"])
+    df = out.to_pandas()
+    for i in (0, 7, 19):
+        row = vals[offs[i] : offs[i + 1]].astype("d")
+        mine = df[df.doc_id == table["doc_id"][i].as_py()].sort_values("bucket")
+        nb = int(np.ceil(len(row) / 60))
+        assert len(mine) == nb
+        for b in range(nb):
+            seg = row[b * 60 : (b + 1) * 60]
+            r = mine.iloc[b]
+            assert r.t_min == seg.min() and r.t_max == seg.max()
+            assert r.t_count == len(seg)
+            assert r.t_mean == seg.sum() / len(seg)
+
+
+def test_mp_rollup_argmin():
+    table = synthetic_sequences_table(6, seed=2)
+    prof = compute_profiles_batch(table, w=16)
+    out = mp_rollup_batch(prof, tiers={"1m": 60}).to_pandas()
+    mp_vals, mp_offs = list_column_to_numpy(prof["mp"])
+    i = 0
+    row = mp_vals[mp_offs[i] : mp_offs[i + 1]]
+    mine = out[out.doc_id == prof["doc_id"][i].as_py()].sort_values("bucket")
+    for b in range(len(mine)):
+        seg = row[b * 60 : (b + 1) * 60]
+        assert mine.iloc[b].mp_min == seg.min()
+        assert mine.iloc[b].mp_argmin == b * 60 + int(np.argmin(seg))
+
+
+def test_profile_stage_matches_kernel():
+    table = synthetic_sequences_table(5, seed=3)
+    prof = compute_profiles_batch(table, w=32)
+    vals, offs = list_column_to_numpy(table["tokens"])
+    mp_vals, mp_offs = list_column_to_numpy(prof["mp"])
+    for i in range(5):
+        ts = vals[offs[i] : offs[i + 1]].astype("d")
+        direct = mpx(ts, 32)
+        np.testing.assert_array_equal(mp_vals[mp_offs[i] : mp_offs[i + 1]],
+                                      direct["mp"])
+
+
+def test_profile_stage_short_rows_flagged():
+    table = pa.table({
+        "doc_id": ["a", "b"],
+        "tokens": [[1, 2, 3], list(range(100))],
+        "n_tok": pa.array([3, 100], pa.int32()),
+        "source": ["s", "s"],
+    })
+    prof = compute_profiles_batch(table, w=16)
+    assert prof["valid"].to_pylist() == [False, True]
+    assert prof["mp"][0].as_py() == []
+
+
+def test_codec_stage_roundtrip():
+    table = synthetic_sequences_table(10, seed=4)
+    enc = encode_batch(table)
+    assert "tokens" not in enc.column_names and "tokens_enc" in enc.column_names
+    dec = decode_batch(enc)
+    assert dec["tokens"].to_pylist() == table["tokens"].to_pylist()
+    verified = verify_roundtrip_batch(table)
+    assert "tokens_enc" in verified.column_names
+
+
+def test_gapfill_batch_int_sentinel():
+    table = pa.table({
+        "doc_id": ["a"],
+        "tokens": [[5, -1, -1, 8, -1]],
+        "n_tok": pa.array([5], pa.int32()),
+        "source": ["s"],
+    })
+    out = gapfill_batch(table, mode="forward_fill")
+    assert out["tokens"].to_pylist() == [[5, 5, 5, 8, 8]]
+    out = gapfill_batch(table, mode="linear")
+    assert out["tokens"].to_pylist() == [[5, 6, 7, 8, 8]]
+
+
+def test_synthetic_corpus_deterministic():
+    a = synthetic_sequences_table(8, seed=42)
+    b = synthetic_sequences_table(8, seed=42)
+    assert a.equals(b)
+    c = synthetic_sequences_table(4, seed=42, start=4)
+    assert a.slice(4, 4)["doc_id"].to_pylist() == c["doc_id"].to_pylist()
+    assert a.slice(4, 4)["tokens"].to_pylist() == c["tokens"].to_pylist()
