@@ -179,6 +179,108 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out
 
+    from matrixprofile_1_ray.sources.sequences import sequences_table_from_documents
+    from matrixprofile_1_ray.stages.multimodal import (
+        make_fake_media_table,
+        media_features_stage,
+    )
+    from matrixprofile_1_ray.stages.pairs import (
+        ab_join_stage,
+        hierarchical_clusters_distributed,
+        mass_search_stage,
+        mpdist_pairs,
+    )
+    from matrixprofile_1_ray.stages.pmp import (
+        maximum_subsequence_batch,
+        pick_mp_stage,
+        pmp_stage,
+    )
+    from matrixprofile_1_ray.stages.summarize import (
+        corrected_profile_batch,
+        snippets_batch,
+    )
+    from matrixprofile_1_ray.state.chunked import (
+        chunk_sequences_batch,
+        chunked_rollup,
+    )
+
+    def first_doc_tokens(sf_dir: str, n_docs: int = 1):
+        table = sequences_table_from_documents(sf_dir)
+        return table, [np.asarray(table["tokens"][i].as_py(), dtype="d")
+                       for i in range(n_docs)]
+
+    def pmp_query(sf_dir: str):
+        return pmp_stage(sequences_pipeline(sf_dir, verify_codec=False),
+                         windows=[16, 32, 64])
+
+    def pick_mp_query(sf_dir: str):
+        return pick_mp_stage(pmp_query(sf_dir), 32)
+
+    def snippets_query(sf_dir: str):
+        return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            lambda b: snippets_batch(b, snippet_size=64), batch_format="pyarrow")
+
+    def maxsubseq_query(sf_dir: str):
+        return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            maximum_subsequence_batch, batch_format="pyarrow")
+
+    def corrected_query(sf_dir: str):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ds = profiles_pipeline(sf_dir, w=32, keep_tokens=True).map_batches(
+            lambda b: corrected_profile_batch(b, av="complexity"),
+            batch_format="pyarrow")
+
+        def scalars(batch):
+            mins = [float(np.min(r.as_py())) if len(r) else None
+                    for r in batch["cmp"]]
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "av_type": batch["av_type"],
+                "cmp_len": pc.list_value_length(batch["cmp"]).cast(pa.int64()),
+                "cmp_min": pa.array(mins, pa.float64()),
+            })
+
+        return ds.map_batches(scalars, batch_format="pyarrow")
+
+    def mpdist_pairs_query(sf_dir: str):
+        table = sequences_table_from_documents(sf_dir).slice(0, 20)
+        return mpdist_pairs(table, w=16)
+
+    def hclust_query(sf_dir: str):
+        import pandas as pd
+
+        table = sequences_table_from_documents(sf_dir).slice(0, 12)
+        out = hierarchical_clusters_distributed(table, 16, t=4,
+                                                criterion="maxclust")
+        return pd.DataFrame({
+            "doc_id": table["doc_id"].to_pylist(),
+            "cluster": out["assignments"].astype(np.int64),
+        })
+
+    def ab_join_query(sf_dir: str):
+        _table, (q,) = first_doc_tokens(sf_dir)
+        return ab_join_stage(sequences_pipeline(sf_dir, verify_codec=False),
+                             q, w=16)
+
+    def mass_search_query(sf_dir: str):
+        _table, (q,) = first_doc_tokens(sf_dir)
+        return mass_search_stage(
+            sequences_pipeline(sf_dir, verify_codec=False), q[:16], k=2)
+
+    def chunked_rollup_query(sf_dir: str):
+        ds = sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            lambda b: chunk_sequences_batch(b, chunk_tokens=97),
+            batch_format="pyarrow")
+        return chunked_rollup(ds, tiers={"1m": 60})
+
+    def media_query(sf_dir: str):
+        import ray.data
+
+        media = ray.data.from_arrow(make_fake_media_table(64, seed=1))
+        return media_features_stage(media, feature_dim=8)
+
     qs: dict[str, Callable[[str], Any]] = {
         # sequences / rollups (oracle-checked)
         "sequences_meta": seq_stage(sequences_meta_batch),
@@ -209,6 +311,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": minhash_query,
         "ann_topk": ann_query,
         "ann_ivf_topk": ann_ivf_query,
+        # chunked scale path (oracle-checked: must equal the plain rollup)
+        "rollup_1m_chunked": chunked_rollup_query,
+        # multi-window / pair / summary operators (rows-only)
+        "pmp": pmp_query,
+        "pick_mp_w32": pick_mp_query,
+        "maximum_subsequence": maxsubseq_query,
+        "snippets": snippets_query,
+        "corrected_profile": corrected_query,
+        "mpdist_pairs": mpdist_pairs_query,
+        "hierarchical_clusters": hclust_query,
+        "ab_join": ab_join_query,
+        "mass_search": mass_search_query,
+        # multimodal plumbing (stubbed decode, deterministic fake features)
+        "media_features": media_query,
     }
     return qs
 
@@ -231,6 +347,7 @@ FROM seq s
         "rollup_1m": _rollup_sql("1m", 60),
         "rollup_1h": _rollup_sql("1h", 3600),
         "rollup_1d": _rollup_sql("1d", 86400),
+        "rollup_1m_chunked": _rollup_sql("1m", 60),
         "doc_stats": _SEQ_CTE + """
 SELECT doc_id, source,
        count(*) AS t_count,

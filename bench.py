@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "points_per_sec": ..., "seq_per_sec": ...}
+
+``--scaling`` runs the same bench twice in fresh processes at
+RAY_GRAFT_CPUS=8 and 32 (the sandbox stand-in for N vs 4N cluster sizes)
+and reports both plus the scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SYNTH_ROWS = int(os.environ.get("GRAFT_SYNTH_ROWS", "4000"))
+SYNTH_SEED = 42
+
+
+def synth_path() -> str:
+    """Deterministic synthetic sequences corpus, generated once (untimed)."""
+    path = f"/tmp/graft_synth_{SYNTH_ROWS}_{SYNTH_SEED}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from matrixprofile_1_ray.sources import write_synthetic_sequences
+
+        write_synthetic_sequences(path, SYNTH_ROWS, seed=SYNTH_SEED,
+                                  rows_per_block=250)
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from matrixprofile_1_ray.pipelines.flagship import (
+        mp_rollup_pipeline,
+        sequences_pipeline,
+        token_rollup_pipeline,
+    )
+    from matrixprofile_1_ray.stages.ann import brute_force_topk
+    from matrixprofile_1_ray.stages.dedup import minhash_candidates
+    from matrixprofile_1_ray.stages.discover_stage import corpus_top_discords
+    from matrixprofile_1_ray.stages.profile import compute_profiles_batch
+    from matrixprofile_1_ray.stages.rollup import mp_rollup_batch, rollup_batch
+    from matrixprofile_1_ray.pipelines.flagship import profiles_pipeline
+
+    spath = synth_path()
+
+    # untimed warm read (page cache) so we measure compute + shuffle
+    _ = token_rollup_pipeline(SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    counters: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        result = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return result
+
+    # 1. token tier rollups over the documents-derived sequences
+    n_rollup_rows = timed("rollup_tiers",
+                          lambda: token_rollup_pipeline(SF_DIR).count())
+
+    # 2. matrix-profile tier rollups (the STOMP/MPX rollup path)
+    timed("mp_rollup", lambda: mp_rollup_pipeline(SF_DIR, w=32).count())
+
+    # 3. codec round-trip (gap-fill + compress + verify every row)
+    timed("codec_verify",
+          lambda: sequences_pipeline(SF_DIR, verify_codec=True).count())
+
+    # 4. synthetic tokenized corpus: profiles + rollups at sequence scale
+    def synth_run():
+        ds = ray.data.read_parquet(spath)
+        prof = ds.map_batches(
+            lambda b: compute_profiles_batch(b, w=32),
+            batch_format="pyarrow", batch_size=64)
+        return prof.map_batches(mp_rollup_batch, batch_format="pyarrow").count()
+
+    timed("synth_mp_rollup", synth_run)
+
+    # 5. corpus-level discovery
+    timed("corpus_discords",
+          lambda: corpus_top_discords(profiles_pipeline(SF_DIR, w=32)).count())
+
+    # 6. MinHash-LSH near-dup
+    timed("dedup_minhash",
+          lambda: minhash_candidates(
+              sequences_pipeline(SF_DIR, verify_codec=False)).count())
+
+    # 7. ANN brute-force cosine top-k
+    def ann_run():
+        head = pq.read_table(f"{SF_DIR}/embeddings.parquet").slice(0, 16)
+        qm = np.stack([np.asarray(v, dtype="d")
+                       for v in head["embedding"].to_pylist()])
+        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+        return brute_force_topk(ds, qm, k=10).count()
+
+    timed("ann_topk", ann_run)
+
+    # throughput counters
+    seq_meta = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    doc_points = sum(len(t) for t in seq_meta["text"].to_pylist())
+    synth_points = sum(
+        pq.read_table(f, columns=["n_tok"])["n_tok"].to_numpy().sum()
+        for f in [os.path.join(spath, f) for f in os.listdir(spath)
+                  if f.endswith(".parquet")])
+    rollup_secs = timings["rollup_tiers"] + timings["mp_rollup"]
+    counters["points_per_sec"] = round(
+        (doc_points * 4) / max(rollup_secs, 1e-9))      # 4 passes: raw+3 tiers
+    counters["seq_per_sec"] = round(
+        (len(seq_meta) + SYNTH_ROWS)
+        / max(timings["mp_rollup"] + timings["synth_mp_rollup"], 1e-9), 1)
+    counters["synth_points"] = int(synth_points)
+    counters["rollup_rows"] = int(n_rollup_rows)
+
+    ray.shutdown()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "flagship pipelines wall time (rollups, mp, codec, dedup, ann)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **counters,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency N->4N (num_cpus 8 vs 32, fresh sessions)",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

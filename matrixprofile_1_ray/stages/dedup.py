@@ -95,9 +95,12 @@ def minhash_candidates(ds, k: int = 5, num_perm: int = 64, bands: int = 16,
 
     cand = band_rows.groupby(["band", "band_key"]).map_groups(
         pairs, batch_format="pandas")
-    # the same pair can surface from several bands — dedup the pair list
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    # the same pair can surface from several bands — dedup via a native
+    # count aggregate (cheaper than per-group pandas over tiny groups)
+    from ray.data.aggregate import Count
+
+    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nb"))
+    return uniq.drop_columns(["nb"])
 
 
 def verify_jaccard_pairs(pairs_df: pd.DataFrame, sequences: pa.Table,

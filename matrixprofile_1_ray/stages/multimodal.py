@@ -1,0 +1,98 @@
+"""Multimodal column stages: opaque binary payloads + typed metadata.
+
+Image/audio/video travel as Arrow ``binary`` columns with sidecar metadata
+(mime, width/height or sample rate, frame count).  Decode / feature-extract
+/ resize / frame-sample run as actor-pool ``map_batches`` stages whose
+Ray-side plumbing (schema, batch sizing for large payloads, actor
+signature, output layout) is real and tested; the *codec* itself is
+stubbed: the image/audio libraries are not in this container, so
+``DecodeStub`` either raises ``NotImplementedError`` (strict mode) or
+produces a deterministic fake decode keyed on the payload hash (test mode).
+Swap ``_decode_payload`` for a real PIL/libav call on a cluster that has
+the libraries — nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("mime", pa.string()),
+    ("payload", pa.binary()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+])
+
+
+def make_fake_media_table(n: int, seed: int = 0) -> pa.Table:
+    """Deterministic fake media corpus for plumbing tests."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(rng.integers(512, 4096)),
+                             dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table({
+        "media_id": pa.array([f"m{i:06d}" for i in range(n)], pa.string()),
+        "mime": pa.array(["image/png"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(rng.integers(32, 256, n).astype(np.int32)),
+        "height": pa.array(rng.integers(32, 256, n).astype(np.int32)),
+    })
+
+
+class DecodeStub:
+    """Actor-pool decode stage.  strict=True raises (the honest stub);
+    strict=False emits a deterministic fake feature vector per payload so
+    downstream stages are testable end-to-end."""
+
+    def __init__(self, feature_dim: int = 16, strict: bool = False):
+        self.feature_dim = feature_dim
+        self.strict = strict
+
+    def _decode_payload(self, payload: bytes) -> np.ndarray:
+        if self.strict:
+            raise NotImplementedError(
+                "image/audio codecs are not available in this container; "
+                "plug a real decoder here (PIL.Image.open / av.open)")
+        digest = hashlib.sha256(payload).digest()
+        seed = int.from_bytes(digest[:8], "little")
+        return np.random.default_rng(seed).normal(
+            size=self.feature_dim).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = np.stack([self._decode_payload(p.as_py())
+                          for p in batch["payload"].combine_chunks()])
+        off = pa.array(np.arange(len(batch) + 1, dtype=np.int32)
+                       * self.feature_dim, pa.int32())
+        return pa.table({
+            "media_id": batch["media_id"],
+            "mime": batch["mime"],
+            "features": pa.ListArray.from_arrays(
+                off, pa.array(feats.reshape(-1), pa.float32())),
+        })
+
+
+def media_features_stage(ds, feature_dim: int = 16, strict: bool = False,
+                         concurrency=(1, 4), batch_size: int = 32):
+    """Binary payloads are large: small batches, actor pool, Arrow-only
+    (binary columns do not survive pandas round-trips)."""
+    return ds.map_batches(
+        DecodeStub,
+        fn_constructor_kwargs={"feature_dim": feature_dim, "strict": strict},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def frame_sample_batch(batch: pa.Table, every: int = 10) -> pa.Table:
+    """Frame-sampling plumbing for video rows: emits (media_id, frame_idx)
+    rows for frames 0, every, 2*every, ... of a declared frame count."""
+    counts = batch["frame_count"].to_numpy()
+    media_rows = np.repeat(np.arange(len(batch)), (counts + every - 1) // every)
+    firsts = np.concatenate(([0], np.cumsum((counts + every - 1) // every)))[:-1]
+    frame_idx = (np.arange(len(media_rows)) - np.repeat(firsts, (counts + every - 1) // every)) * every
+    return pa.table({
+        "media_id": batch["media_id"].take(pa.array(media_rows, pa.int64())),
+        "frame_idx": pa.array(frame_idx, pa.int64()),
+    })

@@ -1,0 +1,118 @@
+"""Pan-MatrixProfile (SKIMP) and related multi-window stages.
+
+The shuffle-friendly PMP layout is one row per (doc_id, window) — windows
+become rows, never a ragged 2-D cell (SURVEY.md §1.3).  All windows of one
+document are computed in a single pass over its series (no token
+duplication across window tasks); parallelism comes from the document axis,
+which dominates at corpus scale.  ``pick_mp`` is a filter on the window
+column (reference utils.py:45-100 analog)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.tokenize import list_column_to_numpy
+from ..kernels.mpx import mpx_self
+from ..kernels.skimp import binary_split, maximum_subsequence
+
+
+def pmp_batch(batch: pa.Table, windows) -> pa.Table:
+    """sequences batch -> one profile row per (doc, window)."""
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    windows = list(windows)
+    doc_rows, out_w, out_mp, out_pi = [], [], [], []
+    for i in range(len(batch)):
+        ts = values[offsets[i] : offsets[i + 1]].astype("d")
+        for w in windows:
+            if ts.shape[0] < 2 * w:
+                continue
+            mp, pi = mpx_self(ts, int(w))
+            doc_rows.append(i)
+            out_w.append(int(w))
+            out_mp.append(mp)
+            out_pi.append(pi)
+    take = pa.array(np.array(doc_rows, dtype=np.int64), pa.int64())
+    return pa.table({
+        "doc_id": batch["doc_id"].take(take),
+        "source": batch["source"].take(take),
+        "w": pa.array(out_w, pa.int32()),
+        "mp": pa.array([m.tolist() for m in out_mp], pa.list_(pa.float64())),
+        "pi": pa.array([p.tolist() for p in out_pi], pa.list_(pa.int64())),
+    })
+
+
+def pmp_stage(ds, windows, batch_size: int = 128):
+    return ds.map_batches(lambda b: pmp_batch(b, windows),
+                          batch_format="pyarrow", batch_size=batch_size)
+
+
+def pick_mp_stage(pmp_ds, window: int):
+    """Select one window's profiles out of the PMP table."""
+    import pyarrow.compute as pc
+
+    return pmp_ds.map_batches(
+        lambda b: b.filter(pc.equal(b["w"], window)),
+        batch_format="pyarrow")
+
+
+def assemble_pmp(pmp_table: pa.Table, doc_id: str, windows) -> dict:
+    """Reference-shaped dense PMP dict for one document (row-padded with
+    inf, reference skimp.py:177-213) — driver-side convenience for parity
+    checks and the discover ops that consume 2-D PMPs."""
+    sub = pmp_table.filter(
+        pa.compute.equal(pmp_table["doc_id"], doc_id)).to_pydict()
+    order = {int(w): k for k, w in enumerate(sub["w"])}
+    windows = [int(w) for w in windows]
+    n = (len(sub["mp"][0]) + windows[0] - 1) if sub["mp"] else 0
+    for k, w in enumerate(sub["w"]):
+        n = max(n, len(sub["mp"][k]) + int(w) - 1)
+    pmp = np.full((len(windows), n), np.inf)
+    pmpi = np.full((len(windows), n), np.iinfo(np.int64).min, dtype=np.int64)
+    for r, w in enumerate(windows):
+        if w not in order:
+            continue
+        k = order[w]
+        mp = np.asarray(sub["mp"][k])
+        pi = np.asarray(sub["pi"][k])
+        pmp[r, : mp.shape[0]] = mp
+        pmpi[r, : pi.shape[0]] = pi
+    return {
+        "pmp": pmp, "pmpi": pmpi, "windows": np.array(windows),
+        "sample_pct": 1, "metric": "euclidean", "algorithm": "skimp",
+        "class": "PMP", "data": {"ts": None},
+    }
+
+
+def skimp_windows(n: int, sample_pct: float = 1.0, lower: int = 8):
+    """The reference's default window sweep 8..n/2 in BFS order, truncated
+    by sample_pct (reference skimp.py:161-185)."""
+    windows = list(range(lower, n // 2 + 1))
+    order = binary_split(len(windows))
+    last = len(order)
+    if sample_pct < 1:
+        last = min(last, int(np.floor(len(order) * sample_pct)))
+    return [windows[order[i]] for i in range(last)]
+
+
+def maximum_subsequence_batch(batch: pa.Table, threshold: float = 0.95) -> pa.Table:
+    """Per-doc upper-window search (reference skimp.py:245-381)."""
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    doc_ids, uppers = [], []
+    for i in range(len(batch)):
+        ts = values[offsets[i] : offsets[i + 1]].astype("d")
+        if ts.shape[0] < 16:
+            continue
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            upper = maximum_subsequence(ts, threshold=threshold)
+        doc_ids.append(batch["doc_id"][i].as_py())
+        uppers.append(-1 if upper is np.nan or
+                      (isinstance(upper, float) and np.isnan(upper))
+                      else int(upper))
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "upper_window": pa.array(uppers, pa.int64()),
+    })

@@ -1,0 +1,82 @@
+"""Snippets, per-doc statistics, and annotation-vector stages."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.tokenize import list_column_to_numpy
+from ..kernels.discover import snippets
+from ..kernels.transform import (
+    make_clipping_av,
+    make_complexity_av,
+    make_default_av,
+    make_meanstd_av,
+)
+
+_AV_MAKERS = {
+    "default": make_default_av,
+    "complexity": make_complexity_av,
+    "meanstd": make_meanstd_av,
+    "clipping": make_clipping_av,
+}
+
+
+def snippets_batch(batch: pa.Table, snippet_size: int = 64,
+                   num_snippets: int = 2, window_size=None) -> pa.Table:
+    """Per-doc representative snippets (reference snippets.py:17-126)
+    -> (doc_id, rank, index, fraction)."""
+    doc_ids, ranks, idxs, fracs = [], [], [], []
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    for i in range(len(batch)):
+        ts = values[offsets[i] : offsets[i + 1]].astype("d")
+        if ts.shape[0] < 2 * snippet_size:
+            continue
+        out = snippets(ts, snippet_size, num_snippets=num_snippets,
+                       window_size=window_size)
+        for rank, snip in enumerate(out):
+            doc_ids.append(batch["doc_id"][i].as_py())
+            ranks.append(rank)
+            idxs.append(int(snip["index"]))
+            fracs.append(float(snip["fraction"]))
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "rank": pa.array(ranks, pa.int32()),
+        "snippet_idx": pa.array(idxs, pa.int64()),
+        "fraction": pa.array(fracs, pa.float64()),
+    })
+
+
+def corrected_profile_batch(batch: pa.Table, av: str = "complexity") -> pa.Table:
+    """Attach av + corrected matrix profile columns to a profiles batch
+    (cmp = mp + (1-av)*max(mp), reference transform.py:80-85).  Requires
+    ``keep_tokens=True`` profiles."""
+    maker = _AV_MAKERS[av]
+    mp_vals, mp_off = list_column_to_numpy(batch["mp"])
+    ts_vals, ts_off = list_column_to_numpy(batch["tokens"])
+    ws = batch["w"].to_numpy()
+    valid = batch["valid"].to_numpy(zero_copy_only=False)
+
+    av_parts, cmp_parts = [], []
+    for i in range(len(batch)):
+        mp = mp_vals[mp_off[i] : mp_off[i + 1]].astype("d")
+        if not valid[i] or mp.size == 0:
+            av_parts.append(np.empty(0))
+            cmp_parts.append(np.empty(0))
+            continue
+        ts = ts_vals[ts_off[i] : ts_off[i + 1]].astype("d")
+        vec = maker(ts, int(ws[i]))
+        av_parts.append(vec)
+        cmp_parts.append(mp + (1 - vec) * np.max(mp))
+
+    lens = np.array([len(x) for x in av_parts], dtype=np.int64)
+    off = pa.array(np.concatenate(([0], np.cumsum(lens))).astype(np.int32),
+                   pa.int32())
+    flat_av = np.concatenate(av_parts) if av_parts else np.empty(0)
+    flat_cmp = np.concatenate(cmp_parts) if cmp_parts else np.empty(0)
+    batch = batch.append_column(
+        "av", pa.ListArray.from_arrays(off, pa.array(flat_av, pa.float64())))
+    batch = batch.append_column(
+        "cmp", pa.ListArray.from_arrays(off, pa.array(flat_cmp, pa.float64())))
+    return batch.append_column("av_type",
+                               pa.array([av] * len(batch), pa.string()))

@@ -1,0 +1,2 @@
+from .chunked import chunk_sequences_batch, chunked_rollup, distributed_stomp
+from .manifest import LineageManifest, run_partitioned

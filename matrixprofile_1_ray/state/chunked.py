@@ -1,0 +1,190 @@
+"""Chunked-series execution: series too long for one row/block.
+
+Two scale paths, both exact:
+
+* **Rollups**: chunks are disjoint index ranges; every bucket statistic
+  (min/max/sum/count) is associative, so per-chunk partials merge under one
+  ``groupby((doc_id, tier, bucket))`` — the hash-partitioned shuffle moves
+  only bucket rows, never tokens.  Buckets spanning a chunk boundary are
+  merged by the aggregate, which is what makes chunk size a free parameter.
+
+* **Matrix profiles**: the reference's own range-batch scheme (reference
+  stomp.py:313-357) is a partial+final aggregate: each task computes the
+  distance profiles of a query-window range against the whole series and
+  partials merge by elementwise min (kernels.stomp.merge_profiles, proven
+  associative by the partition-count-invariance test).  The series and its
+  moving statistics are broadcast once via ``ray.put`` and read by every
+  range task — not re-shipped per batch.  Partitioning assumption: one
+  series' full float64 stream fits in a worker's object-store slice (8 GB
+  per 10^9 points); beyond that the tiled AB-join decomposition applies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.tokenize import list_column_to_numpy
+from ..kernels.mass import clean_nan_inf, fft_convolve, find_skip_locations
+from ..kernels.moving_stats import moving_avg_std
+from ..kernels.stomp import merge_profiles, stomp_batch
+from ..stages.rollup import TIERS, bucket_reduce
+
+
+def chunk_sequences_batch(batch: pa.Table, chunk_tokens: int = 4096) -> pa.Table:
+    """Explode rows into disjoint chunks: (doc_id, source, start, tokens)."""
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    doc_rows, starts, chunks = [], [], []
+    for i in range(len(batch)):
+        row = values[offsets[i] : offsets[i + 1]]
+        for s in range(0, max(len(row), 1), chunk_tokens):
+            doc_rows.append(i)
+            starts.append(s)
+            chunks.append(row[s : s + chunk_tokens])
+    lens = np.array([len(c) for c in chunks], dtype=np.int64)
+    off = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    flat = np.concatenate(chunks) if chunks else np.empty(0, values.dtype)
+    take = pa.array(np.array(doc_rows, dtype=np.int64), pa.int64())
+    return pa.table({
+        "doc_id": batch["doc_id"].take(take),
+        "source": batch["source"].take(take),
+        "start": pa.array(np.array(starts, dtype=np.int64), pa.int64()),
+        "tokens": pa.ListArray.from_arrays(pa.array(off, pa.int32()),
+                                           pa.array(flat)),
+    })
+
+
+def chunked_rollup(chunks_ds, tiers=None):
+    """Tier rollups over chunked rows -> identical output to the single-row
+    rollup (partition-count invariance).  Partial bucket stats per chunk,
+    merged by a keyed aggregate."""
+    tiers = tiers or TIERS
+
+    def partials(batch: pa.Table) -> pa.Table:
+        values, offsets = list_column_to_numpy(batch["tokens"])
+        values = values.astype("d")
+        starts_col = batch["start"].to_numpy()
+        lengths = np.diff(offsets)
+        parts = []
+        for tier_name, bucket in tiers.items():
+            # segment boundaries aligned to GLOBAL bucket edges: a chunk
+            # whose start is mid-bucket emits a partial edge bucket that the
+            # keyed aggregate merges with its sibling from the previous chunk
+            seg_starts, seg_buckets, seg_rows = [], [], []
+            for i in range(len(batch)):
+                s, L, o = int(starts_col[i]), int(lengths[i]), int(offsets[i])
+                if L == 0:
+                    continue
+                lead = (bucket - s % bucket) % bucket
+                internal = np.arange(lead if lead else bucket, L, bucket)
+                row_starts = np.concatenate(([0], internal))
+                seg_starts.append(o + row_starts)
+                seg_buckets.append(s // bucket + ((s % bucket) + row_starts) // bucket)
+                seg_rows.append(np.full(row_starts.shape[0], i, dtype=np.int64))
+            if not seg_starts:
+                continue
+            flat_starts = np.concatenate(seg_starts)
+            bucket_ids = np.concatenate(seg_buckets)
+            row_of_bucket = np.concatenate(seg_rows)
+
+            mins = np.minimum.reduceat(values, flat_starts)
+            maxs = np.maximum.reduceat(values, flat_starts)
+            sums = np.add.reduceat(values, flat_starts)
+            # rows abut in the flat array, so each segment ends at the next
+            # start (or the array end) — also exactly the row boundary
+            seg_ends = np.concatenate((flat_starts[1:], [len(values)]))
+            counts = seg_ends - flat_starts
+            take = pa.array(row_of_bucket, pa.int64())
+            parts.append(pa.table({
+                "doc_id": batch["doc_id"].take(take),
+                "source": batch["source"].take(take),
+                "tier": pa.array([tier_name] * len(bucket_ids), pa.string()),
+                "bucket": pa.array(bucket_ids, pa.int64()),
+                "p_min": pa.array(mins, pa.float64()),
+                "p_max": pa.array(maxs, pa.float64()),
+                "p_sum": pa.array(sums, pa.float64()),
+                "p_count": pa.array(counts.astype(np.int64), pa.int64()),
+            }))
+        return pa.concat_tables(parts)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    merged = (chunks_ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["doc_id", "source", "tier", "bucket"])
+              .aggregate(Min("p_min", alias_name="t_min"),
+                         Max("p_max", alias_name="t_max"),
+                         Sum("p_sum", alias_name="t_sum"),
+                         Sum("p_count", alias_name="t_count")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["t_mean"] = df["t_sum"] / df["t_count"]
+        return df
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+def distributed_stomp(ts, w: int, n_partitions: int = 8):
+    """Exact STOMP over one long series as a Ray fan-out: broadcast the
+    series + moving stats once, one task per query-window range, min-merge
+    of partials.  Returns the same dict as kernels.stomp.stomp."""
+    import ray
+    import ray.data
+
+    ts = clean_nan_inf(np.asarray(ts, dtype="d"))
+    n = ts.shape[0]
+    profile_length = n - w + 1
+    ez = int(np.ceil(w / 2.0))
+    skip_locs = find_skip_locations(ts, profile_length, w)
+    data_mu, data_sig = moving_avg_std(ts, w)
+    first_product = fft_convolve(ts, ts[:w])
+
+    shared = ray.put({
+        "ts": ts, "mu": data_mu, "sig": data_sig,
+        "first_product": first_product, "skip": skip_locs,
+    })
+
+    bounds = np.linspace(0, profile_length, n_partitions + 1).astype(int)
+    ranges = pa.table({
+        "start": pa.array(bounds[:-1].astype(np.int64)),
+        "end": pa.array(bounds[1:].astype(np.int64)),
+    })
+
+    def run_range(batch: pa.Table) -> pa.Table:
+        state = ray.get(shared)
+        outs = []
+        for s, e in zip(batch["start"].to_pylist(), batch["end"].to_pylist()):
+            if e <= s:
+                continue
+            part = stomp_batch(int(s), int(e), state["ts"], state["ts"], w,
+                               ez, False, state["mu"], state["sig"],
+                               state["first_product"], state["skip"])
+            outs.append(pa.table({
+                "start": pa.array([s], pa.int64()),
+                "mp": pa.array([part["mp"]], pa.list_(pa.float64())),
+                "pi": pa.array([part["pi"]], pa.list_(pa.int64())),
+                "lmp": pa.array([part["lmp"]], pa.list_(pa.float64())),
+                "lpi": pa.array([part["lpi"]], pa.list_(pa.int64())),
+                "rmp": pa.array([part["rmp"]], pa.list_(pa.float64())),
+                "rpi": pa.array([part["rpi"]], pa.list_(pa.int64())),
+            }))
+        return pa.concat_tables(outs)
+
+    parts_ds = (ray.data.from_arrow(ranges)
+                .repartition(n_partitions)
+                .map_batches(run_range, batch_format="pyarrow"))
+
+    result = None
+    for row in parts_ds.iter_rows():
+        part = {k: np.asarray(row[k]) for k in
+                ("mp", "pi", "lmp", "lpi", "rmp", "rpi")}
+        result = part if result is None else merge_profiles(result, part)
+
+    return {
+        "mp": result["mp"], "pi": result["pi"],
+        "rmp": result["rmp"], "rpi": result["rpi"],
+        "lmp": result["lmp"], "lpi": result["lpi"],
+        "metric": "euclidean", "w": w, "ez": ez, "join": False,
+        "sample_pct": 1, "data": {"ts": ts, "query": None},
+        "class": "MatrixProfile", "algorithm": "stomp_distributed",
+    }

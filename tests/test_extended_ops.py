@@ -1,0 +1,153 @@
+"""Extended operator coverage: PMP, pairs, snippets, AV, multimodal,
+profile persistence, plus the new queries() entries end-to-end."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from matrixprofile_1_ray.sources import synthetic_sequences_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def entry_mod(ray_session):
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+def _df(x):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(x, ray.data.Dataset):
+        return x.to_pandas()
+    if isinstance(x, pa.Table):
+        return x.to_pandas()
+    return x
+
+
+def test_pmp_and_pick(entry_mod):
+    pmp = _df(entry_mod.queries()["pmp"](SF))
+    assert set(pmp.w) == {16, 32, 64}
+    picked = _df(entry_mod.queries()["pick_mp_w32"](SF))
+    assert set(picked.w) == {32}
+    # pmp rows for one doc match the kernel directly
+    from matrixprofile_1_ray.kernels.mpx import mpx_self
+    from matrixprofile_1_ray.sources.sequences import sequences_table_from_documents
+
+    table = sequences_table_from_documents(SF)
+    doc = table["doc_id"][0].as_py()
+    ts = np.asarray(table["tokens"][0].as_py(), dtype="d")
+    row = pmp[(pmp.doc_id == doc) & (pmp.w == 32)]
+    if len(row):
+        mp, _ = mpx_self(ts, 32)
+        np.testing.assert_array_equal(np.asarray(row.iloc[0].mp), mp)
+
+
+def test_chunked_rollup_query_matches_oracle(entry_mod):
+    import duckdb
+
+    out = _df(entry_mod.queries()["rollup_1m_chunked"](SF))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    oracle = con.execute(entry_mod.oracle_sql()["rollup_1m_chunked"]).df()
+    cols = sorted(oracle.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = oracle[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in cols:
+        np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy(), err_msg=c)
+
+
+def test_snippets_and_maxsubseq(entry_mod):
+    snips = _df(entry_mod.queries()["snippets"](SF))
+    assert {"doc_id", "rank", "snippet_idx", "fraction"} <= set(snips.columns)
+    assert len(snips) > 50
+    # reference fraction = hits/(len-ss) with hits counted over len-ss+2
+    # positions (snippets.py:122) -> can reach ~1.03 on short docs
+    assert ((snips.fraction >= 0) & (snips.fraction <= 1.05)).all()
+
+    upper = _df(entry_mod.queries()["maximum_subsequence"](SF))
+    assert (upper.upper_window >= 8).all() or (upper.upper_window == -1).any()
+
+
+def test_corrected_profile(entry_mod):
+    out = _df(entry_mod.queries()["corrected_profile"](SF))
+    assert set(out.av_type) == {"complexity"}
+    assert (out.cmp_min.dropna() >= -1e-9).all()
+
+
+def test_mpdist_pairs_and_hclust(entry_mod):
+    pairs = _df(entry_mod.queries()["mpdist_pairs"](SF))
+    assert len(pairs) == 20 * 19 // 2
+    assert (pairs.mpdist >= 0).all()
+
+    clusters = _df(entry_mod.queries()["hierarchical_clusters"](SF))
+    assert len(clusters) == 12
+    assert clusters.cluster.nunique() <= 4
+
+
+def test_ab_join_and_mass_search(entry_mod):
+    ab = _df(entry_mod.queries()["ab_join"](SF))
+    assert len(ab) > 400
+    # doc 0 joined against itself must contain a perfect match
+    from matrixprofile_1_ray.sources.sequences import sequences_table_from_documents
+
+    doc0 = sequences_table_from_documents(SF)["doc_id"][0].as_py()
+    self_row = ab[ab.doc_id == doc0].iloc[0]
+    assert min(self_row.mp) < 1e-6
+
+    ms = _df(entry_mod.queries()["mass_search"](SF))
+    assert {"doc_id", "rank", "match_idx", "distance"} <= set(ms.columns)
+    best = ms[ms.doc_id == doc0].sort_values("rank").iloc[0]
+    assert best.match_idx == 0 or best.distance < 1e-5
+
+
+def test_media_features(entry_mod):
+    out = _df(entry_mod.queries()["media_features"](SF))
+    assert len(out) == 64
+    assert all(len(f) == 8 for f in out.features)
+    # deterministic across runs
+    out2 = _df(entry_mod.queries()["media_features"](SF))
+    np.testing.assert_array_equal(np.stack(out.sort_values("media_id").features.to_numpy()),
+                                  np.stack(out2.sort_values("media_id").features.to_numpy()))
+
+
+def test_media_strict_raises(ray_session):
+    import ray.data
+
+    from matrixprofile_1_ray.stages.multimodal import (
+        make_fake_media_table,
+        media_features_stage,
+    )
+
+    media = ray.data.from_arrow(make_fake_media_table(4))
+    with pytest.raises(Exception):
+        media_features_stage(media, strict=True).take_all()
+
+
+def test_profiles_persist_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    from matrixprofile_1_ray.io import profile_row_to_dict, read_profiles, write_profiles
+    from matrixprofile_1_ray.kernels import top_k_discords
+    from matrixprofile_1_ray.stages.profile import compute_profiles_batch
+
+    table = synthetic_sequences_table(6, seed=21)
+    prof = compute_profiles_batch(table, w=32)
+    ds = ray.data.from_arrow(prof)
+    path = str(tmp_path / "profiles")
+    write_profiles(ds, path)
+    back = read_profiles(path).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    orig = prof.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(back) == len(orig)
+    np.testing.assert_array_equal(np.concatenate(back.mp.to_numpy()),
+                                  np.concatenate(orig.mp.to_numpy()))
+
+    # reference-dict interop: discover ops run on a persisted row
+    row = back[back.valid].iloc[0].to_dict()
+    prof_dict = profile_row_to_dict(row)
+    out = top_k_discords(prof_dict, k=2)
+    assert len(out["discords"]) >= 1

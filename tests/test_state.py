@@ -1,0 +1,100 @@
+"""Scale-path state: chunked rollup/profile invariance and manifest resume."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from matrixprofile_1_ray.sources import synthetic_sequences_table
+from matrixprofile_1_ray.state.chunked import chunk_sequences_batch
+from matrixprofile_1_ray.state.manifest import (
+    LineageManifest,
+    file_fingerprint,
+    run_partitioned,
+)
+from matrixprofile_1_ray.stages.rollup import rollup_batch
+
+
+def test_chunking_is_lossless():
+    table = synthetic_sequences_table(6, seed=9)
+    chunks = chunk_sequences_batch(table, chunk_tokens=100)
+    df = chunks.to_pandas()
+    for i, doc in enumerate(table["doc_id"].to_pylist()):
+        orig = table["tokens"][i].as_py()
+        mine = df[df.doc_id == doc].sort_values("start")
+        recon = [t for row in mine.tokens for t in row]
+        assert recon == orig
+
+
+def test_chunked_rollup_equals_plain(ray_session):
+    import ray.data
+
+    from matrixprofile_1_ray.state.chunked import chunked_rollup
+
+    table = synthetic_sequences_table(8, seed=10)
+    plain = rollup_batch(table).to_pandas()
+
+    # chunk size deliberately NOT a multiple of any bucket size
+    chunks = chunk_sequences_batch(table, chunk_tokens=97)
+    out = chunked_rollup(ray.data.from_arrow(chunks)).to_pandas()
+
+    cols = ["doc_id", "source", "tier", "bucket"]
+    vals = ["t_min", "t_max", "t_sum", "t_count", "t_mean"]
+    a = plain.sort_values(cols).reset_index(drop=True)
+    b = out[cols + vals].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a[cols + vals], b, check_dtype=False)
+
+
+def test_distributed_stomp_equals_serial(ray_session, sampledata):
+    from matrixprofile_1_ray.kernels import stomp
+    from matrixprofile_1_ray.state.chunked import distributed_stomp
+
+    serial = stomp(sampledata, 32)
+    dist = distributed_stomp(sampledata, 32, n_partitions=5)
+    np.testing.assert_almost_equal(serial["mp"], dist["mp"])
+    np.testing.assert_array_equal(serial["pi"], dist["pi"])
+    np.testing.assert_almost_equal(serial["lmp"], dist["lmp"])
+    np.testing.assert_almost_equal(serial["rmp"], dist["rmp"])
+
+
+def test_manifest_resume(ray_session, tmp_path):
+    import ray.data
+
+    out_dir = str(tmp_path / "out")
+    calls = []
+
+    def make(key):
+        calls.append(key)
+        table = synthetic_sequences_table(3, seed=int(key[-1]))
+        return ray.data.from_arrow(rollup_batch(table, tiers={"1m": 60}))
+
+    parts = {"part0": "fp0", "part1": "fp1"}
+    status = run_partitioned(out_dir, parts, make)
+    assert status == {"part0": "done", "part1": "done"}
+    assert calls == ["part0", "part1"]
+    assert os.path.exists(os.path.join(out_dir, "_manifest.jsonl"))
+
+    # resume: nothing re-runs
+    status = run_partitioned(out_dir, parts, make)
+    assert status == {"part0": "skipped", "part1": "skipped"}
+    assert calls == ["part0", "part1"]
+
+    # fingerprint change invalidates exactly one partition
+    parts["part1"] = "fp1-changed"
+    status = run_partitioned(out_dir, parts, make)
+    assert status == {"part0": "skipped", "part1": "done"}
+    assert calls == ["part0", "part1", "part1"]
+
+    m = LineageManifest(out_dir)
+    assert m.is_done("part0", "fp0")
+    assert not m.is_done("part1", "fp1")
+
+
+def test_file_fingerprint_changes(tmp_path):
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"abc")
+    f1 = file_fingerprint(str(p))
+    p.write_bytes(b"abcd")
+    assert file_fingerprint(str(p)) != f1
