@@ -30,6 +30,13 @@ from .moving_stats import muinvn
 # golden tolerance of 1e-4 once scaled by 1/(w*sigma^2)).
 _EXACT_SDP_LIMIT = 1 << 25
 
+# Self-joins with profiles up to this length use one BLAS gram-matrix
+# (z-normalized windows @ transpose) instead of the per-diagonal walk —
+# ~3x faster in the short-sequence regime that dominates the corpus
+# (measured crossover ~pl=700 on this hardware; beyond it the per-diagonal
+# cumsum walk wins because the pl^2 matrix falls out of cache).
+_MATMUL_PL_LIMIT = 700
+
 
 def _seed_products(ts: np.ndarray, query_w: np.ndarray) -> np.ndarray:
     if ts.shape[0] * query_w.shape[0] <= _EXACT_SDP_LIMIT:
@@ -61,6 +68,10 @@ def mpx_self(ts, w: int, cross_correlation: bool = False):
     pl = n - w + 1
 
     mu, sig = muinvn(ts, w)
+
+    if pl <= _MATMUL_PL_LIMIT:
+        return _mpx_self_matmul(ts, w, pl, minlag, mu, sig, cross_correlation)
+
     df, dg = _diff_eqs(ts, mu, w)
 
     mp = np.full(pl, -1.0)
@@ -96,6 +107,40 @@ def mpx_self(ts, w: int, cross_correlation: bool = False):
     if not cross_correlation:
         mp = np.sqrt(2.0 * w * (1.0 - mp))
     return mp, mpi
+
+
+def _mpx_self_matmul(ts, w, pl, minlag, mu, sig, cross_correlation):
+    """Gram-matrix formulation: corr[i,j] = <z_i, z_j> over z-normalized
+    windows — identical quantities to the diagonal walk (different fp
+    summation order; tie-breaks on exactly-equal correlations may pick a
+    different but equally-near neighbor)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    Z = (sliding_window_view(ts, w) - mu[:, None]) * sig[:, None]
+    corr = Z @ Z.T
+    # exclusion band via diagonal fills (no pl^2 index materialization)
+    np.fill_diagonal(corr, -np.inf)
+    for d in range(1, minlag + 1):
+        np.fill_diagonal(corr[d:], -np.inf)
+        np.fill_diagonal(corr[:, d:], -np.inf)
+
+    mp = np.max(corr, axis=1)
+    mpi = np.argmax(corr, axis=1).astype(np.int64)
+    # ties (exactly-equal correlations are common in token streams) break
+    # like the ascending-diagonal walk: nearest neighbor first, then the
+    # earlier (column-side) index — matches cympx.pyx's update order
+    ties = corr == mp[:, None]
+    for i in np.flatnonzero(ties.sum(axis=1) > 1):
+        js = np.flatnonzero(ties[i])
+        order = np.lexsort((js, np.abs(js - i)))
+        mpi[i] = js[order[0]]
+    unmatched = np.isinf(mp)
+    mp[unmatched] = -1.0
+    mpi[unmatched] = -1
+    np.minimum(mp, 1.0, out=mp)
+    if not cross_correlation:
+        mp = np.sqrt(2.0 * w * (1.0 - mp))
+    return mp, mpi.astype(np.int64)
 
 
 def _ab_one_side(seed, df_a, dg_a, df_b, dg_b, sig_a, sig_b, mp_a, mpi_a, mp_b, mpi_b):

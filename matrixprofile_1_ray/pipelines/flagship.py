@@ -18,9 +18,21 @@ from ..stages.rollup import mp_rollup_batch, rollup_batch
 
 
 def sequences_pipeline(sf_dir: str, gapfill_mode: str = "forward_fill",
-                       verify_codec: bool = True):
-    """sequences source + gap-fill + inline compression-invariant check."""
+                       verify_codec: bool = True, num_blocks: int | None = None):
+    """sequences source + gap-fill + inline compression-invariant check.
+
+    ``num_blocks=None`` auto-splits single-file inputs so downstream
+    kernel stages can use every core (a 100 TB corpus already arrives in
+    thousands of files; the split matters only for the small test inputs).
+    """
     ds = sequences_from_documents(sf_dir)
+    if num_blocks is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_blocks = 2 * cpus
+    if num_blocks:
+        ds = ds.repartition(num_blocks)
     ds = ds.map_batches(lambda b: gapfill_batch(b, mode=gapfill_mode),
                         batch_format="pyarrow")
     if verify_codec:
@@ -50,6 +62,23 @@ def mp_rollup_pipeline(sf_dir: str, w: int = 32, tiers=None, **seq_kwargs):
     ds = profiles_pipeline(sf_dir, w=w, **seq_kwargs)
     return ds.map_batches(lambda b: mp_rollup_batch(b, tiers=tiers),
                           batch_format="pyarrow")
+
+
+def flagship_batch(batch, w: int = 32, tiers=None):
+    """Single-pass flagship transform: token tier rollups AND matrix-profile
+    tier rollups from one batch, unified into one long-format table (token
+    rows carry null mp_* columns and vice versa).  One streaming pass over
+    the corpus instead of two."""
+    import pyarrow as pa
+
+    from ..stages.profile import compute_profiles_batch
+    from ..stages.rollup import mp_rollup_batch, rollup_batch
+
+    token_rolls = rollup_batch(batch, tiers=tiers)
+    prof = compute_profiles_batch(batch, w=w)
+    mp_rolls = mp_rollup_batch(prof, tiers=tiers)
+    return pa.concat_tables([token_rolls, mp_rolls],
+                            promote_options="default")
 
 
 def flagship_rollup(sf_dir: str, w: int = 32, tiers=None, out_dir=None):

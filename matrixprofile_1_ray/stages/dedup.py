@@ -46,18 +46,33 @@ def content_hash_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def exact_dedup(ds):
-    """-> (rep_doc_id, dup_count) one row per distinct content."""
+def exact_dedup(ds, num_partitions: int = 16):
+    """-> (rep_doc_id, dup_count) one row per distinct content.
+
+    Explicit hash partitioning: every key maps to one of ``num_partitions``
+    coarse parts, the shuffle groups on the part id, and the per-part UDF
+    does a *vectorized* pandas groupby over all of its keys at once.
+    (A bare ``groupby(content_hash).map_groups`` invokes the UDF once per
+    key — at millions of tiny groups that Python dispatch dominates wall
+    time; coarse parts cap UDF invocations at num_partitions.)"""
     hashed = ds.map_batches(content_hash_batch, batch_format="pyarrow")
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "rep_doc_id": [g["doc_id"].min()],
-            "dup_count": np.array([len(g)], dtype=np.int64),
-        })
+    def add_part(batch: pa.Table) -> pa.Table:
+        # first hex bytes of the content hash are uniform — cheap part id
+        part = np.array([int(h[:8], 16) % num_partitions
+                         for h in batch["content_hash"].to_pylist()],
+                        dtype=np.int64)
+        return batch.append_column("_part", pa.array(part, pa.int64()))
 
-    return hashed.groupby("content_hash").map_groups(first_per_group,
-                                                     batch_format="pandas")
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("content_hash", as_index=False).agg(
+            rep_doc_id=("doc_id", "min"), dup_count=("doc_id", "size"))
+        g["dup_count"] = g["dup_count"].astype(np.int64)
+        return g[["rep_doc_id", "dup_count"]]
+
+    return (hashed.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(reduce_part, batch_format="pandas"))
 
 
 def minhash_band_batch(batch: pa.Table, k: int = 5, num_perm: int = 64,
@@ -78,29 +93,57 @@ def minhash_band_batch(batch: pa.Table, k: int = 5, num_perm: int = 64,
 
 
 def minhash_candidates(ds, k: int = 5, num_perm: int = 64, bands: int = 16,
-                       seed: int = 7):
-    """-> candidate near-dup pairs (doc_a, doc_b) from shared LSH buckets."""
+                       seed: int = 7, num_partitions: int = 16):
+    """-> candidate near-dup pairs (doc_a, doc_b) from shared LSH buckets.
+
+    Two coarse hash-partitioned shuffles, both with vectorized per-part
+    reductions: bucket rows by (band, band_key) -> emit pairs per multi-doc
+    bucket; then bucket the pair rows -> drop duplicates (a pair can
+    surface from several bands).  Shuffled payload is (band_key, doc_id)
+    pairs only — tokens never move."""
     band_rows = ds.map_batches(
         lambda b: minhash_band_batch(b, k=k, num_perm=num_perm, bands=bands,
                                      seed=seed),
         batch_format="pyarrow")
+    band_rows = band_rows.map_batches(
+        lambda b: b.append_column(
+            "_part", pa.array((b["band_key"].to_numpy()
+                               % np.uint64(num_partitions)).astype(np.int64),
+                              pa.int64())),
+        batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(set(g["doc_id"]))
-        if len(docs) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = zip(*[(docs[i], docs[j]) for i in range(len(docs))
-                     for j in range(i + 1, len(docs))])
-        return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["band", "band_key", "doc_id"])
+        sizes = df.groupby(["band", "band_key"])["doc_id"].transform("size")
+        multi = df[sizes > 1]
+        out_a, out_b = [], []
+        for (_band, _key), g in multi.groupby(["band", "band_key"]):
+            docs = g["doc_id"].to_numpy()
+            ii, jj = np.triu_indices(len(docs), 1)
+            out_a.append(docs[ii])
+            out_b.append(docs[jj])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=object),
+                                 "doc_b": pd.Series([], dtype=object)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
 
-    cand = band_rows.groupby(["band", "band_key"]).map_groups(
-        pairs, batch_format="pandas")
-    # the same pair can surface from several bands — dedup via a native
-    # count aggregate (cheaper than per-group pandas over tiny groups)
-    from ray.data.aggregate import Count
+    cand = band_rows.groupby("_part").map_groups(pairs_block,
+                                                 batch_format="pandas")
 
-    uniq = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nb"))
-    return uniq.drop_columns(["nb"])
+    def add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        key = pd.util.hash_pandas_object(df["doc_a"] + "\x00" + df["doc_b"],
+                                         index=False)
+        df = df.copy()
+        df["_part"] = (key % num_partitions).astype(np.int64)
+        return df
+
+    def uniq_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+
+    return (cand.map_batches(add_pair_part, batch_format="pandas")
+            .groupby("_part")
+            .map_groups(uniq_block, batch_format="pandas"))
 
 
 def verify_jaccard_pairs(pairs_df: pd.DataFrame, sequences: pa.Table,
