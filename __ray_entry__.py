@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fingerprint_batch,
         langid_batch,
         moving_stats_batch,
+        per_source_stats,
         quality_batch,
         sequences_meta_batch,
         word_count_batch,
@@ -293,8 +294,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_counts": seq_stage(word_count_batch),
         "dedup_exact": dedup_query,
         "events_rollup_hourly": events_rollup,
+        "per_source_stats": lambda sf: per_source_stats(
+            sequences_pipeline(sf, verify_codec=False)),
         # matrix-profile operators (rows-only checks)
         "mp_profiles": profiles_scalar,
+        "mp_profiles_stomp": lambda sf: profiles_pipeline(
+            sf, w=32, algorithm="stomp"),
+        "mp_profiles_scrimp": lambda sf: profiles_pipeline(
+            sf, w=32, algorithm="scrimp++"),
         "mp_rollup_1m": lambda sf: mp_rollup_pipeline(sf, w=32, tiers={"1m": 60}),
         "discords": lambda sf: profiles_pipeline(sf, w=32).map_batches(
             discords_batch, batch_format="pyarrow"),
@@ -396,5 +403,14 @@ SELECT event_type, date_trunc('hour', ts) AS bucket,
        min(value) AS v_min,
        max(value) AS v_max
 FROM events GROUP BY event_type, bucket
+""",
+        "per_source_stats": _SEQ_CTE + """
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_tokens,
+       CAST(sum(tok) AS BIGINT) AS tok_sum,
+       CAST(min(tok) AS DOUBLE) AS tok_min,
+       CAST(max(tok) AS DOUBLE) AS tok_max
+FROM ex GROUP BY source
 """,
     }

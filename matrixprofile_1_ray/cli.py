@@ -1,0 +1,98 @@
+"""Job entry point — submit with ``ray job submit -- python -m
+matrixprofile_1_ray.cli rollup --input ... --output ...`` (or run
+directly; it owns its Ray session when standalone).
+
+The rollup job partitions its output by input file with lineage manifests
+(state/manifest.py), so a resubmitted job resumes: completed partitions are
+skipped, changed inputs re-run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_rollup(args):
+    import ray.data
+
+    from .pipelines.flagship import flagship_batch
+    from .stages.codec_stage import verify_roundtrip_batch
+    from .stages.gapfill import gapfill_batch
+    from .state.manifest import file_fingerprint, run_partitioned
+
+    _init_ray(args.num_cpus)
+
+    files = sorted(f for f in os.listdir(args.input) if f.endswith(".parquet"))
+    partitions = {os.path.splitext(f)[0]: file_fingerprint(os.path.join(args.input, f))
+                  for f in files}
+
+    def make(key):
+        ds = ray.data.read_parquet(os.path.join(args.input, key + ".parquet"))
+        ds = ds.map_batches(lambda b: gapfill_batch(b, mode=args.gapfill),
+                            batch_format="pyarrow")
+        if args.verify_codec:
+            ds = ds.map_batches(verify_roundtrip_batch, batch_format="pyarrow")
+            ds = ds.drop_columns(["tokens_enc"])
+        return ds.map_batches(lambda b: flagship_batch(b, w=args.window),
+                              batch_format="pyarrow", batch_size=32)
+
+    status = run_partitioned(args.output, partitions, make,
+                             progress=lambda k: print(f"done {k}", file=sys.stderr))
+    print(json.dumps({"partitions": status,
+                      "done": sum(v == "done" for v in status.values()),
+                      "skipped": sum(v == "skipped" for v in status.values())}))
+
+
+def cmd_synth(args):
+    from .sources.sequences import write_synthetic_sequences
+
+    _init_ray(args.num_cpus)
+    write_synthetic_sequences(args.output, args.rows, seed=args.seed,
+                              rows_per_block=args.rows_per_block)
+    print(json.dumps({"rows": args.rows, "path": args.output}))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="matrixprofile_1_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("rollup", help="tiered rollup job with resume")
+    p.add_argument("--input", required=True, help="directory of sequence parquet files")
+    p.add_argument("--output", required=True)
+    p.add_argument("--window", type=int, default=32)
+    p.add_argument("--gapfill", default="forward_fill")
+    p.add_argument("--verify-codec", action="store_true", default=True)
+    p.add_argument("--num-cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    p.set_defaults(fn=cmd_rollup)
+
+    p = sub.add_parser("synth", help="generate the synthetic sequences corpus")
+    p.add_argument("--output", required=True)
+    p.add_argument("--rows", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--rows-per-block", type=int, default=250)
+    p.add_argument("--num-cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    p.set_defaults(fn=cmd_synth)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Dataset-level equivalents of the reference entry points.
+
+Reference ``compute()`` (compute.py:29-145) and ``analyze()``
+(analyze.py:173-272) dispatch per-series on (windows, sample_pct,
+threshold); here the same dispatch selects the per-row pipeline applied to
+every sequence of a Dataset:
+
+  no windows + threshold  -> maximum_subsequence upper-window sweep + PMP
+  window list             -> PMP over those windows (one row per doc,window)
+  single window, pct>=1   -> exact MPX profile
+  single window, pct<1    -> SCRIMP++ approximate profile
+
+``analyze`` additionally attaches discords, motifs and regimes rows —
+the discover chain of analyze.py:76-79 — as separate result tables
+(visualization is out of scope in a headless engine; the reference's
+matplotlib layer has no distributed analog).
+"""
+
+from __future__ import annotations
+
+from ..stages.discover_stage import discords_batch, motifs_batch, regimes_batch
+from ..stages.pmp import maximum_subsequence_batch, pmp_batch, skimp_windows
+from ..stages.profile import compute_profiles_batch
+
+
+def compute(ds, windows=None, sample_pct: float = 1.0,
+            threshold: float = 0.98, preprocessing=None):
+    """Dispatch like reference compute.py:116-143; returns a Dataset of
+    profile rows (single window) or PMP rows (multi-window)."""
+    if preprocessing:
+        from ..stages.gapfill import gapfill_batch
+
+        mode = preprocessing.get("impute_method", "forward_fill")
+        ds = ds.map_batches(lambda b: gapfill_batch(b, mode=mode),
+                            batch_format="pyarrow")
+
+    if windows is None:
+        # upper-window search per doc, then PMP over 8..upper — the
+        # data-dependent loop runs inside the row kernel
+        return ds.map_batches(
+            lambda b: maximum_subsequence_batch(b, threshold=threshold),
+            batch_format="pyarrow")
+    if isinstance(windows, (list, tuple, range)) and len(list(windows)) > 1:
+        return ds.map_batches(lambda b: pmp_batch(b, windows),
+                              batch_format="pyarrow")
+    w = int(windows[0] if isinstance(windows, (list, tuple)) else windows)
+    algorithm = "mpx" if sample_pct >= 1 else "scrimp++"
+    return ds.map_batches(
+        lambda b: compute_profiles_batch(b, w=w, algorithm=algorithm,
+                                         sample_pct=sample_pct),
+        batch_format="pyarrow", batch_size=256)
+
+
+def analyze(ds, window: int, sample_pct: float = 1.0):
+    """Profile + discover chain (reference analyze.py:87-125): returns
+    (profiles, discords, motifs, regimes) Datasets sharing one profile
+    stage."""
+    profiles = ds.map_batches(
+        lambda b: compute_profiles_batch(
+            b, w=window,
+            algorithm="mpx" if sample_pct >= 1 else "scrimp++",
+            sample_pct=sample_pct, keep_tokens=True),
+        batch_format="pyarrow", batch_size=256)
+    discords = profiles.map_batches(discords_batch, batch_format="pyarrow")
+    motifs = profiles.map_batches(motifs_batch, batch_format="pyarrow")
+    regimes = profiles.map_batches(regimes_batch, batch_format="pyarrow")
+    return profiles, discords, motifs, regimes

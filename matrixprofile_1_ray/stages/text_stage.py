@@ -129,6 +129,56 @@ def moving_stats_batch(batch: pa.Table, window: int = 8) -> pa.Table:
     })
 
 
+def per_source_partials_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner for the per-source aggregate: one partial row per
+    source per batch, so the ``groupby("source")`` shuffle moves O(sources)
+    rows per block instead of every document.  This pre-aggregation is what
+    makes the Zipf-hot source keys harmless — the classic alternative is
+    salting the key (source + hash(doc_id)%S) and de-salting in a second
+    aggregate, which this combiner strictly dominates for algebraic stats."""
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    sums = row_sums(values, offsets)
+    lengths = np.diff(offsets).astype(np.int64)
+    fvals = values.astype("d")
+    nonempty = lengths > 0
+    mins = np.full(len(lengths), np.inf)
+    maxs = np.full(len(lengths), -np.inf)
+    if nonempty.any():
+        mins[nonempty] = np.minimum.reduceat(fvals, offsets[:-1][nonempty])
+        maxs[nonempty] = np.maximum.reduceat(fvals, offsets[:-1][nonempty])
+
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "source": batch["source"].to_pylist(),
+        "n_docs": 1,
+        "n_tokens": lengths,
+        "tok_sum": sums,
+        "tok_min": mins,
+        "tok_max": maxs,
+    })
+    g = df.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"),
+        tok_sum=("tok_sum", "sum"), tok_min=("tok_min", "min"),
+        tok_max=("tok_max", "max"))
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def per_source_stats(ds):
+    """-> (source, n_docs, n_tokens, tok_sum, tok_min, tok_max) via
+    partial-aggregate-then-shuffle."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    partials = ds.map_batches(per_source_partials_batch, batch_format="pyarrow")
+    return partials.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"),
+        Sum("tok_sum", alias_name="tok_sum"),
+        Min("tok_min", alias_name="tok_min"),
+        Max("tok_max", alias_name="tok_max"),
+    )
+
+
 def word_count_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, n_words) whitespace token counting."""
     values, offsets = list_column_to_numpy(batch["tokens"])

@@ -1,0 +1,120 @@
+"""compute/analyze dispatch, JSON IO, catalog, CLI job resume,
+per-source aggregate parity."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from matrixprofile_1_ray.io.json_io import from_disk, from_json, to_disk, to_json
+from matrixprofile_1_ray.sources import synthetic_sequences_table
+from matrixprofile_1_ray.sources.catalog import fetch_available, load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_json_roundtrip(sampledata):
+    from matrixprofile_1_ray.kernels import mpx
+
+    profile = mpx(sampledata, 32)
+    back = from_json(to_json(profile))
+    np.testing.assert_array_equal(back["mp"], profile["mp"])
+    np.testing.assert_array_equal(back["pi"], profile["pi"])
+    assert back["class"] == "MatrixProfile"
+
+
+def test_json_disk_extension_inference(tmp_path, sampledata):
+    from matrixprofile_1_ray.kernels import mpx
+
+    profile = mpx(sampledata[:100], 16)
+    path = to_disk(profile, str(tmp_path / "prof"))
+    assert path.endswith(".json")
+    back = from_disk(str(tmp_path / "prof"))
+    np.testing.assert_array_equal(back["mp"], profile["mp"])
+
+
+def test_catalog():
+    out = fetch_available(SF)
+    names = {e["name"] for e in out}
+    assert {"documents", "lineitem", "embeddings"} <= names
+    with pytest.raises(ValueError):
+        load(SF, "nope")
+
+
+def test_compute_dispatch(ray_session):
+    import ray.data
+
+    from matrixprofile_1_ray.pipelines.analyze import analyze, compute
+
+    ds = ray.data.from_arrow(synthetic_sequences_table(4, seed=30))
+
+    single = compute(ds, windows=32).to_pandas()
+    assert set(single.algorithm) == {"mpx"}
+    approx = compute(ds, windows=32, sample_pct=0.5).to_pandas()
+    assert set(approx.algorithm) == {"scrimp++"}
+    multi = compute(ds, windows=[16, 32]).to_pandas()
+    assert set(multi.w) == {16, 32}
+    upper = compute(ds, threshold=0.95).to_pandas()
+    assert "upper_window" in upper.columns
+
+    profiles, discords, motifs, regimes = analyze(
+        ray.data.from_arrow(synthetic_sequences_table(3, seed=31)), window=32)
+    assert profiles.count() == 3
+    assert discords.count() > 0
+
+
+def test_cli_rollup_resume(ray_session, tmp_path):
+    """Job entry: run, then resume (skips), then verify row parity."""
+    from matrixprofile_1_ray.cli import main
+
+    in_dir = str(tmp_path / "seqs")
+    os.makedirs(in_dir)
+    import pyarrow.parquet as pq
+
+    for i in range(3):
+        pq.write_table(synthetic_sequences_table(5, seed=40 + i, start=i * 5),
+                       os.path.join(in_dir, f"shard{i}.parquet"))
+
+    out_dir = str(tmp_path / "out")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["rollup", "--input", in_dir, "--output", out_dir,
+              "--num-cpus", "4"])
+    result = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert result["done"] == 3 and result["skipped"] == 0
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["rollup", "--input", in_dir, "--output", out_dir,
+              "--num-cpus", "4"])
+    result = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert result["done"] == 0 and result["skipped"] == 3
+
+    # outputs contain both token and mp rollup rows
+    import pyarrow.dataset as pads
+
+    table = pads.dataset(os.path.join(out_dir, "shard0")).to_table()
+    cols = set(table.column_names)
+    assert {"tier", "bucket", "t_min", "mp_min"} <= cols
+
+
+def test_per_source_stats_parity(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    out = e.queries()["per_source_stats"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    oracle = con.execute(e.oracle_sql()["per_source_stats"]).df()
+    cols = sorted(oracle.columns)
+    a = out[cols].sort_values("source").reset_index(drop=True)
+    b = oracle[cols].sort_values("source").reset_index(drop=True)
+    for c in cols:
+        np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy(), err_msg=c)
