@@ -162,9 +162,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["event_type", "ts", "value"])
 
         def partial(df: pd.DataFrame) -> pd.DataFrame:
-            # pre-aggregate inside the batch before the shuffle
+            # pre-aggregate inside the batch before the shuffle; bucket as
+            # epoch seconds (int64) so the value-hash is dtype-stable
             df = df.assign(bucket=df["ts"].values.astype("datetime64[h]")
-                           .astype("datetime64[us]"))
+                           .astype("datetime64[s]").astype(np.int64))
             g = df.groupby(["event_type", "bucket"], as_index=False).agg(
                 n_events=("value", "size"), v_min=("value", "min"),
                 v_max=("value", "max"))
@@ -282,6 +283,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = ray.data.from_arrow(make_fake_media_table(64, seed=1))
         return media_features_stage(media, feature_dim=8)
 
+    def mpdist_vector_query(sf_dir: str):
+        """Sliding MPDist of each doc's own first 64 tokens along the doc
+        (reference mpdist.py:145-184 per row)."""
+        import pyarrow as pa
+
+        from matrixprofile_1_ray.functions.tokenize import list_column_to_numpy
+        from matrixprofile_1_ray.kernels.mpdist import mpdist_vector
+
+        def per_row(batch):
+            doc_ids, idxs, vals = [], [], []
+            values, offsets = list_column_to_numpy(batch["tokens"])
+            for i in range(len(batch)):
+                ts = values[offsets[i] : offsets[i + 1]].astype("d")
+                if ts.shape[0] < 160:
+                    continue
+                vec = mpdist_vector(ts, ts[:64], 16)
+                doc_ids.extend([batch["doc_id"][i].as_py()] * len(vec))
+                idxs.extend(range(len(vec)))
+                vals.extend(vec.tolist())
+            return pa.table({
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "offset": pa.array(idxs, pa.int64()),
+                "mpdist": pa.array(vals, pa.float64()),
+            })
+
+        return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            per_row, batch_format="pyarrow")
+
+    def pmp_discover_query(sf_dir: str):
+        """Per-doc PMP discords over the (doc,window) rows: assemble the
+        dense PMP per doc and run the reference pmp discover kernel."""
+        import pyarrow as pa
+
+        from matrixprofile_1_ray.kernels.discover import pmp_top_k_discords
+        from matrixprofile_1_ray.stages.pmp import assemble_pmp
+
+        windows = [16, 32]
+        pmp_ds = pmp_stage(sequences_pipeline(sf_dir, verify_codec=False),
+                           windows=windows)
+
+        def discover(batch: pa.Table) -> pa.Table:
+            doc_ids, rows, cols_, ws = [], [], [], []
+            for doc in set(batch["doc_id"].to_pylist()):
+                prof = assemble_pmp(batch, doc, windows)
+                out = pmp_top_k_discords(dict(prof), k=2)
+                for r, c in out["discords"]:
+                    doc_ids.append(doc)
+                    rows.append(int(r))
+                    cols_.append(int(c))
+                    ws.append(windows[int(r)])
+            return pa.table({
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "window": pa.array(ws, pa.int32()),
+                "discord_idx": pa.array(cols_, pa.int64()),
+            })
+
+        # repartition so every (doc, window) row of one doc shares a batch
+        return pmp_ds.groupby("doc_id").map_groups(
+            lambda t: discover(t), batch_format="pyarrow")
+
     qs: dict[str, Callable[[str], Any]] = {
         # sequences / rollups (oracle-checked)
         "sequences_meta": seq_stage(sequences_meta_batch),
@@ -332,6 +393,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mass_search": mass_search_query,
         # multimodal plumbing (stubbed decode, deterministic fake features)
         "media_features": media_query,
+        "mpdist_vector": mpdist_vector_query,
+        "pmp_discords": pmp_discover_query,
     }
     return qs
 
@@ -398,7 +461,8 @@ SELECT min(CAST(doc_id AS VARCHAR)) AS rep_doc_id,
 FROM documents GROUP BY text
 """,
         "events_rollup_hourly": """
-SELECT event_type, date_trunc('hour', ts) AS bucket,
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
        count(*) AS n_events,
        min(value) AS v_min,
        max(value) AS v_max

@@ -60,8 +60,9 @@ def assemble_pmp(pmp_table: pa.Table, doc_id: str, windows) -> dict:
     """Reference-shaped dense PMP dict for one document (row-padded with
     inf, reference skimp.py:177-213) — driver-side convenience for parity
     checks and the discover ops that consume 2-D PMPs."""
-    sub = pmp_table.filter(
-        pa.compute.equal(pmp_table["doc_id"], doc_id)).to_pydict()
+    import pyarrow.compute as pc
+
+    sub = pmp_table.filter(pc.equal(pmp_table["doc_id"], doc_id)).to_pydict()
     order = {int(w): k for k, w in enumerate(sub["w"])}
     windows = [int(w) for w in windows]
     n = (len(sub["mp"][0]) + windows[0] - 1) if sub["mp"] else 0

@@ -58,6 +58,15 @@ def test_pmp_discords_and_motifs(sampledata):
     assert isinstance(out["motifs"][0]["motifs"][0], tuple)
 
 
+def test_skimp_pmp_obj_reuse(sampledata):
+    """Precomputed windows are copied, not recomputed (skimp.py:193-205)."""
+    first = skimp(sampledata, windows=[16, 32])
+    reused = skimp(sampledata, windows=[16, 32, 64], pmp_obj=first)
+    np.testing.assert_array_equal(reused["pmp"][0], first["pmp"][0])
+    direct = skimp(sampledata, windows=[16, 32, 64])
+    np.testing.assert_array_equal(reused["pmp"], direct["pmp"])
+
+
 def test_maximum_subsequence(sampledata):
     upper = maximum_subsequence(sampledata, threshold=0.95)
     assert isinstance(upper, (int, np.integer)) and 8 <= upper <= len(sampledata) // 2

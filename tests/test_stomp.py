@@ -49,6 +49,23 @@ def test_stomp_agrees_with_mpx(sampledata):
     np.testing.assert_almost_equal(s["mp"][far], m["mp"][far], decimal=6)
 
 
+def test_stomp_join_mode(sampledata):
+    """AB-join semantics: ez=0, distances vs the query's windows; the
+    query's own occurrence in ts yields ~zero distance."""
+    query = sampledata[199:300]
+    profile = stomp(sampledata, 32, query=query)
+    assert profile["join"] is True and profile["ez"] == 0
+    assert profile["lmp"] is None
+    # ts windows 199..268 match query windows exactly -> ~zero distances
+    # (individual entries may be nan where sqrt saw a tiny negative — the
+    # reference's distance_profile convention)
+    region = profile["mp"][199:269]
+    assert np.nanmin(region) < 1e-5
+    assert np.nanmedian(region) < 1e-4
+    # join profile covers all ts windows
+    assert len(profile["mp"]) == len(sampledata) - 31
+
+
 def test_nan_windows_skipped():
     ts = np.array([0, 1, 1, 0, 0, np.nan, 1, 0, 0, 1, 1, 0])
     profile = stomp(ts, 4)
