@@ -115,7 +115,21 @@ def run_bench() -> dict:
           lambda: minhash_candidates(
               sequences_pipeline(SF_DIR, verify_codec=False)).count())
 
-    # 7. ANN brute-force cosine top-k
+    # 7. reference headline point: one MPX self-join at n=32768, w=32
+    # (reference: 1.555 s single core, 0.816 s with 4 OpenMP threads) —
+    # ours fans the diagonal axis out as Ray tasks
+    def mpx_long_run():
+        from matrixprofile_1_ray.state.chunked import distributed_mpx
+
+        rng = np.random.default_rng(0)
+        series = rng.uniform(size=32768)
+        mp, _ = distributed_mpx(series, 32, n_partitions=NUM_CPUS * 2)
+        return mp.shape[0]
+
+    mpx_long_run()  # warm the worker pool once, untimed
+    timed("mpx_n32768", mpx_long_run)
+
+    # 8. ANN brute-force cosine top-k
     def ann_run():
         head = pq.read_table(f"{SF_DIR}/embeddings.parquet").slice(0, 16)
         qm = np.stack([np.asarray(v, dtype="d")

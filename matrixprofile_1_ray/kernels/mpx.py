@@ -80,9 +80,26 @@ def mpx_self(ts, w: int, cross_correlation: bool = False):
     # covariance of every window against window 0 seeds each diagonal
     seed = _seed_products(ts, ts[:w]) - w * mu * mu[0]
 
+    mpx_diag_range(minlag + 1, pl, seed, df, dg, sig, mp, mpi)
+
+    np.minimum(mp, 1.0, out=mp)  # final merge clamp (cympx.pyx:104-112)
+    if not cross_correlation:
+        mp = np.sqrt(2.0 * w * (1.0 - mp))
+    return mp, mpi
+
+
+def mpx_diag_range(d_lo: int, d_hi: int, seed, df, dg, sig, mp, mpi):
+    """Process self-join diagonals [d_lo, d_hi) updating (mp, mpi) in
+    place with Pearson values.  Partial results over disjoint diagonal
+    ranges merge by elementwise max-correlation (the reference's per-thread
+    merge law, cympx.pyx:104-112) — which is what lets state/chunked.py
+    fan the diagonal axis out over Ray tasks."""
+    pl = sig.shape[0]
     offsets = np.arange(pl)
-    for diag in range(minlag + 1, pl):
+    for diag in range(d_lo, d_hi):
         L = pl - diag
+        if L <= 0:
+            break
         # c[j] along the diagonal via cumsum of the streaming update terms
         c = np.empty(L)
         c[0] = seed[diag]
@@ -102,10 +119,27 @@ def mpx_self(ts, w: int, cross_correlation: bool = False):
         if m2.any():
             mp[diag:][m2] = corr_cl[m2]
             mpi[diag:][m2] = offsets[:L][m2]
+    return mp, mpi
 
-    np.minimum(mp, 1.0, out=mp)  # final merge clamp (cympx.pyx:104-112)
-    if not cross_correlation:
-        mp = np.sqrt(2.0 * w * (1.0 - mp))
+
+def mpx_precompute(ts, w: int):
+    """Shared per-series state for diagonal-partitioned execution:
+    (seed, df, dg, sig, minlag)."""
+    ts = np.ascontiguousarray(ts, dtype="d")
+    mu, sig = muinvn(ts, w)
+    df, dg = _diff_eqs(ts, mu, w)
+    seed = _seed_products(ts, ts[:w]) - w * mu * mu[0]
+    return seed, df, dg, sig, int(math.ceil(w / 4.0))
+
+
+def merge_pearson_partials(parts):
+    """Merge (mp, mpi) Pearson partials by elementwise max-correlation."""
+    mp = parts[0][0].copy()
+    mpi = parts[0][1].copy()
+    for pmp_, pmpi_ in parts[1:]:
+        better = pmp_ > mp
+        mp[better] = pmp_[better]
+        mpi[better] = pmpi_[better]
     return mp, mpi
 
 

@@ -1,2 +1,7 @@
-from .chunked import chunk_sequences_batch, chunked_rollup, distributed_stomp
+from .chunked import (
+    chunk_sequences_batch,
+    chunked_rollup,
+    distributed_mpx,
+    distributed_stomp,
+)
 from .manifest import LineageManifest, run_partitioned

