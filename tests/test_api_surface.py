@@ -104,6 +104,46 @@ def test_cli_rollup_resume(ray_session, tmp_path):
     assert {"tier", "bucket", "t_min", "mp_min"} <= cols
 
 
+def test_plot_data_surfaces(sampledata):
+    from matrixprofile_1_ray.kernels import (
+        extract_regimes,
+        mpx,
+        skimp,
+        snippets,
+        statistics,
+        top_k_discords,
+        top_k_motifs,
+    )
+    from matrixprofile_1_ray.visualize import plot_data, render
+
+    prof = extract_regimes(top_k_motifs(top_k_discords(mpx(sampledata, 32))))
+    out = plot_data(prof)
+    assert {"matrix_profile", "series", "discords", "motifs",
+            "corrected_arc_curve"} <= set(out)
+    assert out["matrix_profile"]["y"].shape[0] == len(prof["mp"])
+    np.testing.assert_array_equal(out["corrected_arc_curve"]["marks"],
+                                  prof["regimes"])
+
+    pmp = skimp(sampledata, windows=[16, 32])
+    assert plot_data(pmp)["pan_matrix_profile"]["y"].shape == (2, len(sampledata))
+    assert "moving_mean" in plot_data(statistics(sampledata, 32))
+    snips = snippets(sampledata, 64, window_size=32)
+    assert "snippet_0" in plot_data(snips)
+    with pytest.raises(NotImplementedError):
+        render(prof)  # no matplotlib in this runtime
+    with pytest.raises(ValueError):
+        plot_data({"class": "bogus"})
+
+
+def test_pmpi_int_nan_quirk(sampledata):
+    """The reference's np.full(nan, dtype=int) padding becomes INT64_MIN
+    (skimp.py:178) — preserved."""
+    from matrixprofile_1_ray.kernels import skimp
+
+    pmp = skimp(sampledata, windows=[400])  # short profile -> padded tail
+    assert pmp["pmpi"][0, -1] == np.iinfo(np.int64).min
+
+
 def test_per_source_stats_parity(ray_session):
     import duckdb
 
