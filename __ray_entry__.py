@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fingerprint_batch,
         langid_batch,
         moving_stats_batch,
+        per_source_distinct_tokens,
         per_source_stats,
         quality_batch,
         sequences_meta_batch,
@@ -357,6 +358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_hourly": events_rollup,
         "per_source_stats": lambda sf: per_source_stats(
             sequences_pipeline(sf, verify_codec=False)),
+        "per_source_distinct_tokens": lambda sf: per_source_distinct_tokens(
+            sequences_pipeline(sf, verify_codec=False)),
         # matrix-profile operators (rows-only checks)
         "mp_profiles": profiles_scalar,
         "mp_profiles_stomp": lambda sf: profiles_pipeline(
@@ -467,6 +470,10 @@ SELECT event_type,
        min(value) AS v_min,
        max(value) AS v_max
 FROM events GROUP BY event_type, bucket
+""",
+        "per_source_distinct_tokens": _SEQ_CTE + """
+SELECT source, count(DISTINCT tok) AS n_distinct_tokens
+FROM ex GROUP BY source
 """,
         "per_source_stats": _SEQ_CTE + """
 SELECT source,

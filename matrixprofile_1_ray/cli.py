@@ -38,11 +38,25 @@ def cmd_rollup(args):
     _init_ray(args.num_cpus)
 
     files = sorted(f for f in os.listdir(args.input) if f.endswith(".parquet"))
-    partitions = {os.path.splitext(f)[0]: file_fingerprint(os.path.join(args.input, f))
-                  for f in files}
+    # group files into coarse partitions: resume granularity trades against
+    # per-partition fixed cost (each partition is one Dataset execution) —
+    # and each partition must span enough blocks to feed every core
+    per_part = args.files_per_partition or max(1, len(files) // args.partitions)
+    groups = [files[i : i + per_part] for i in range(0, len(files), per_part)]
+    partitions = {
+        f"part-{gi:05d}": "|".join(
+            file_fingerprint(os.path.join(args.input, f)) for f in grp)
+        for gi, grp in enumerate(groups)
+    }
 
     def make(key):
-        ds = ray.data.read_parquet(os.path.join(args.input, key + ".parquet"))
+        grp = groups[int(key.split("-")[1])]
+        ds = ray.data.read_parquet(
+            [os.path.join(args.input, f) for f in grp])
+        if len(grp) < args.num_cpus:
+            # single files read as single blocks — split so the kernel
+            # stages can use every core inside this partition
+            ds = ds.repartition(args.num_cpus * 2)
         ds = ds.map_batches(lambda b: gapfill_batch(b, mode=args.gapfill),
                             batch_format="pyarrow")
         if args.verify_codec:
@@ -77,6 +91,9 @@ def main(argv=None):
     p.add_argument("--window", type=int, default=32)
     p.add_argument("--gapfill", default="forward_fill")
     p.add_argument("--verify-codec", action="store_true", default=True)
+    p.add_argument("--partitions", type=int, default=8,
+                   help="target number of resume partitions")
+    p.add_argument("--files-per-partition", type=int, default=None)
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     p.set_defaults(fn=cmd_rollup)

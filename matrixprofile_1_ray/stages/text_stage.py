@@ -179,6 +179,47 @@ def per_source_stats(ds):
     )
 
 
+def per_source_distinct_tokens(ds, salt_buckets: int = 32):
+    """Exact distinct-token count per source via SALTED keys.
+
+    ``source`` is Zipf-skewed, and distinct-count is not algebraic, so a
+    combiner can't fully pre-reduce it; a bare ``groupby(source)`` would
+    ship every (source, token) pair of the hot source to one reducer.
+    Salting splits each source's key space by ``hash(token) % S``: within-
+    batch dedup -> shuffle on (source, salt) -> per-salt exact distinct
+    (identical tokens always share a salt, so per-salt counts are disjoint)
+    -> tiny second aggregate de-salts by summing.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        values, offsets = list_column_to_numpy(batch["tokens"])
+        lengths = np.diff(offsets)
+        src = np.repeat(np.asarray(batch["source"].to_pylist(), dtype=object),
+                        lengths)
+        df = pd.DataFrame({"source": src, "tok": values.astype(np.int64)})
+        df = df.drop_duplicates()           # within-batch dedup
+        df["salt"] = (df["tok"] % salt_buckets).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_salt_distinct(g):
+        import pandas as pd
+
+        out = (g.drop_duplicates(["source", "tok"])
+               .groupby(["source", "salt"], as_index=False)
+               .agg(partial_distinct=("tok", "size")))
+        return out
+
+    salted = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["source", "salt"])
+              .map_groups(per_salt_distinct, batch_format="pandas"))
+    out = salted.groupby("source").aggregate(
+        Sum("partial_distinct", alias_name="n_distinct_tokens"))
+    return out
+
+
 def word_count_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, n_words) whitespace token counting."""
     values, offsets = list_column_to_numpy(batch["tokens"])

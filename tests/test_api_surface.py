@@ -99,7 +99,7 @@ def test_cli_rollup_resume(ray_session, tmp_path):
     # outputs contain both token and mp rollup rows
     import pyarrow.dataset as pads
 
-    table = pads.dataset(os.path.join(out_dir, "shard0")).to_table()
+    table = pads.dataset(os.path.join(out_dir, "part-00000")).to_table()
     cols = set(table.column_names)
     assert {"tier", "bucket", "t_min", "mp_min"} <= cols
 
