@@ -284,6 +284,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = ray.data.from_arrow(make_fake_media_table(64, seed=1))
         return media_features_stage(media, feature_dim=8)
 
+    def user_sessions_query(sf_dir: str):
+        import ray.data
+
+        from matrixprofile_1_ray.stages.events import session_windows
+
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["user_id", "ts"])
+        return session_windows(ds, gap_minutes=30)
+
+    def sliding_counts_query(sf_dir: str):
+        import ray.data
+
+        from matrixprofile_1_ray.stages.events import sliding_window_counts
+
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "ts"])
+        return sliding_window_counts(ds, window_minutes=60, slide_minutes=15)
+
     def mpdist_vector_query(sf_dir: str):
         """Sliding MPDist of each doc's own first 64 tokens along the doc
         (reference mpdist.py:145-184 per row)."""
@@ -398,6 +416,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_query,
         "mpdist_vector": mpdist_vector_query,
         "pmp_discords": pmp_discover_query,
+        # event-stream windowing
+        "user_sessions": user_sessions_query,
+        "sliding_event_counts": sliding_counts_query,
     }
     return qs
 
@@ -470,6 +491,30 @@ SELECT event_type,
        min(value) AS v_min,
        max(value) AS v_max
 FROM events GROUP BY event_type, bucket
+""",
+        "user_sessions": """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_start
+  FROM o
+), t AS (
+  SELECT user_id,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+), per AS (
+  SELECT user_id, sid, count(*) AS c FROM t GROUP BY user_id, sid
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       max(c) AS max_session_events
+FROM per GROUP BY user_id
 """,
         "per_source_distinct_tokens": _SEQ_CTE + """
 SELECT source, count(DISTINCT tok) AS n_distinct_tokens

@@ -1,0 +1,97 @@
+"""Event windowing (session/sliding) with oracle parity, plus the dedup
+paths not covered elsewhere (embedding near-dup, Jaccard verification,
+frame sampling)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def entry_mod(ray_session):
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+def test_user_sessions_oracle(entry_mod):
+    out = entry_mod.queries()["user_sessions"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    oracle = con.execute(entry_mod.oracle_sql()["user_sessions"]).df()
+    cols = sorted(oracle.columns)
+    a = out[cols].sort_values("user_id").reset_index(drop=True)
+    b = oracle[cols].sort_values("user_id").reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in cols:
+        np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy(), err_msg=c)
+
+
+def test_sliding_window_counts(entry_mod):
+    out = entry_mod.queries()["sliding_event_counts"](SF).to_pandas()
+    # every event is counted in exactly 4 windows (60m window, 15m slide)
+    con = duckdb.connect()
+    n_events = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF}/events.parquet')").fetchone()[0]
+    assert out.n_events.sum() == 4 * n_events
+    assert (out.window_start % (15 * 60 * 1_000_000) == 0).all()
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data
+
+    from matrixprofile_1_ray.stages.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(20, 64)).astype("f")
+    # plant two exact near-dup pairs
+    vecs = np.vstack([base, base[3] + rng.normal(scale=1e-3, size=64).astype("f"),
+                      base[7] + rng.normal(scale=1e-3, size=64).astype("f")])
+    table = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+        "embedding": pa.array([v for v in vecs], pa.list_(pa.float32())),
+    })
+    out = embedding_near_dup(ray.data.from_arrow(table),
+                             threshold=0.99).to_pandas()
+    pairs = {tuple(sorted(p)) for p in zip(out.vec_a, out.vec_b)}
+    assert (3, 20) in pairs and (7, 21) in pairs
+    assert (out.cosine >= 0.99).all()
+
+
+def test_verify_jaccard_pairs():
+    from matrixprofile_1_ray.sources import synthetic_sequences_table
+    from matrixprofile_1_ray.stages.dedup import verify_jaccard_pairs
+
+    table = synthetic_sequences_table(4, seed=55)
+    # make doc 1 a near-copy of doc 0
+    toks = table["tokens"].to_pylist()
+    toks[1] = toks[0][:-3] + [1, 2, 3]
+    import pyarrow as pa
+
+    table = pa.table({
+        "doc_id": table["doc_id"],
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+        "n_tok": pa.array([len(t) for t in toks], pa.int32()),
+        "source": table["source"],
+    })
+    ids = table["doc_id"].to_pylist()
+    pairs = pd.DataFrame({"doc_a": [ids[0], ids[0]], "doc_b": [ids[1], ids[2]]})
+    out = verify_jaccard_pairs(pairs, table, threshold=0.5)
+    assert list(out.doc_b) == [ids[1]]
+    assert out.jaccard.iloc[0] > 0.8
+
+
+def test_frame_sample_batch():
+    from matrixprofile_1_ray.stages.multimodal import frame_sample_batch
+
+    batch = pa.table({
+        "media_id": pa.array(["a", "b"], pa.string()),
+        "frame_count": pa.array([25, 7], pa.int64()),
+    })
+    out = frame_sample_batch(batch, every=10).to_pandas()
+    assert list(out[out.media_id == "a"].frame_idx) == [0, 10, 20]
+    assert list(out[out.media_id == "b"].frame_idx) == [0]

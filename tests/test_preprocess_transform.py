@@ -77,6 +77,37 @@ def test_gapfill_forward_and_linear():
         gapfill(np.full(3, np.nan))
 
 
+def test_annotation_vectors_exact():
+    """Reference inline vectors (tests/test_annotation_vector.py:85-145)."""
+    np.testing.assert_almost_equal(
+        make_default_av([0, 1, 2, 3, 4, 5], 3), [1, 1, 1, 1])
+
+    complexity_cases = [
+        ([3.0] * 6, [0, 0, 0, 0]),
+        ([0.0, 1, 2, 3, 4, 5], [0, 0, 0, 0]),
+        ([0.0, 3, 0, 2, 0, 1],
+         [0.47295372330527, 0.32279030890406757, 0.13962038997193682, 0.0]),
+    ]
+    for ts, expect in complexity_cases:
+        np.testing.assert_almost_equal(make_complexity_av(np.array(ts), 3), expect)
+
+    meanstd_cases = [
+        ([3.0] * 6, [0, 0, 0, 0]),
+        ([-10.0, 10, -10, 1, -1, 1], [0, 0, 1, 1]),
+        ([0.0, 3, 0, 2, 0, 1], [0, 0, 1, 1]),
+    ]
+    for ts, expect in meanstd_cases:
+        np.testing.assert_almost_equal(make_meanstd_av(np.array(ts), 3), expect)
+
+    clipping_cases = [
+        ([3.0] * 6, [0, 0, 0, 0]),
+        ([0.0, 1, 2, 3, 4, 5], [0, 1, 1, 0]),
+        ([0.0, 3, 0, 2, 0, 1], [0, 0.5, 0.5, 1]),
+    ]
+    for ts, expect in clipping_cases:
+        np.testing.assert_almost_equal(make_clipping_av(np.array(ts), 3), expect)
+
+
 def test_annotation_vectors(sampledata):
     w = 32
     n = len(sampledata) - w + 1
