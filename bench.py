@@ -240,9 +240,12 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    r_lo = run(SCALE_LO)   # warm page cache pass counts for both equally:
-    r_lo = run(SCALE_LO)
-    r_hi = run(SCALE_HI)
+    run(SCALE_HI)  # one untimed pass warms the page cache for both levels
+    # best-of-2 per level: the sandbox host stalls unpredictably (±30-40%
+    # between identical runs) — the minimum measures the engine, not the
+    # neighbor's workload
+    r_lo = min((run(SCALE_LO) for _ in range(2)), key=lambda r: r["sec"])
+    r_hi = min((run(SCALE_HI) for _ in range(2)), key=lambda r: r["sec"])
     eff = (r_lo["sec"] / r_hi["sec"]) / (SCALE_HI / SCALE_LO)
     return {
         "metric": f"flagship scaling N={SCALE_LO} vs 4N={SCALE_HI} cpus, "
