@@ -102,6 +102,60 @@ def test_manifest_resume(ray_session, tmp_path):
     assert not m.is_done("part1", "fp1")
 
 
+def test_crash_mid_job_resume(ray_session, tmp_path):
+    """A failure mid-run leaves completed partitions durable; the rerun
+    finishes only the remainder and the combined output equals a fresh
+    uninterrupted run (resume-equals-fresh-run)."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    def make_factory(crash_on):
+        def make(key):
+            if key == crash_on:
+                raise RuntimeError("simulated worker crash")
+            table = synthetic_sequences_table(3, seed=int(key[-1]))
+            return ray.data.from_arrow(rollup_batch(table, tiers={"1m": 60}))
+        return make
+
+    parts = {"part0": "fp0", "part1": "fp1", "part2": "fp2"}
+
+    crashed = str(tmp_path / "crashed")
+    with pytest.raises(RuntimeError):
+        run_partitioned(crashed, parts, make_factory("part1"))
+    # part0 completed before the crash and survives
+    m = LineageManifest(crashed)
+    assert m.is_done("part0", "fp0") and not m.is_done("part1", "fp1")
+
+    status = run_partitioned(crashed, parts, make_factory(None))
+    assert status == {"part0": "skipped", "part1": "done", "part2": "done"}
+
+    fresh = str(tmp_path / "fresh")
+    run_partitioned(fresh, parts, make_factory(None))
+    for key in parts:
+        a = pads.dataset(f"{crashed}/{key}").to_table().to_pandas()
+        b = pads.dataset(f"{fresh}/{key}").to_table().to_pandas()
+        cols = sorted(a.columns)
+        pd.testing.assert_frame_equal(
+            a[cols].sort_values(cols).reset_index(drop=True),
+            b[cols].sort_values(cols).reset_index(drop=True))
+
+
+def test_codec_verify_raises_on_corruption():
+    """The inline round-trip check actually fires on a broken codec."""
+    import pyarrow as pa
+
+    from matrixprofile_1_ray.stages import codec_stage
+
+    table = synthetic_sequences_table(2, seed=60)
+    original = codec_stage.decode_int_dod
+    codec_stage.decode_int_dod = lambda blob: np.array([1, 2, 3], dtype=np.int32)
+    try:
+        with pytest.raises(AssertionError, match="round-trip mismatch"):
+            codec_stage.verify_roundtrip_batch(table)
+    finally:
+        codec_stage.decode_int_dod = original
+
+
 def test_file_fingerprint_changes(tmp_path):
     p = tmp_path / "x.bin"
     p.write_bytes(b"abc")
