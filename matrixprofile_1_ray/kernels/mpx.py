@@ -96,29 +96,36 @@ def mpx_diag_range(d_lo: int, d_hi: int, seed, df, dg, sig, mp, mpi):
     fan the diagonal axis out over Ray tasks."""
     pl = sig.shape[0]
     offsets = np.arange(pl)
+    # reusable scratch buffers — one allocation for the whole range
+    c_buf = np.empty(pl)
+    u_buf = np.empty(pl)
+    m_buf = np.empty(pl, dtype=bool)
     for diag in range(d_lo, d_hi):
         L = pl - diag
         if L <= 0:
             break
         # c[j] along the diagonal via cumsum of the streaming update terms
-        c = np.empty(L)
+        c = c_buf[:L]
         c[0] = seed[diag]
         if L > 1:
-            upd = df[1:L] * dg[diag + 1 : diag + L] + df[diag + 1 : diag + L] * dg[1:L]
-            c[1:] = seed[diag] + np.cumsum(upd)
-        corr = c * sig[:L] * sig[diag:]
+            upd = np.multiply(df[1:L], dg[diag + 1 : diag + L], out=u_buf[: L - 1])
+            upd += df[diag + 1 : diag + L] * dg[1:L]
+            np.cumsum(upd, out=c[1:])
+            c[1:] += seed[diag]
+        corr = c
+        corr *= sig[:L]
+        corr *= sig[diag:]
 
         # row side keeps the raw (possibly >1) value, column side clamps —
-        # mirroring cympx.pyx:94-102
-        m1 = corr > mp[:L]
-        if m1.any():
-            mp[:L][m1] = corr[m1]
-            mpi[:L][m1] = offsets[diag:][m1]
-        corr_cl = np.minimum(corr, 1.0)
-        m2 = corr_cl > mp[diag:]
-        if m2.any():
-            mp[diag:][m2] = corr_cl[m2]
-            mpi[diag:][m2] = offsets[:L][m2]
+        # mirroring cympx.pyx:94-102; copyto(where=) avoids the gather/
+        # scatter temporaries of boolean fancy indexing
+        m1 = np.greater(corr, mp[:L], out=m_buf[:L])
+        np.copyto(mp[:L], corr, where=m1)
+        np.copyto(mpi[:L], offsets[diag:], where=m1)
+        np.minimum(corr, 1.0, out=corr)
+        m2 = np.greater(corr, mp[diag:], out=m_buf[:L])
+        np.copyto(mp[diag:], corr, where=m2)
+        np.copyto(mpi[diag:], offsets[:L], where=m2)
     return mp, mpi
 
 
