@@ -72,43 +72,55 @@ def stomp_batch(batch_start, batch_end, ts, query, window_size, exclusion_zone,
     if batch_end < profile_length:
         batch_end += 1
 
+    # scratch buffers reused across iterations (no per-step allocations)
+    head = ts[: data_length - window_size]
+    tail = ts[window_size:]
+    dp_buf = np.empty(profile_length)
+    m_buf = np.empty(profile_length, dtype=bool)
+
     for i in range(batch_start, batch_end):
         if skip_locs[i]:
             # reference skips without touching the rolling state
             continue
 
         query_window = query[i : i + window_size]
-        query_sum = query_sum - drop_value + query_window[-1]
-        query_2sum = query_2sum - drop_value ** 2 + query_window[-1] ** 2
+        last = query_window[-1]
+        query_sum = query_sum - drop_value + last
+        query_2sum = query_2sum - drop_value ** 2 + last ** 2
         query_mu = query_sum / window_size
         query_sig = np.sqrt(max(query_2sum / window_size - query_mu ** 2, 0.0))
-        last_product[1:] = (
-            last_product[: data_length - window_size]
-            - ts[: data_length - window_size] * drop_value
-            + ts[window_size:] * query_window[-1]
-        )
+        # rolling dot-product update, fused in place (stomp.py:152-155)
+        lp_head = last_product[: data_length - window_size]
+        lp_head -= head * drop_value
+        lp_head += tail * last
+        last_product[1:] = lp_head
         last_product[0] = first_product[i]
         drop_value = query_window[0]
 
-        dp = distance_profile(last_product, window_size, data_mu, data_sig,
-                              query_mu, query_sig)
-        dp = apply_exclusion_zone(exclusion_zone, is_join, window_size,
-                                  data_length, i, dp)
+        # distance profile, in place (core.py:447-478 arithmetic)
+        denom = data_sig * query_sig
+        np.multiply(data_mu, window_size * query_mu, out=dp_buf)
+        np.subtract(last_product, dp_buf, out=dp_buf)
+        dp_buf /= denom
+        np.subtract(window_size, dp_buf, out=dp_buf)
+        dp_buf *= 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            np.sqrt(dp_buf, out=dp_buf)
+        apply_exclusion_zone(exclusion_zone, is_join, window_size,
+                             data_length, i, dp_buf)
 
-        better = dp < mp
-        mp[better] = dp[better]
+        better = np.less(dp_buf, mp, out=m_buf)
+        np.copyto(mp, dp_buf, where=better)
         pi[better] = i
 
         if not is_join:
             # neighbor i lies left of entries >= i, right of entries < i
-            lbet = better.copy()
-            lbet[:i] = False
-            lmp[lbet] = dp[lbet]
-            lpi[lbet] = i
-            rbet = dp < rmp
-            rbet[i:] = False
-            rmp[rbet] = dp[rbet]
-            rpi[rbet] = i
+            lb = better[i:]
+            np.copyto(lmp[i:], dp_buf[i:], where=lb)
+            lpi[i:][lb] = i
+            rb = np.less(dp_buf[:i], rmp[:i], out=m_buf[:i])
+            np.copyto(rmp[:i], dp_buf[:i], where=rb)
+            rpi[:i][rb] = i
 
     return {"mp": mp, "pi": pi, "rmp": rmp, "rpi": rpi, "lmp": lmp, "lpi": lpi}
 
