@@ -21,15 +21,24 @@ from .mass import apply_exclusion_zone
 from .moving_stats import moving_avg_std
 
 
-def _anchor_distance_profile(X, subseq, n, m, mux, sigx):
-    """MASS profile against a precomputed fft(ts) (scrimp.py:35-82)."""
-    y = np.concatenate((subseq[::-1], np.zeros(n - m)))
-    z = np.fft.ifft(X * np.fft.fft(y))
-    sumy = np.sum(y)
-    sumy2 = np.sum(y ** 2)
+def _anchor_distance_profiles(ts, anchors, n, m, mux, sigx, windows=None):
+    """MASS profiles for a set of anchor subsequences (scrimp.py:35-82
+    arithmetic) with the sliding dot products computed as one BLAS GEMM
+    over the window matrix instead of a full-length FFT per anchor —
+    exact (no FFT roundoff) and ~n/m times less work for short windows."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    if windows is None:
+        windows = np.ascontiguousarray(sliding_window_view(ts, m))
+    Q = windows[np.asarray(anchors)]                 # [k, m]
+    prods = windows @ Q.T                            # [pl, k] — the GEMM
+    sumy = Q.sum(axis=1)
+    sumy2 = (Q ** 2).sum(axis=1)
     meany = sumy / m
     sigmay = np.sqrt(sumy2 / m - meany ** 2)
-    dist = np.real(2 * (m - (z[m - 1 : n] - m * mux * meany) / (sigx * sigmay)))
+    dist = np.real(
+        2 * (m - (prods.T - m * mux[None, :] * meany[:, None])
+             / (sigx[None, :] * sigmay[:, None])))
     return np.sqrt(np.absolute(dist))
 
 
@@ -64,16 +73,28 @@ def prescrimp(ts, window_size: int, query=None, step_size: float = 0.25,
     mp = np.zeros(pl)
     pi = np.zeros(pl, dtype=np.int64)
 
-    X = np.fft.fft(ts)
     mux, sigx = moving_avg_std(ts, m)
 
     dotproduct = np.zeros(pl)
     refine = np.full(pl, np.inf)
     orig_index = np.arange(pl)
 
-    for iteration, idx in enumerate(np.arange(0, pl, step)):
-        subseq = ts[idx : idx + m]
-        dp = _anchor_distance_profile(X, subseq, n, m, mux, sigx)
+    anchors = np.arange(0, pl, step)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    window_mat = np.ascontiguousarray(sliding_window_view(ts, m))
+    chunk_dps = None
+    chunk_start = 0
+
+    for iteration, idx in enumerate(anchors):
+        # anchor profiles computed in GEMM chunks (~16 MB each), consumed
+        # sequentially by the refine loop below
+        if chunk_dps is None or iteration >= chunk_start + chunk_dps.shape[0]:
+            chunk_start = iteration
+            chunk_dps = _anchor_distance_profiles(
+                ts, anchors[iteration : iteration + 64], n, m, mux, sigx,
+                windows=window_mat)
+        dp = chunk_dps[iteration - chunk_start]
         dp = apply_exclusion_zone(ez, is_join, m, n, idx, dp)
 
         if iteration == 0:
