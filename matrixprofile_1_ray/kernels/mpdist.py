@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from .mass import mass2
 from .moving_stats import moving_min
 from .mpx import mpx_ab
 
@@ -37,9 +36,33 @@ def mpdist(ts, ts_b, w: int, threshold: float = 0.05) -> float:
 
 def mass_distance_matrix(ts, query, w: int) -> np.ndarray:
     """Row i = MASS profile of query window i over ts
-    (reference mpdist.py:80-106)."""
-    subseq_num = len(query) - w + 1
-    return np.array([np.real(mass2(ts, query[i : i + w])) for i in range(subseq_num)])
+    (reference mpdist.py:80-106), with all sliding dot products as one
+    BLAS GEMM (exact; the reference's per-window FFT does n*log(n) work
+    per row).  mass2's constant-window conventions are reproduced:
+    distance w where the data window is near-constant, 0 where the query
+    window is too (mass2.py:82-83), 1e-12 guard on zero denominators."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from .moving_stats import moving_avg_std
+
+    ts = np.asarray(ts, dtype="d")
+    query = np.asarray(query, dtype="d")
+    meanx, sigmax = moving_avg_std(ts, w)
+    meany, sigmay = moving_avg_std(query, w)
+
+    W = np.ascontiguousarray(sliding_window_view(ts, w))       # [pl, w]
+    Q = np.ascontiguousarray(sliding_window_view(query, w))    # [k, w]
+    prods = Q @ W.T                                            # [k, pl]
+
+    denom = sigmay[:, None] * sigmax[None, :]
+    denom = np.where(denom == 0, 1e-12, denom)
+    dist = 2 * (w - (prods - w * meany[:, None] * meanx[None, :]) / denom)
+
+    low_x = sigmax < 1e-10
+    dist[:, low_x] = w
+    low_y = sigmay < 1e-10
+    dist[np.ix_(low_y, low_x)] = 0
+    return np.real(np.sqrt(dist.astype(complex)))
 
 
 def calculate_mpdist(profile, threshold: float, data_length: int) -> float:
