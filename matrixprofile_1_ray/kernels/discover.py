@@ -114,7 +114,9 @@ def mp_top_k_motifs(profile, exclusion_zone=None, k: int = 3,
         second_idx = max(min_idx, mpi[min_idx])
 
         query = ts[first_idx : first_idx + window_size]
-        dp = mass2(ts, query)
+        # real part: old numpy compared complex by real part, newer numpy
+        # rejects complex ordering — take it explicitly (imag ~ 1e-17)
+        dp = np.real(mass2(ts, query))
         dp[~np.isfinite(mp)] = np.inf
 
         for j in (first_idx, second_idx):
@@ -172,7 +174,7 @@ def pmp_top_k_motifs(profile, exclusion_zone=None, k: int = 3,
         window_size = int(windows[row])
 
         query = ts[first_idx : first_idx + window_size]
-        dp = mass2(ts, query)
+        dp = np.real(mass2(ts, query))
         dp = np.concatenate((dp, np.full(profile_len - len(dp), np.inf)))
         dp[~np.isfinite(pmp[row])] = np.inf
 
