@@ -17,14 +17,21 @@ from ..kernels.mpx import mpx_self
 from ..kernels.skimp import binary_split, maximum_subsequence
 
 
-def pmp_batch(batch: pa.Table, windows) -> pa.Table:
-    """sequences batch -> one profile row per (doc, window)."""
+def pmp_batch(batch: pa.Table, windows=None, sample_pct: float = 0.1) -> pa.Table:
+    """sequences batch -> one profile row per (doc, window).
+
+    ``windows=None`` sweeps each doc's own default range 8..n/2 in BFS
+    order truncated by ``sample_pct`` (the reference's anytime behavior,
+    skimp.py:161-185); an explicit list computes exactly those windows."""
     values, offsets = list_column_to_numpy(batch["tokens"])
-    windows = list(windows)
+    fixed = list(windows) if windows is not None else None
     doc_rows, out_w, out_mp, out_pi = [], [], [], []
     for i in range(len(batch)):
         ts = values[offsets[i] : offsets[i + 1]].astype("d")
-        for w in windows:
+        row_windows = fixed if fixed is not None else (
+            skimp_windows(ts.shape[0], sample_pct=sample_pct)
+            if ts.shape[0] >= 16 else [])
+        for w in row_windows:
             if ts.shape[0] < 2 * w:
                 continue
             mp, pi = mpx_self(ts, int(w))
@@ -42,9 +49,10 @@ def pmp_batch(batch: pa.Table, windows) -> pa.Table:
     })
 
 
-def pmp_stage(ds, windows, batch_size: int = 128):
-    return ds.map_batches(lambda b: pmp_batch(b, windows),
-                          batch_format="pyarrow", batch_size=batch_size)
+def pmp_stage(ds, windows=None, sample_pct: float = 0.1, batch_size: int = 128):
+    return ds.map_batches(
+        lambda b: pmp_batch(b, windows, sample_pct=sample_pct),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 def pick_mp_stage(pmp_ds, window: int):

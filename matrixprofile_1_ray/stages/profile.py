@@ -28,18 +28,24 @@ def compute_profiles_batch(batch: pa.Table, w: int = 32,
                            algorithm: str = "mpx",
                            cross_correlation: bool = False,
                            sample_pct: float = 1.0,
-                           keep_tokens: bool = False) -> pa.Table:
+                           keep_tokens: bool = False,
+                           keep_lr: bool = False) -> pa.Table:
     """Compute per-row matrix profiles for a sequences batch.
 
     Rows shorter than ``2*w`` cannot support the window (reference
     stomp.py:261-263) and are emitted with empty profiles and
     ``valid=False`` rather than dropped, so row accounting is lossless.
     """
+    if keep_lr and algorithm != "stomp":
+        raise ValueError("left/right profiles require algorithm='stomp' "
+                         "(reference stomp.py:90-94)")
     values, offsets = list_column_to_numpy(batch["tokens"])
     n_rows = len(batch)
 
     mp_parts: list[np.ndarray] = []
     pi_parts: list[np.ndarray] = []
+    lr_parts: dict[str, list[np.ndarray]] = {k: [] for k in
+                                             ("lmp", "lpi", "rmp", "rpi")}
     out_offsets = np.zeros(n_rows + 1, dtype=np.int64)
     valid = np.zeros(n_rows, dtype=bool)
 
@@ -51,6 +57,9 @@ def compute_profiles_batch(batch: pa.Table, w: int = 32,
             elif algorithm == "stomp":
                 prof = stomp(ts, w)
                 mp, pi = prof["mp"], prof["pi"]
+                if keep_lr:
+                    for key in lr_parts:
+                        lr_parts[key].append(prof[key])
             elif algorithm == "scrimp++":
                 # deterministic per-doc seed (process-salted hash() is not)
                 seed = zlib.crc32(batch["doc_id"][i].as_py().encode()) & 0x7FFFFFFF
@@ -82,6 +91,12 @@ def compute_profiles_batch(batch: pa.Table, w: int = 32,
     }
     if keep_tokens:
         cols["tokens"] = batch["tokens"]
+    if keep_lr:
+        for key, parts in lr_parts.items():
+            flat = np.concatenate(parts) if parts else np.empty(
+                0, np.int64 if key.endswith("pi") else "d")
+            typ = pa.int64() if key.endswith("pi") else pa.float64()
+            cols[key] = pa.ListArray.from_arrays(off32, pa.array(flat, typ))
     return pa.table(cols)
 
 

@@ -105,6 +105,28 @@ def test_profile_stage_short_rows_flagged():
     assert prof["mp"][0].as_py() == []
 
 
+def test_profile_stage_left_right():
+    table = synthetic_sequences_table(3, seed=8)
+    prof = compute_profiles_batch(table, w=16, algorithm="stomp", keep_lr=True)
+    assert {"lmp", "lpi", "rmp", "rpi"} <= set(prof.column_names)
+    row = prof.to_pandas().iloc[0]
+    lmp = np.asarray(row.lmp)
+    assert np.isinf(lmp[0])  # first window has no left neighbor
+    with pytest.raises(ValueError):
+        compute_profiles_batch(table, w=16, algorithm="mpx", keep_lr=True)
+
+
+def test_pmp_anytime_default_windows():
+    from matrixprofile_1_ray.stages.pmp import pmp_batch, skimp_windows
+
+    table = synthetic_sequences_table(2, seed=12)
+    out = pmp_batch(table, windows=None, sample_pct=0.05).to_pandas()
+    doc0 = table["doc_id"][0].as_py()
+    n0 = int(table["n_tok"][0].as_py())
+    expected = {w for w in skimp_windows(n0, sample_pct=0.05) if n0 >= 2 * w}
+    assert set(out[out.doc_id == doc0].w) == expected
+
+
 def test_codec_stage_roundtrip():
     table = synthetic_sequences_table(10, seed=4)
     enc = encode_batch(table)
