@@ -210,35 +210,43 @@ def scrimp_plus_plus(ts, window_size: int, query=None, step_size: float = 0.25,
     curdistance = np.zeros(pl)
     dist1 = np.full(pl, np.inf)
     dist2 = np.full(pl, np.inf)
+    u_buf = np.empty(pl)
+    m_buf = np.empty(pl, dtype=bool)
 
     mp = profile["mp"]
     pi = profile["pi"]
 
     for idx in compute_order:
-        curlastz[idx] = np.sum(ts[:m] * ts[idx : idx + m])
-        curlastz[idx + 1 :] = curlastz[idx] + np.cumsum(
-            ts[m : n - idx] * ts[idx + m : n]
-            - ts[: pl - idx - 1] * ts[idx : pl - 1]
-        )
-        curdistance[idx:] = np.sqrt(np.abs(
-            2 * (m - (curlastz[idx:pl]
-                      - m * (mu[idx:] * mu[: pl - idx]))
-                 / (sig[idx:] * sig[: pl - idx]))
-        ))
+        L = pl - idx
+        # diagonal covariance walk, fused into reusable buffers
+        curlastz[idx] = np.dot(ts[:m], ts[idx : idx + m])
+        if L > 1:
+            upd = np.multiply(ts[m : n - idx], ts[idx + m : n],
+                              out=u_buf[: n - idx - m])
+            upd -= ts[: pl - idx - 1] * ts[idx : pl - 1]
+            np.cumsum(upd, out=curlastz[idx + 1 :])
+            curlastz[idx + 1 :] += curlastz[idx]
+        cd = curdistance[idx:]
+        np.multiply(mu[idx:], mu[:L], out=cd)
+        cd *= m
+        np.subtract(curlastz[idx:pl], cd, out=cd)
+        cd /= sig[idx:] * sig[:L]
+        np.subtract(m, cd, out=cd)
+        cd *= 2
+        np.abs(cd, out=cd)
+        np.sqrt(cd, out=cd)
 
         dist1[: idx - 1] = np.inf
-        dist1[idx:] = curdistance[idx:]
-        dist2[: pl - idx] = curdistance[idx:]
+        dist1[idx:] = cd
+        dist2[:L] = cd
         dist2[pl - idx + 2 :] = np.inf
 
-        loc1 = dist1 < mp
-        if loc1.any():
-            mp[loc1] = dist1[loc1]
-            pi[loc1] = orig_index[loc1] - idx
-        loc2 = dist2 < mp
-        if loc2.any():
-            mp[loc2] = dist2[loc2]
-            pi[loc2] = orig_index[loc2] + idx
+        loc1 = np.less(dist1, mp, out=m_buf)
+        np.copyto(mp, dist1, where=loc1)
+        np.copyto(pi, orig_index - idx, where=loc1)
+        loc2 = np.less(dist2, mp, out=m_buf)
+        np.copyto(mp, dist2, where=loc2)
+        np.copyto(pi, orig_index + idx, where=loc2)
 
     profile["algorithm"] = "scrimp++"
     profile["sample_pct"] = sample_pct
