@@ -26,3 +26,5 @@ owned by the caller (driver, bench.py, or the pytest fixture).
 """
 
 __version__ = "0.1.0"
+
+from .api import analyze, compute  # noqa: E402  (reference-shaped entry points)

@@ -1,0 +1,94 @@
+"""Drop-in single-series entry points mirroring the reference's
+``matrixprofile.compute`` / ``matrixprofile.analyze`` call shapes
+(reference compute.py:29-145, analyze.py:173-272), so a user of the
+reference can switch imports and keep their driver code.  ``n_jobs`` is
+accepted for signature compatibility; per-series kernels here are the
+optimized serial ones (the distributed axes live in the Dataset pipelines
+and state/chunked.py).
+
+``analyze`` returns ``(profile, figures)`` where figures are the
+plot-data dicts of :mod:`matrixprofile_1_ray.visualize` (matplotlib is not
+present in this runtime).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .kernels.mpx import mpx
+from .kernels.preprocess import preprocess as _preprocess
+from .kernels.preprocess import validate_preprocess_kwargs
+from .kernels.scrimp import scrimp_plus_plus
+from .kernels.skimp import maximum_subsequence, skimp
+from .kernels.discover import top_k_discords, top_k_motifs
+from .visualize import plot_data
+
+
+def compute(ts, windows=None, query=None, sample_pct: float = 1,
+            threshold: float = 0.98, n_jobs: int = 1,
+            preprocessing_kwargs=None):
+    """Reference compute.py:29-145 dispatch on a single series."""
+    ts = np.asarray(ts, dtype="d")
+    multiple_windows = (isinstance(windows, (list, tuple, range, np.ndarray))
+                        and len(windows) > 1)
+    no_windows = windows is None or (
+        isinstance(windows, (list, tuple, np.ndarray)) and len(windows) == 0)
+
+    if no_windows and threshold is None:
+        raise ValueError("compute requires a threshold or window(s) to be set!")
+    if ((isinstance(windows, int) and windows < 4)
+            or (multiple_windows and np.any(np.unique(windows) < 4))
+            or (isinstance(windows, (list, tuple, np.ndarray))
+                and len(windows) == 1 and windows[0] < 4)):
+        raise ValueError("Compute requires all window sizes to be greater than 3!")
+    if isinstance(windows, (list, tuple, np.ndarray)) and len(windows) == 1:
+        windows = windows[0]
+
+    kwargs = validate_preprocess_kwargs(preprocessing_kwargs)
+    if kwargs:
+        ts = _preprocess(ts, window=kwargs["window"],
+                         impute_method=kwargs["impute_method"],
+                         impute_direction=kwargs["impute_direction"],
+                         add_noise=kwargs["add_noise"])
+
+    if no_windows and threshold is not None:
+        partial = maximum_subsequence(ts, threshold, include_pmp=True)
+        windows = range(8, partial["upper_window"] + 1)
+        return skimp(ts, windows=windows, sample_pct=sample_pct,
+                     pmp_obj=partial)
+    if multiple_windows:
+        return skimp(ts, windows=windows, sample_pct=1)
+    if sample_pct >= 1:
+        return mpx(ts, int(windows), query=query)
+    return scrimp_plus_plus(ts, int(windows), query=query,
+                            sample_pct=sample_pct)
+
+
+def analyze(ts, query=None, windows=None, sample_pct: float = 1.0,
+            threshold: float = 0.98, n_jobs: int = 1,
+            preprocessing_kwargs=None):
+    """Reference analyze.py:173-272: compute + motifs + discords +
+    figure data."""
+    kwargs = validate_preprocess_kwargs(preprocessing_kwargs)
+    ts = np.asarray(ts, dtype="d")
+    if kwargs:
+        ts = _preprocess(ts, window=kwargs["window"],
+                         impute_method=kwargs["impute_method"],
+                         impute_direction=kwargs["impute_direction"],
+                         add_noise=kwargs["add_noise"])
+
+    single = isinstance(windows, int) or (
+        isinstance(windows, (list, tuple, np.ndarray)) and len(windows) == 1)
+    if not single:
+        profile = compute(ts, windows=windows, sample_pct=sample_pct,
+                          threshold=threshold)
+    elif sample_pct >= 1:
+        w = int(windows if isinstance(windows, int) else windows[0])
+        profile = mpx(ts, w, query=query)
+    else:
+        w = int(windows if isinstance(windows, int) else windows[0])
+        profile = scrimp_plus_plus(ts, w, query=query, sample_pct=sample_pct)
+
+    profile = top_k_motifs(profile)
+    profile = top_k_discords(profile)
+    return profile, [plot_data(profile)]

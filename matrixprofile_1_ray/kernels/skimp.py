@@ -51,9 +51,9 @@ def skimp(ts, windows=None, cross_correlation: bool = False, pmp_obj=None,
     n = len(ts)
     if windows is None:
         windows = range(8, int(math.floor(n / 2)) + 1)
-        # note: when windows are explicit, sample_pct is ignored (all computed)
-    else:
-        sample_pct = 1
+    # sample_pct truncates the BFS sweep in all cases (reference
+    # skimp.py:182-185 — callers that want every explicit window computed
+    # pass sample_pct=1, as compute() does)
 
     if not isinstance(sample_pct, (int, float)) or not (0 <= sample_pct <= 1):
         raise ValueError("sample_pct must be a decimal between 0 and 1")
@@ -77,7 +77,11 @@ def skimp(ts, windows=None, cross_correlation: bool = False, pmp_obj=None,
             if len(hit) == 1:
                 j = hit[0][0]
                 pmp[row, :] = pmp_obj["pmp"][j, :]
-                pmpi[row, :] = pmp_obj["pmpi"][j, :]
+                # float NaN padding casts to INT64_MIN — the reference's own
+                # int-NaN convention (skimp.py:178); silence the cast warning
+                with np.errstate(invalid="ignore"):
+                    pmpi[row, :] = np.asarray(pmp_obj["pmpi"][j, :]).astype(
+                        np.int64)
                 continue
 
         profile = mpx(ts, window_size, cross_correlation=cross_correlation)

@@ -124,7 +124,7 @@ def test_plot_data_surfaces(sampledata):
     np.testing.assert_array_equal(out["corrected_arc_curve"]["marks"],
                                   prof["regimes"])
 
-    pmp = skimp(sampledata, windows=[16, 32])
+    pmp = skimp(sampledata, windows=[16, 32], sample_pct=1)
     assert plot_data(pmp)["pan_matrix_profile"]["y"].shape == (2, len(sampledata))
     assert "moving_mean" in plot_data(statistics(sampledata, 32))
     snips = snippets(sampledata, 64, window_size=32)
@@ -140,7 +140,7 @@ def test_pmpi_int_nan_quirk(sampledata):
     (skimp.py:178) — preserved."""
     from matrixprofile_1_ray.kernels import skimp
 
-    pmp = skimp(sampledata, windows=[400])  # short profile -> padded tail
+    pmp = skimp(sampledata, windows=[400], sample_pct=1)  # padded tail
     assert pmp["pmpi"][0, -1] == np.iinfo(np.int64).min
 
 

@@ -1,0 +1,90 @@
+"""Drop-in compute()/analyze() parity with the reference's dispatch
+(reference tests/test_compute.py:23-162, test_analyze.py)."""
+
+import numpy as np
+import pytest
+
+from matrixprofile_1_ray import analyze, compute
+
+
+def test_compute_mp_exact_no_query(sampledata):
+    profile = compute(sampledata, windows=32)
+    assert profile["algorithm"] == "mpx"
+    assert profile["w"] == 32
+    assert profile["data"]["query"] is None
+    assert profile["join"] is False
+    assert profile["sample_pct"] == 1
+    assert profile["class"] == "MatrixProfile"
+
+
+def test_compute_mp_exact_with_query(sampledata):
+    query = sampledata[100:200]
+    profile = compute(sampledata, windows=32, query=query)
+    assert profile["algorithm"] == "mpx"
+    np.testing.assert_array_equal(profile["data"]["query"], query)
+    assert profile["join"] is True
+
+
+def test_compute_mp_approximate(sampledata):
+    profile = compute(sampledata, windows=32, sample_pct=0.5)
+    assert profile["algorithm"] == "scrimp++"
+    assert profile["sample_pct"] == 0.5
+    assert profile["class"] == "MatrixProfile"
+
+
+def test_compute_pmp_windows(sampledata):
+    windows = np.arange(8, 32)
+    profile = compute(sampledata, windows=windows)
+    assert profile["algorithm"] == "skimp"
+    assert profile["class"] == "PMP"
+    assert profile["sample_pct"] == 1
+    np.testing.assert_array_equal(profile["windows"], windows)
+
+
+def test_compute_pmp_no_windows(sampledata):
+    profile = compute(sampledata, sample_pct=0.1)
+    assert profile["algorithm"] == "skimp"
+    assert profile["class"] == "PMP"
+    assert profile["sample_pct"] == 0.1
+    # partial sweep: some BFS-later windows stay uncomputed (inf rows)
+    assert np.isinf(profile["pmp"]).any()
+
+
+def test_compute_invalid_windows():
+    ts = [3.0] * 8
+    for w in (0, 3, [4, 0], [4, 3]):
+        with pytest.raises(ValueError):
+            compute(ts, windows=w)
+    with pytest.raises(ValueError):
+        compute(ts, windows=None, threshold=None)
+
+
+def test_compute_preprocessing_kwargs():
+    ts = np.array([np.nan, np.inf, np.inf, np.nan, np.inf, 2, 3, 2, 3, 1, 2,
+                   3, 4, 2, np.nan, np.inf, 4, 2, 3, 4, 5, 6, 7, 8, 3, 4, 2,
+                   3, 4, 5, 6, 7, 6, 5, 4, 3, np.nan, np.nan, np.inf, np.nan,
+                   np.inf, np.nan])
+    kwargs = {"window": 5, "impute_method": "median",
+              "impute_direction": "backward", "add_noise": False}
+    profile = compute(ts, windows=6, preprocessing_kwargs=kwargs)
+    assert np.isfinite(profile["data"]["ts"]).all()
+
+    profile = compute(ts, windows=6)  # preprocessing off by default
+    assert not np.isfinite(profile["data"]["ts"]).all()
+
+    with pytest.raises(ValueError):
+        compute(ts, windows=6, preprocessing_kwargs=1)
+
+
+def test_analyze_exact(sampledata):
+    profile, figures = analyze(sampledata, windows=32)
+    assert profile["class"] == "MatrixProfile"
+    assert "motifs" in profile and "discords" in profile
+    assert "matrix_profile" in figures[0]
+
+
+def test_analyze_pmp(sampledata):
+    profile, figures = analyze(sampledata, windows=np.arange(8, 20))
+    assert profile["class"] == "PMP"
+    assert "motifs" in profile and "discords" in profile
+    assert "pan_matrix_profile" in figures[0]

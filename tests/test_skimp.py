@@ -25,7 +25,7 @@ def test_binary_split():
 
 def test_skimp_rows_match_mpx(sampledata):
     windows = [16, 32, 64]
-    pmp = skimp(sampledata, windows=windows)
+    pmp = skimp(sampledata, windows=windows, sample_pct=1)
     assert pmp["class"] == "PMP"
     assert pmp["pmp"].shape == (3, len(sampledata))
     for row, w in enumerate(windows):
@@ -38,7 +38,7 @@ def test_skimp_rows_match_mpx(sampledata):
 
 
 def test_pick_mp(sampledata):
-    pmp = skimp(sampledata, windows=[16, 32])
+    pmp = skimp(sampledata, windows=[16, 32], sample_pct=1)
     prof = pick_mp(pmp, 32)
     direct = mpx(sampledata, 32)
     np.testing.assert_almost_equal(prof["mp"], direct["mp"])
@@ -50,7 +50,7 @@ def test_pick_mp(sampledata):
 
 
 def test_pmp_discords_and_motifs(sampledata):
-    pmp = skimp(sampledata, windows=[16, 32])
+    pmp = skimp(sampledata, windows=[16, 32], sample_pct=1)
     out = top_k_discords(pmp, k=2)
     assert out["discords"].shape[1] == 2  # (row, col) pairs
     out = top_k_motifs(pmp, k=1)
@@ -60,10 +60,11 @@ def test_pmp_discords_and_motifs(sampledata):
 
 def test_skimp_pmp_obj_reuse(sampledata):
     """Precomputed windows are copied, not recomputed (skimp.py:193-205)."""
-    first = skimp(sampledata, windows=[16, 32])
-    reused = skimp(sampledata, windows=[16, 32, 64], pmp_obj=first)
+    first = skimp(sampledata, windows=[16, 32], sample_pct=1)
+    reused = skimp(sampledata, windows=[16, 32, 64], sample_pct=1,
+                   pmp_obj=first)
     np.testing.assert_array_equal(reused["pmp"][0], first["pmp"][0])
-    direct = skimp(sampledata, windows=[16, 32, 64])
+    direct = skimp(sampledata, windows=[16, 32, 64], sample_pct=1)
     np.testing.assert_array_equal(reused["pmp"], direct["pmp"])
 
 
