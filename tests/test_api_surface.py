@@ -26,6 +26,25 @@ def test_json_roundtrip(sampledata):
     assert back["class"] == "MatrixProfile"
 
 
+def test_json_roundtrip_analyzed_profile(sampledata):
+    """Full analyzed profile (motifs/discords/cmp/av attached — the field
+    set the reference's MPF format persists, proto_messages.proto:69-111)
+    survives the JSON round trip."""
+    from matrixprofile_1_ray import analyze
+    from matrixprofile_1_ray.kernels import apply_av
+
+    profile, _figs = analyze(sampledata, windows=32)
+    profile = apply_av(profile, "complexity")
+    back = from_json(to_json(profile))
+    np.testing.assert_array_equal(back["mp"], profile["mp"])
+    np.testing.assert_array_equal(back["cmp"], profile["cmp"])
+    np.testing.assert_array_equal(back["av"], profile["av"])
+    assert back["av_type"] == "complexity"
+    assert [m["motifs"] for m in back["motifs"]] == \
+        [list(m["motifs"]) for m in profile["motifs"]]
+    np.testing.assert_array_equal(back["discords"], profile["discords"])
+
+
 def test_json_disk_extension_inference(tmp_path, sampledata):
     from matrixprofile_1_ray.kernels import mpx
 
