@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from matrixprofile_1_ray.stages.dedup import exact_dedup, simhash_batch
     from matrixprofile_1_ray.stages.discover_stage import (
         corpus_top_discords,
+        corpus_top_motifs,
         discords_batch,
         motifs_batch,
         regimes_batch,
@@ -393,6 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             regimes_batch, batch_format="pyarrow"),
         "corpus_top_discords": lambda sf: corpus_top_discords(
             profiles_pipeline(sf, w=32)),
+        "corpus_top_motifs": lambda sf: corpus_top_motifs(
+            profiles_pipeline(sf, w=32, keep_tokens=True)),
         # training-data operators
         "langid": seq_stage(langid_batch),
         "fingerprints": seq_stage(fingerprint_batch),

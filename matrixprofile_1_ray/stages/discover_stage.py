@@ -120,3 +120,13 @@ def corpus_top_discords(profiles_ds, k_per_doc: int = 3, k_global: int = 10):
     per_doc = profiles_ds.map_batches(
         lambda b: discords_batch(b, k=k_per_doc), batch_format="pyarrow")
     return per_doc.sort("mp_value", descending=True).limit(k_global)
+
+
+def corpus_top_motifs(profiles_ds, k_per_doc: int = 2, k_global: int = 10):
+    """Global top-k motifs (lowest matrix-profile distance) across the
+    corpus — same per-row-then-sort shape as the discord variant; requires
+    keep_tokens=True profiles (motifs re-query the series)."""
+    per_doc = profiles_ds.map_batches(
+        lambda b: motifs_batch(b, k=k_per_doc), batch_format="pyarrow")
+    return (per_doc.drop_columns(["neighbors"])
+            .sort("motif_dist", descending=False).limit(k_global))
