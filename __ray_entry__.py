@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fingerprint_batch,
         langid_batch,
         moving_stats_batch,
+        ngram_top_k,
         per_source_distinct_tokens,
         per_source_stats,
         quality_batch,
@@ -379,6 +380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sequences_pipeline(sf, verify_codec=False)),
         "per_source_distinct_tokens": lambda sf: per_source_distinct_tokens(
             sequences_pipeline(sf, verify_codec=False)),
+        "ngram_top50": lambda sf: ngram_top_k(
+            sequences_pipeline(sf, verify_codec=False), n=3, k=50),
         # matrix-profile operators (rows-only checks)
         "mp_profiles": profiles_scalar,
         "mp_profiles_stomp": lambda sf: profiles_pipeline(
@@ -494,6 +497,16 @@ SELECT event_type,
        min(value) AS v_min,
        max(value) AS v_max
 FROM events GROUP BY event_type, bucket
+""",
+        "ngram_top50": """
+WITH pos AS (
+  SELECT text, unnest(range(length(text) - 2)) AS i
+  FROM documents WHERE length(text) >= 3
+)
+SELECT substr(text, CAST(i + 1 AS INTEGER), 3) AS gram,
+       count(*) AS n_grams
+FROM pos GROUP BY gram
+ORDER BY n_grams DESC, gram ASC LIMIT 50
 """,
         "user_sessions": """
 WITH o AS (

@@ -220,6 +220,46 @@ def per_source_distinct_tokens(ds, salt_buckets: int = 32):
     return out
 
 
+def ngram_top_k(ds, n: int = 3, k: int = 50):
+    """Corpus-level top-k character n-grams: per-batch counting (vectorized
+    bytes-view shingles + pandas value_counts as the combiner), keyed sum,
+    deterministic (count desc, gram asc) global top-k.  The shuffle moves
+    one row per distinct gram per batch."""
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        values, offsets = list_column_to_numpy(batch["tokens"])
+        lengths = np.diff(offsets)
+        if values.size < n:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "partial": pa.array([], pa.int64())})
+        grams = np.ascontiguousarray(
+            sliding_window_view(values.astype(np.uint8), n)).view(f"S{n}").ravel()
+        keep = np.zeros(grams.shape[0], dtype=bool)
+        for i in range(len(lengths)):
+            if lengths[i] >= n:
+                keep[offsets[i] : offsets[i] + lengths[i] - n + 1] = True
+        uniq, counts = np.unique(grams[keep], return_counts=True)
+        return pa.table({
+            "gram": pa.array([g.decode() for g in uniq], pa.string()),
+            "partial": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    summed = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby("gram").aggregate(Sum("partial", alias_name="n_grams")))
+
+    def ranked(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n_grams", "gram"],
+                              ascending=[False, True]).head(k)
+
+    # the distinct-gram table is tiny (bounded by alphabet^n); one final
+    # compaction yields the deterministic global top-k
+    return (summed.repartition(1)
+            .map_batches(ranked, batch_format="pandas", batch_size=None))
+
+
 def word_count_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, n_words) whitespace token counting."""
     values, offsets = list_column_to_numpy(batch["tokens"])
