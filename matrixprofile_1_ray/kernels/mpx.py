@@ -184,14 +184,23 @@ def _mpx_self_matmul(ts, w, pl, minlag, mu, sig, cross_correlation):
     return mp, mpi.astype(np.int64)
 
 
-def _ab_one_side(seed, df_a, dg_a, df_b, dg_b, sig_a, sig_b, mp_a, mpi_a, mp_b, mpi_b):
+def _ab_one_side(seed, df_a, dg_a, df_b, dg_b, sig_a, sig_b, mp_a, mpi_a, mp_b, mpi_b,
+                 delta: int | None = None, minlag: int = 0):
     """One directional pass of the AB join (reference cympx.pyx:194-237):
-    diagonals start at every a-offset ``i`` against b-offset 0."""
+    diagonals start at every a-offset ``i`` against b-offset 0.
+
+    ``delta``/``minlag`` support the tiled self-join decomposition: when the
+    two inputs are strips of ONE series with global a-start minus b-start =
+    ``delta``, every pair on diagonal ``i`` has constant global index
+    distance ``delta + i`` — diagonals inside the exclusion band
+    ``|delta + i| <= minlag`` are skipped wholesale."""
     pl_a = sig_a.shape[0]
     pl_b = sig_b.shape[0]
     a_idx = np.arange(pl_a)
     b_idx = np.arange(pl_b)
     for i in range(pl_a):
+        if delta is not None and abs(delta + i) <= minlag:
+            continue
         L = min(pl_a - i, pl_b)
         if L <= 0:
             break
@@ -252,6 +261,76 @@ def mpx_ab(ts, query, w: int, cross_correlation: bool = False):
         mp[unmatched_a] = np.inf
         mpb[unmatched_b] = np.inf
     return mp, mpi, mpb, mpib
+
+
+def tile_pair_partials(strip_a, strip_b, w: int, delta: int, minlag: int):
+    """Pearson partial profiles for one tile pair of a SELF-join
+    decomposition (SCAMP-style): ``strip_a``/``strip_b`` are overlapping
+    slices of one series whose window starts differ by ``delta``
+    (a_global - b_global).  Returns (mp_a, mpi_a, mp_b, mpi_b) with
+    b-relative / a-relative neighbor indices; the caller rebases to global
+    indices and merges by max-correlation."""
+    strip_a = np.ascontiguousarray(strip_a, dtype="d")
+    strip_b = np.ascontiguousarray(strip_b, dtype="d")
+    mua, siga = muinvn(strip_a, w)
+    mub, sigb = muinvn(strip_b, w)
+    df_a, dg_a = _diff_eqs(strip_a, mua, w)
+    df_b, dg_b = _diff_eqs(strip_b, mub, w)
+
+    mp_a = np.full(mua.shape[0], -1.0)
+    mpi_a = np.full(mua.shape[0], -1, dtype=np.int64)
+    mp_b = np.full(mub.shape[0], -1.0)
+    mpi_b = np.full(mub.shape[0], -1, dtype=np.int64)
+
+    seed_ab = _seed_products(strip_a, strip_b[:w]) - w * mua * mub[0]
+    _ab_one_side(seed_ab, df_a, dg_a, df_b, dg_b, siga, sigb,
+                 mp_a, mpi_a, mp_b, mpi_b, delta=delta, minlag=minlag)
+    seed_ba = _seed_products(strip_b, strip_a[:w]) - w * mub * mua[0]
+    _ab_one_side(seed_ba, df_b, dg_b, df_a, dg_a, sigb, siga,
+                 mp_b, mpi_b, mp_a, mpi_a, delta=-delta, minlag=minlag)
+    return mp_a, mpi_a, mp_b, mpi_b
+
+
+def tiled_mpx_self(ts, w: int, tile: int):
+    """Exact self-join MP via the tiled decomposition: every distance-matrix
+    tile touches only two (tile + w - 1)-long strips of the series — the
+    memory shape that scales past one worker's RAM (SCAMP, Zimmerman et
+    al., SoCC'19 — the decomposition, not the code).  Serial driver for
+    conformance; state/chunked.py fans the tile pairs out as Ray tasks."""
+    ts = np.ascontiguousarray(ts, dtype="d")
+    n = ts.shape[0]
+    pl = n - w + 1
+    minlag = int(math.ceil(w / 4.0))
+
+    mp = np.full(pl, -1.0)
+    mpi = np.full(pl, -1, dtype=np.int64)
+
+    starts = list(range(0, pl, tile))
+    for r in starts:
+        for c in starts:
+            if c < r:
+                continue
+            # strip covering window starts [r, r+tile) needs tokens
+            # [r, min(r+tile-1, pl-1) + w)
+            a_lo, a_hi = r, min(r + tile, pl)
+            b_lo, b_hi = c, min(c + tile, pl)
+            strip_a = ts[a_lo : a_hi - 1 + w]
+            strip_b = ts[b_lo : b_hi - 1 + w]
+            mp_a, mpi_a, mp_b, mpi_b = tile_pair_partials(
+                strip_a, strip_b, w, delta=a_lo - b_lo, minlag=minlag)
+            # rebase neighbor indices to global window starts and merge
+            for (lo, hi, pmp_, pmpi_, other_lo) in (
+                    (a_lo, a_hi, mp_a, mpi_a, b_lo),
+                    (b_lo, b_hi, mp_b, mpi_b, a_lo)):
+                seg = slice(lo, hi)
+                vals = pmp_[: hi - lo]
+                idxs = pmpi_[: hi - lo] + other_lo
+                better = vals > mp[seg]
+                mp[seg][better] = vals[better]
+                mpi[seg][better] = idxs[better]
+
+    np.minimum(mp, 1.0, out=mp)
+    return np.sqrt(2.0 * w * (1.0 - mp)), mpi
 
 
 def mpx(ts, w: int, query=None, cross_correlation: bool = False):

@@ -3,5 +3,6 @@ from .chunked import (
     chunked_rollup,
     distributed_mpx,
     distributed_stomp,
+    distributed_tiled_mpx,
 )
 from .manifest import LineageManifest, run_partitioned

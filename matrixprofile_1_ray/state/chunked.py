@@ -174,6 +174,67 @@ def distributed_mpx(ts, w: int, n_partitions: int = 16):
     return np.sqrt(2.0 * w * (1.0 - mp)), mpi
 
 
+def distributed_tiled_mpx(ts, w: int, tile: int, max_in_flight: int = 64):
+    """Exact self-join MP for series too large for one worker's memory:
+    the SCAMP-style tile decomposition (kernels.mpx.tiled_mpx_self) with
+    each strip placed in the object store ONCE and every tile-pair task
+    fetching exactly the two strips it touches — peak per-task memory is
+    O(tile + w), independent of series length.  Partials merge by
+    max-correlation on the driver as tasks complete (bounded in-flight
+    window so the driver never holds all partials)."""
+    import math as _math
+
+    import ray
+
+    from ..kernels.mpx import tile_pair_partials
+
+    ts = np.ascontiguousarray(ts, dtype="d")
+    n = ts.shape[0]
+    pl = n - w + 1
+    minlag = int(_math.ceil(w / 4.0))
+
+    starts = list(range(0, pl, tile))
+    strips = {r: ray.put(np.ascontiguousarray(ts[r : min(r + tile, pl) - 1 + w]))
+              for r in starts}
+    bounds = {r: min(r + tile, pl) for r in starts}
+
+    @ray.remote
+    def run_pair(a_lo, a_hi, b_lo, b_hi, strip_a, strip_b):
+        return (a_lo, a_hi, b_lo, b_hi) + tile_pair_partials(
+            strip_a, strip_b, w, delta=a_lo - b_lo, minlag=minlag)
+
+    mp = np.full(pl, -1.0)
+    mpi = np.full(pl, -1, dtype=np.int64)
+
+    def absorb(result):
+        a_lo, a_hi, b_lo, b_hi, mp_a, mpi_a, mp_b, mpi_b = result
+        for (lo, hi, pmp_, pmpi_, other_lo) in (
+                (a_lo, a_hi, mp_a, mpi_a, b_lo),
+                (b_lo, b_hi, mp_b, mpi_b, a_lo)):
+            vals = pmp_[: hi - lo]
+            idxs = pmpi_[: hi - lo] + other_lo
+            seg = slice(lo, hi)
+            better = vals > mp[seg]
+            mp[seg][better] = vals[better]
+            mpi[seg][better] = idxs[better]
+
+    pending = []
+    for r in starts:
+        for c in starts:
+            if c < r:
+                continue
+            pending.append(run_pair.remote(r, bounds[r], c, bounds[c],
+                                           strips[r], strips[c]))
+            if len(pending) >= max_in_flight:
+                done, pending = ray.wait(pending, num_returns=1)
+                absorb(ray.get(done[0]))
+    for result in ray.get(pending):
+        absorb(result)
+
+    np.minimum(mp, 1.0, out=mp)
+    return np.sqrt(2.0 * w * (1.0 - mp)), mpi
+
+
 def distributed_stomp(ts, w: int, n_partitions: int = 8):
     """Exact STOMP over one long series as a Ray fan-out: broadcast the
     series + moving stats once, one task per query-window range, min-merge

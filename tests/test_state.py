@@ -57,6 +57,29 @@ def test_distributed_mpx_equals_serial(ray_session, sampledata):
     np.testing.assert_array_equal(pi_s, pi_d)
 
 
+def test_tiled_mpx_equals_serial(sampledata):
+    from matrixprofile_1_ray.kernels.mpx import mpx_self, tiled_mpx_self
+
+    mp_s, pi_s = mpx_self(sampledata, 32)
+    for tile in (100, 257):
+        mp_t, pi_t = tiled_mpx_self(sampledata, 32, tile)
+        np.testing.assert_allclose(mp_t, mp_s, atol=1e-9)
+        np.testing.assert_array_equal(pi_t, pi_s)
+
+
+def test_distributed_tiled_mpx(ray_session, sampledata):
+    """Strip-shipped tile tasks reproduce the serial profile — the
+    beyond-worker-memory path."""
+    from matrixprofile_1_ray.kernels.mpx import mpx_self
+    from matrixprofile_1_ray.state.chunked import distributed_tiled_mpx
+
+    mp_s, pi_s = mpx_self(sampledata, 32)
+    mp_d, pi_d = distributed_tiled_mpx(sampledata, 32, tile=128,
+                                       max_in_flight=8)
+    np.testing.assert_allclose(mp_d, mp_s, atol=1e-9)
+    np.testing.assert_array_equal(pi_d, pi_s)
+
+
 def test_distributed_stomp_equals_serial(ray_session, sampledata):
     from matrixprofile_1_ray.kernels import stomp
     from matrixprofile_1_ray.state.chunked import distributed_stomp
