@@ -333,6 +333,50 @@ def tiled_mpx_self(ts, w: int, tile: int):
     return np.sqrt(2.0 * w * (1.0 - mp)), mpi
 
 
+def tiled_mpx_ab(ts, query, w: int, tile: int):
+    """Exact AB similarity join via the same tile decomposition as
+    :func:`tiled_mpx_self` — every (ts-tile, query-tile) pair touches two
+    strips only; no exclusion band (joins have ez=0, reference
+    stomp.py:279-280).  Returns (mp, mpi, mpb, mpib) like :func:`mpx_ab`."""
+    ts = np.ascontiguousarray(ts, dtype="d")
+    query = np.ascontiguousarray(query, dtype="d")
+    pl_a = ts.shape[0] - w + 1
+    pl_b = query.shape[0] - w + 1
+
+    mp = np.full(pl_a, -1.0)
+    mpi = np.full(pl_a, -1, dtype=np.int64)
+    mpb = np.full(pl_b, -1.0)
+    mpib = np.full(pl_b, -1, dtype=np.int64)
+
+    for r in range(0, pl_a, tile):
+        a_hi = min(r + tile, pl_a)
+        strip_a = ts[r : a_hi - 1 + w]
+        for c in range(0, pl_b, tile):
+            b_hi = min(c + tile, pl_b)
+            strip_b = query[c : b_hi - 1 + w]
+            mp_a, mpi_a, mp_b, mpi_b = tile_pair_partials(
+                strip_a, strip_b, w, delta=0, minlag=-1)
+            for (lo, hi, pmp_, pmpi_, other_lo, gmp, gmpi) in (
+                    (r, a_hi, mp_a, mpi_a, c, mp, mpi),
+                    (c, b_hi, mp_b, mpi_b, r, mpb, mpib)):
+                vals = pmp_[: hi - lo]
+                idxs = pmpi_[: hi - lo] + other_lo
+                seg = slice(lo, hi)
+                better = vals > gmp[seg]
+                gmp[seg][better] = vals[better]
+                gmpi[seg][better] = idxs[better]
+
+    np.minimum(mp, 1.0, out=mp)
+    np.minimum(mpb, 1.0, out=mpb)
+    unmatched_a = mp == -1.0
+    unmatched_b = mpb == -1.0
+    mp = np.sqrt(2.0 * w * (1.0 - mp))
+    mpb = np.sqrt(2.0 * w * (1.0 - mpb))
+    mp[unmatched_a] = np.inf
+    mpb[unmatched_b] = np.inf
+    return mp, mpi, mpb, mpib
+
+
 def mpx(ts, w: int, query=None, cross_correlation: bool = False):
     """Profile-dict wrapper mirroring reference algorithms/mpx.py:20-100
     (minus the embedded full series — results at scale are keyed externally)."""

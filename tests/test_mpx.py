@@ -54,6 +54,20 @@ def test_similarity_join_matlab(sampledata):
     np.testing.assert_almost_equal(golden("mpx_ab_mpb.txt"), mpb, decimal=4)
 
 
+def test_tiled_ab_join_equals_direct(sampledata):
+    from matrixprofile_1_ray.kernels.mpx import mpx_ab, tiled_mpx_ab
+
+    tsb = sampledata[199:300]
+    mpa, mpia, mpb, mpib = mpx_ab(sampledata, tsb, 32)
+    t_mpa, t_mpia, t_mpb, t_mpib = tiled_mpx_ab(sampledata, tsb, 32, tile=150)
+    # sqrt(2w(1-rho)) amplifies 1e-16 correlation rounding to ~1e-7 near
+    # perfect matches; indices must still agree exactly
+    np.testing.assert_allclose(t_mpa, mpa, atol=1e-6)
+    np.testing.assert_allclose(t_mpb, mpb, atol=1e-6)
+    np.testing.assert_array_equal(t_mpia, mpia)
+    np.testing.assert_array_equal(t_mpib, mpib)
+
+
 def test_fft_seed_path_matches_exact_seed(sampledata):
     """Long-series FFT seeding must agree with the exact BLAS path."""
     import importlib
