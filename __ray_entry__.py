@@ -295,6 +295,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["user_id", "ts"])
         return session_windows(ds, gap_minutes=30)
 
+    def order_join_query(sf_dir: str):
+        """lineitem x orders via the explicit partitioned hash join, then a
+        combiner-first grouped aggregate — exact-integer stats only."""
+        import pandas as pd
+        import ray.data
+        from ray.data.aggregate import Count, Max, Sum
+
+        from matrixprofile_1_ray.stages.join import hash_join
+
+        li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                   columns=["l_orderkey", "l_quantity"])
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderstatus"]).map_batches(
+            lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+            batch_format="pandas")
+        joined = hash_join(li, orders, "l_orderkey")
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("o_orderstatus", as_index=False).agg(
+                n_lines=("l_quantity", "size"),
+                sum_qty=("l_quantity", "sum"),
+                max_qty=("l_quantity", "max"))
+
+        out = (joined.map_batches(partial, batch_format="pandas")
+               .groupby("o_orderstatus")
+               .aggregate(Sum("n_lines", alias_name="n_lines"),
+                          Sum("sum_qty", alias_name="sum_qty"),
+                          Max("max_qty", alias_name="max_qty")))
+        return out.map_batches(
+            lambda df: df.assign(n_lines=df["n_lines"].astype("int64")),
+            batch_format="pandas")
+
     def sliding_counts_query(sf_dir: str):
         import ray.data
 
@@ -425,6 +458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-stream windowing
         "user_sessions": user_sessions_query,
         "sliding_event_counts": sliding_counts_query,
+        # relational equi-join (explicit partitioned hash join)
+        "order_lines_by_status": order_join_query,
     }
     return qs
 
@@ -497,6 +532,14 @@ SELECT event_type,
        min(value) AS v_min,
        max(value) AS v_max
 FROM events GROUP BY event_type, bucket
+""",
+        "order_lines_by_status": """
+SELECT o.o_orderstatus,
+       count(*) AS n_lines,
+       sum(l.l_quantity) AS sum_qty,
+       max(l.l_quantity) AS max_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
 """,
         "ngram_top50": """
 WITH pos AS (

@@ -1,0 +1,57 @@
+"""Explicit partitioned hash join of two Datasets.
+
+The portable large-x-large equi-join pattern: both sides get a coarse
+partition id from a shared hash of the key, a side marker tags provenance,
+the union shuffles once on the partition id, and each part joins its two
+sides with a vectorized pandas merge.  Hot keys can be salted by raising
+``num_partitions`` (a key never spans parts, so per-part memory is bounded
+by its keys' rows).  Small-side joins should use the broadcast pattern
+instead (``ray.put`` + merge per batch — see stages/ann.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _with_part(df: pd.DataFrame, keys, num_partitions: int,
+               side: str) -> pd.DataFrame:
+    key = df[keys[0]].astype(str)
+    for k in keys[1:]:
+        key = key + "\x00" + df[k].astype(str)
+    hashed = pd.util.hash_pandas_object(key, index=False)
+    df = df.copy()
+    df["_part"] = (hashed % num_partitions).astype(np.int64)
+    df["_side"] = side
+    return df
+
+
+def hash_join(ds_a, ds_b, keys, how: str = "inner",
+              num_partitions: int = 16, suffixes=("_a", "_b")):
+    """Join two Datasets on ``keys`` -> Dataset of merged rows."""
+    if isinstance(keys, str):
+        keys = [keys]
+
+    a_tagged = ds_a.map_batches(
+        lambda df: _with_part(df, keys, num_partitions, "a"),
+        batch_format="pandas")
+    b_tagged = ds_b.map_batches(
+        lambda df: _with_part(df, keys, num_partitions, "b"),
+        batch_format="pandas")
+
+    both = a_tagged.union(b_tagged)
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == "a"].drop(columns=["_side", "_part"])
+        right = g[g["_side"] == "b"].drop(columns=["_side", "_part"])
+        # union fills the other side's columns with nulls — drop them
+        left = left.dropna(axis=1, how="all")
+        right = right.dropna(axis=1, how="all")
+        if left.empty or right.empty:
+            if how == "inner":
+                return pd.DataFrame()
+            return left if how == "left" else right
+        return left.merge(right, on=keys, how=how, suffixes=suffixes)
+
+    return both.groupby("_part").map_groups(join_part, batch_format="pandas")

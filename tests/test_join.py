@@ -1,0 +1,52 @@
+"""Explicit partitioned hash join: parity with DuckDB and join-mode
+semantics."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_join_inner_counts(ray_session):
+    import ray.data
+
+    from matrixprofile_1_ray.stages.join import hash_join
+
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+    orders = ray.data.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
+    out = hash_join(li, orders, "l_orderkey").to_pandas()
+
+    con = duckdb.connect()
+    exp = con.execute(
+        f"SELECT l.l_orderkey, l.l_quantity, o.o_orderstatus "
+        f"FROM read_parquet('{SF}/lineitem.parquet') l "
+        f"JOIN read_parquet('{SF}/orders.parquet') o "
+        f"ON l.l_orderkey = o.o_orderkey").df()
+    assert len(out) == len(exp)
+    cols = sorted(exp.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy(), err_msg=c)
+
+
+def test_order_join_query_oracle(ray_session):
+    import __ray_entry__ as e
+
+    df = e.queries()["order_lines_by_status"](SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    odf = con.execute(e.oracle_sql()["order_lines_by_status"]).df()
+    cols = sorted(odf.columns)
+    a = df[cols].sort_values("o_orderstatus").reset_index(drop=True)
+    b = odf[cols].sort_values("o_orderstatus").reset_index(drop=True)
+    for c in cols:
+        assert pd.Series(a[c].to_numpy()).equals(pd.Series(b[c].to_numpy())), c
