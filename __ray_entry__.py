@@ -328,6 +328,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda df: df.assign(n_lines=df["n_lines"].astype("int64")),
             batch_format="pandas")
 
+    def asof_query(sf_dir: str):
+        """Per order: timestamp of the customer's latest event at or before
+        the order date (hash-partitioned merge_asof; epoch-int64 timestamps
+        for cross-engine hash stability)."""
+        import pandas as pd
+        import ray.data
+
+        from matrixprofile_1_ray.stages.join import asof_join
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            lambda df: pd.DataFrame({
+                "o_orderkey": df["o_orderkey"],
+                "user_id": df["o_custkey"],
+                "ts": df["o_orderdate"].values.astype("datetime64[us]")
+                      .astype(np.int64),
+            }), batch_format="pandas")
+        events = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]).map_batches(
+            lambda df: pd.DataFrame({
+                "user_id": df["user_id"],
+                "ts": df["ts"].values.astype("datetime64[us]").astype(np.int64),
+                "last_event_ts": df["ts"].values.astype("datetime64[us]")
+                                 .astype(np.int64),
+            }), batch_format="pandas")
+        out = asof_join(orders, events, key="user_id", on="ts")
+        return out.map_batches(
+            lambda df: df[["o_orderkey", "user_id", "ts", "last_event_ts"]]
+            .astype({"o_orderkey": "int64", "user_id": "int64",
+                     "ts": "int64", "last_event_ts": "float64"}),
+            batch_format="pandas")
+
     def sliding_counts_query(sf_dir: str):
         import ray.data
 
@@ -458,8 +491,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event-stream windowing
         "user_sessions": user_sessions_query,
         "sliding_event_counts": sliding_counts_query,
-        # relational equi-join (explicit partitioned hash join)
+        # relational joins (explicit partitioned hash / as-of)
         "order_lines_by_status": order_join_query,
+        "orders_last_event_asof": asof_query,
     }
     return qs
 
@@ -532,6 +566,15 @@ SELECT event_type,
        min(value) AS v_min,
        max(value) AS v_max
 FROM events GROUP BY event_type, bucket
+""",
+        "orders_last_event_asof": """
+SELECT o.o_orderkey,
+       o.o_custkey AS user_id,
+       CAST(epoch_us(o.o_orderdate) AS BIGINT) AS ts,
+       CAST(epoch_us(e.ts) AS DOUBLE) AS last_event_ts
+FROM orders o
+ASOF LEFT JOIN events e
+  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
 """,
         "order_lines_by_status": """
 SELECT o.o_orderstatus,

@@ -55,3 +55,34 @@ def hash_join(ds_a, ds_b, keys, how: str = "inner",
         return left.merge(right, on=keys, how=how, suffixes=suffixes)
 
     return both.groupby("_part").map_groups(join_part, batch_format="pandas")
+
+
+def asof_join(ds_left, ds_right, key, on, num_partitions: int = 16,
+              suffixes=("", "_r")):
+    """As-of join: for each left row, the latest right row with the same
+    ``key`` and ``on``-value <= the left's.  Same coarse hash-partition
+    shuffle as :func:`hash_join`; within each part both sides sort by
+    ``on`` and a vectorized ``pd.merge_asof`` does the matching."""
+    left_tagged = ds_left.map_batches(
+        lambda df: _with_part(df, [key], num_partitions, "a"),
+        batch_format="pandas")
+    right_tagged = ds_right.map_batches(
+        lambda df: _with_part(df, [key], num_partitions, "b"),
+        batch_format="pandas")
+    both = left_tagged.union(right_tagged)
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        left = (g[g["_side"] == "a"].drop(columns=["_side", "_part"])
+                .dropna(axis=1, how="all"))
+        right = (g[g["_side"] == "b"].drop(columns=["_side", "_part"])
+                 .dropna(axis=1, how="all"))
+        if left.empty:
+            return pd.DataFrame()
+        if right.empty:
+            return left  # no match -> nulls, like LEFT ASOF semantics
+        left = left.sort_values(on)
+        right = right.sort_values(on)
+        return pd.merge_asof(left, right, on=on, by=key,
+                             direction="backward", suffixes=suffixes)
+
+    return both.groupby("_part").map_groups(join_part, batch_format="pandas")

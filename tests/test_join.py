@@ -37,6 +37,22 @@ def test_hash_join_inner_counts(ray_session):
         np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy(), err_msg=c)
 
 
+def test_asof_join_query_oracle(ray_session):
+    import __ray_entry__ as e
+
+    df = e.queries()["orders_last_event_asof"](SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    odf = con.execute(e.oracle_sql()["orders_last_event_asof"]).df()
+    cols = sorted(odf.columns)
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in cols:
+        assert pd.Series(a[c].to_numpy()).equals(pd.Series(b[c].to_numpy())), c
+
+
 def test_order_join_query_oracle(ray_session):
     import __ray_entry__ as e
 
