@@ -354,7 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "last_event_ts": df["ts"].values.astype("datetime64[us]")
                                  .astype(np.int64),
             }), batch_format="pandas")
-        out = asof_join(orders, events, key="user_id", on="ts")
+        out = asof_join(orders, events, key="user_id", on="ts",
+                        right_cols=["last_event_ts"])
         return out.map_batches(
             lambda df: df[["o_orderkey", "user_id", "ts", "last_event_ts"]]
             .astype({"o_orderkey": "int64", "user_id": "int64",

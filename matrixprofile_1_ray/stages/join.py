@@ -57,12 +57,16 @@ def hash_join(ds_a, ds_b, keys, how: str = "inner",
     return both.groupby("_part").map_groups(join_part, batch_format="pandas")
 
 
-def asof_join(ds_left, ds_right, key, on, num_partitions: int = 16,
-              suffixes=("", "_r")):
+def asof_join(ds_left, ds_right, key, on, right_cols,
+              num_partitions: int = 16):
     """As-of join: for each left row, the latest right row with the same
     ``key`` and ``on``-value <= the left's.  Same coarse hash-partition
     shuffle as :func:`hash_join`; within each part both sides sort by
-    ``on`` and a vectorized ``pd.merge_asof`` does the matching."""
+    ``on`` and a vectorized ``pd.merge_asof`` does the matching.
+
+    ``right_cols`` names the right side's value columns explicitly so a
+    part with no right rows still yields the full (null-filled) schema —
+    column presence must not depend on which keys landed in a part."""
     left_tagged = ds_left.map_batches(
         lambda df: _with_part(df, [key], num_partitions, "a"),
         batch_format="pandas")
@@ -73,16 +77,22 @@ def asof_join(ds_left, ds_right, key, on, num_partitions: int = 16,
 
     def join_part(g: pd.DataFrame) -> pd.DataFrame:
         left = (g[g["_side"] == "a"].drop(columns=["_side", "_part"])
+                .drop(columns=[c for c in right_cols if c in g.columns])
                 .dropna(axis=1, how="all"))
-        right = (g[g["_side"] == "b"].drop(columns=["_side", "_part"])
-                 .dropna(axis=1, how="all"))
+        # reindex: a part whose blocks are all left-side may lack the right
+        # columns entirely (union of heterogeneous schemas)
+        right = (g[g["_side"] == "b"]
+                 .reindex(columns=[key, on] + list(right_cols)))
         if left.empty:
             return pd.DataFrame()
-        if right.empty:
-            return left  # no match -> nulls, like LEFT ASOF semantics
         left = left.sort_values(on)
+        if right.empty:
+            out = left.copy()
+            for c in right_cols:
+                out[c] = np.nan
+            return out
         right = right.sort_values(on)
         return pd.merge_asof(left, right, on=on, by=key,
-                             direction="backward", suffixes=suffixes)
+                             direction="backward")
 
     return both.groupby("_part").map_groups(join_part, batch_format="pandas")
