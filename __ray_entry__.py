@@ -328,6 +328,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda df: df.assign(n_lines=df["n_lines"].astype("int64")),
             batch_format="pandas")
 
+    def semi_join_query(sf_dir: str):
+        """Lineitems of open orders via broadcast semi-join (keys shipped
+        once, per-batch isin — zero shuffle), then one exact aggregate."""
+        import duckdb as _duck
+        import pandas as pd
+        import ray.data
+        from ray.data.aggregate import Count, Sum
+
+        from matrixprofile_1_ray.stages.join import broadcast_semi_join
+
+        open_keys = _duck.connect().execute(
+            f"SELECT o_orderkey FROM read_parquet('{sf_dir}/orders.parquet') "
+            f"WHERE o_orderstatus = 'O'").df()["o_orderkey"].to_numpy()
+        li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                   columns=["l_orderkey", "l_quantity"])
+        semi = broadcast_semi_join(li, open_keys, "l_orderkey")
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "n_lines": np.array([len(df)], dtype=np.int64),
+                "sum_qty": [float(df["l_quantity"].sum())],
+            })
+
+        out = semi.map_batches(partial, batch_format="pandas")
+
+        # global reduce of the per-batch partials (tiny)
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "n_lines": np.array([df["n_lines"].sum()], dtype=np.int64),
+                "sum_qty": [float(df["sum_qty"].sum())],
+            })
+
+        return out.repartition(1).map_batches(finish, batch_format="pandas",
+                                              batch_size=None)
+
     def asof_query(sf_dir: str):
         """Per order: timestamp of the customer's latest event at or before
         the order date (hash-partitioned merge_asof; epoch-int64 timestamps
@@ -495,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational joins (explicit partitioned hash / as-of)
         "order_lines_by_status": order_join_query,
         "orders_last_event_asof": asof_query,
+        "open_order_lines_semi": semi_join_query,
     }
     return qs
 
@@ -567,6 +603,12 @@ SELECT event_type,
        min(value) AS v_min,
        max(value) AS v_max
 FROM events GROUP BY event_type, bucket
+""",
+        "open_order_lines_semi": """
+SELECT count(*) AS n_lines,
+       sum(l_quantity) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
 """,
         "orders_last_event_asof": """
 SELECT o.o_orderkey,

@@ -57,6 +57,25 @@ def hash_join(ds_a, ds_b, keys, how: str = "inner",
     return both.groupby("_part").map_groups(join_part, batch_format="pandas")
 
 
+def broadcast_semi_join(ds, key_values, key, anti: bool = False):
+    """Semi (or anti) join against a broadcast key set: the keys go to the
+    object store once (`ray.put`), every batch filters with a vectorized
+    ``isin`` — no shuffle at all.  The small side must fit in memory; at
+    larger small-sides swap the set for a Bloom filter with the same
+    plumbing."""
+    import numpy as np
+    import ray
+
+    keys_ref = ray.put(np.asarray(list(key_values)))
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        mask = df[key].isin(keys)
+        return df[~mask] if anti else df[mask]
+
+    return ds.map_batches(filt, batch_format="pandas")
+
+
 def asof_join(ds_left, ds_right, key, on, right_cols,
               num_partitions: int = 16):
     """As-of join: for each left row, the latest right row with the same

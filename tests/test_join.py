@@ -53,6 +53,34 @@ def test_asof_join_query_oracle(ray_session):
         assert pd.Series(a[c].to_numpy()).equals(pd.Series(b[c].to_numpy())), c
 
 
+def test_semi_and_anti_join(ray_session):
+    import ray.data
+
+    from matrixprofile_1_ray.stages.join import broadcast_semi_join
+
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_orderkey"])
+    keys = np.arange(0, 100)
+    semi = broadcast_semi_join(li, keys, "l_orderkey").to_pandas()
+    anti = broadcast_semi_join(li, keys, "l_orderkey", anti=True).to_pandas()
+    total = li.count()
+    assert len(semi) + len(anti) == total
+    assert semi.l_orderkey.isin(keys).all()
+    assert not anti.l_orderkey.isin(keys).any()
+
+
+def test_semi_join_query_oracle(ray_session):
+    import __ray_entry__ as e
+
+    df = e.queries()["open_order_lines_semi"](SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    odf = con.execute(e.oracle_sql()["open_order_lines_semi"]).df()
+    assert df.n_lines.iloc[0] == odf.n_lines.iloc[0]
+    assert df.sum_qty.iloc[0] == odf.sum_qty.iloc[0]
+
+
 def test_order_join_query_oracle(ray_session):
     import __ray_entry__ as e
 
