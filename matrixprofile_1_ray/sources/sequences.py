@@ -62,8 +62,11 @@ def _row_rng(seed: int, doc_id: str) -> np.random.Generator:
 
 def synthetic_sequences_row(seed: int, i: int, motif_frac: float = 0.3,
                             discord_frac: float = 0.2,
-                            min_len: int = 64, max_len: int = 4096):
-    """One deterministic synthetic row (FIXTURES.md F1)."""
+                            min_len: int = 64, max_len: int = 4096,
+                            return_plants: bool = False):
+    """One deterministic synthetic row (FIXTURES.md F1).  With
+    ``return_plants`` the planted motif/discord offsets come back too, so
+    recovery tests can assert the pipeline finds what was planted."""
     # Zipf-skewed source pick, deterministic per row index
     src_rng = np.random.default_rng((seed << 16) ^ i)
     source = SOURCES[src_rng.choice(len(SOURCES), p=_ZIPF_WEIGHTS / _ZIPF_WEIGHTS.sum())]
@@ -75,15 +78,20 @@ def synthetic_sequences_row(seed: int, i: int, motif_frac: float = 0.3,
     tokens = np.cumsum(rng.integers(-40, 41, size=n)) + VOCAB // 2
     tokens = np.clip(tokens, 0, VOCAB - 1).astype(np.int32)
 
+    plants = {"motif": None, "discord": None}
     if n >= 128 and rng.random() < motif_frac:
         motif = rng.integers(0, VOCAB, size=32).astype(np.int32)
         a = int(rng.integers(0, n - 96))
         b = int(rng.integers(a + 40, n - 32))
         tokens[a : a + 32] = motif
         tokens[b : b + 32] = motif
+        plants["motif"] = (a, b)
     if n >= 128 and rng.random() < discord_frac:
         d = int(rng.integers(0, n - 32))
         tokens[d : d + 32] = rng.integers(0, VOCAB, size=32)
+        plants["discord"] = d
+    if return_plants:
+        return doc_id, tokens, source, plants
     return doc_id, tokens, source
 
 

@@ -150,6 +150,42 @@ def test_gapfill_batch_int_sentinel():
     assert out["tokens"].to_pylist() == [[5, 6, 7, 8, 8]]
 
 
+def test_planted_motifs_recovered():
+    """End-to-end semantics: the motif pairs planted by the synthetic
+    generator must be recovered by the profile+motif stages."""
+    from matrixprofile_1_ray.sources.sequences import synthetic_sequences_row
+    from matrixprofile_1_ray.stages.discover_stage import motifs_batch
+
+    rows, plants = [], {}
+    for i in range(12):
+        doc_id, tokens, source, p = synthetic_sequences_row(
+            seed=77, i=i, motif_frac=1.0, discord_frac=0.0,
+            min_len=256, max_len=1024, return_plants=True)
+        rows.append((doc_id, tokens, source))
+        plants[doc_id] = p["motif"]
+    lens = np.array([len(t) for (_d, t, _s) in rows])
+    table = pa.table({
+        "doc_id": pa.array([d for d, _t, _s in rows], pa.string()),
+        "tokens": pa.array([t.tolist() for _d, t, _s in rows],
+                           pa.list_(pa.int32())),
+        "n_tok": pa.array(lens.astype(np.int32)),
+        "source": pa.array([s for _d, _t, s in rows], pa.string()),
+    })
+    prof = compute_profiles_batch(table, w=32, keep_tokens=True)
+    motifs = motifs_batch(prof, k=1).to_pandas()
+    recovered = 0
+    for doc_id, (a, b) in plants.items():
+        if (a, b) == (None, None) or plants[doc_id] is None:
+            continue
+        row = motifs[motifs.doc_id == doc_id]
+        if len(row) == 0:
+            continue
+        first, second = row.iloc[0].motif_first, row.iloc[0].motif_second
+        if abs(first - a) <= 2 and abs(second - b) <= 2:
+            recovered += 1
+    assert recovered >= 10  # the overlapping-plant edge cases may miss
+
+
 def test_synthetic_corpus_deterministic():
     a = synthetic_sequences_table(8, seed=42)
     b = synthetic_sequences_table(8, seed=42)
