@@ -165,6 +165,121 @@ def verify_jaccard_pairs(pairs_df: pd.DataFrame, sequences: pa.Table,
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
 
+def dedup_groups(pairs_ds, driver_threshold: int = 1_000_000):
+    """Candidate pairs -> duplicate groups.
+
+    Hybrid per the standard playbook: when the candidate set is provably
+    small (it is orders of magnitude smaller than the corpus — count it
+    first), a driver-side union-find labels everything in one pass; only
+    a pathologically large candidate graph falls back to the distributed
+    iterative min-label propagation (:func:`connected_components`)."""
+    n_pairs = pairs_ds.count()
+    if n_pairs <= driver_threshold:
+        import pandas as pd_
+
+        df = pairs_ds.to_pandas()
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(df["doc_a"], df["doc_b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = sorted((ra, rb))
+                parent[hi] = lo
+        nodes = sorted(parent)
+        import ray.data
+
+        return ray.data.from_pandas(pd_.DataFrame({
+            "doc_id": nodes,
+            "component": [find(n) for n in nodes],
+        }))
+    return connected_components(pairs_ds)
+
+
+def connected_components(pairs_ds, max_iters: int = 6,
+                         num_partitions: int = 16,
+                         check_fixpoint: bool = False):
+    """Duplicate GROUPS from candidate pairs via iterative min-label
+    propagation: every node starts labeled with itself; each round pushes
+    labels across edges and keeps the per-node minimum.  Rounds needed =
+    graph diameter; LSH candidate clusters are clique-like, so 2-3 rounds
+    suffice and ``max_iters`` is a safety bound.  By default the rounds
+    chain LAZILY into one streaming DAG (one Ray execution total);
+    ``check_fixpoint`` materializes each round and stops early on a
+    label-sum fixpoint — use it when the diameter is unknown.
+    Entirely groupby-based — the distributed-safe path when the candidate
+    set exceeds driver memory (see :func:`dedup_groups`).
+
+    -> Dataset (doc_id, component) with component = lexicographic-min
+    member of the connected component."""
+    import pyarrow as pa_
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": pd.concat([df["doc_a"], df["doc_b"]], ignore_index=True),
+            "dst": pd.concat([df["doc_b"], df["doc_a"]], ignore_index=True),
+        })
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pandas")
+
+    def _part_of(series: pd.Series) -> pd.Series:
+        return (pd.util.hash_pandas_object(series.astype(str), index=False)
+                % num_partitions).astype("int64")
+
+    def min_label_per_node(ds):
+        """Coarse-part vectorized min-reduce: (node, label) -> one row per
+        node (the per-key map_groups alternative is Python-per-node)."""
+        def add_part(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_p"] = _part_of(df["node"])
+            return df
+
+        def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.groupby("node", as_index=False)["label"].min())
+
+        return (ds.map_batches(add_part, batch_format="pandas")
+                .groupby("_p").map_groups(reduce_part, batch_format="pandas"))
+
+    labels = min_label_per_node(edges.map_batches(
+        lambda df: pd.DataFrame({"node": df["src"], "label": df["src"]}),
+        batch_format="pandas"))
+
+    prev_sig = None
+    for _ in range(max_iters):
+        from .join import hash_join
+
+        msgs = hash_join(
+            edges,
+            labels.map_batches(lambda df: df.rename(columns={"node": "src"}),
+                               batch_format="pandas"),
+            "src", num_partitions=num_partitions)
+        candidates = msgs.map_batches(
+            lambda df: pd.DataFrame({"node": df["dst"], "label": df["label"]}),
+            batch_format="pandas").union(labels)
+
+        labels = min_label_per_node(candidates)
+        if not check_fixpoint:
+            continue
+        labels = labels.materialize()
+        sig = labels.map_batches(
+            lambda df: pd.DataFrame({"h": [int(pd.util.hash_pandas_object(
+                df["label"], index=False).sum() % (2**61))]}),
+            batch_format="pandas").to_pandas()["h"].sum()
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    return labels.map_batches(
+        lambda df: df.rename(columns={"label": "component"})[["node", "component"]]
+        .rename(columns={"node": "doc_id"}),
+        batch_format="pandas")
+
+
 def simhash_batch(batch: pa.Table, k: int = 5) -> pa.Table:
     """(doc_id, simhash) fingerprints."""
     values, offsets = list_column_to_numpy(batch["tokens"])

@@ -41,6 +41,58 @@ def test_sliding_window_counts(entry_mod):
     assert (out.window_start % (15 * 60 * 1_000_000) == 0).all()
 
 
+def test_connected_components(ray_session):
+    import ray.data
+
+    from matrixprofile_1_ray.stages.dedup import connected_components
+
+    # chain a-b-c (diameter 2 -> needs 2 propagation rounds), pair d-e
+    pairs = pd.DataFrame({
+        "doc_a": ["a", "b", "d"],
+        "doc_b": ["b", "c", "e"],
+    })
+    out = (connected_components(ray.data.from_pandas(pairs), max_iters=3,
+                                num_partitions=2)
+           .to_pandas().set_index("doc_id")["component"])
+    assert out["a"] == out["b"] == out["c"] == "a"
+    assert out["d"] == out["e"] == "d"
+
+
+def test_dedup_groups_end_to_end(ray_session):
+    """LSH candidates -> dedup groups over the sf corpus (driver
+    union-find path for the small candidate set)."""
+    import __ray_entry__ as e
+
+    from matrixprofile_1_ray.stages.dedup import dedup_groups
+
+    pairs = e.queries()["dedup_minhash_lsh"](SF)
+    groups = dedup_groups(pairs).to_pandas()
+    assert groups.component.nunique() < len(groups)  # real grouping happened
+    reps = set(groups.component)
+    assert reps <= set(groups.doc_id)
+
+
+def test_dedup_groups_paths_agree(ray_session):
+    """Driver union-find and distributed min-label produce identical
+    groupings."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.dedup import (
+        connected_components,
+        dedup_groups,
+    )
+
+    pairs = pd.DataFrame({
+        "doc_a": ["a", "b", "d", "m"],
+        "doc_b": ["b", "c", "e", "c"],
+    })
+    ds = ray.data.from_pandas(pairs)
+    fast = dedup_groups(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    dist = (connected_components(ds, max_iters=4, num_partitions=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, dist)
+
+
 def test_embedding_near_dup(ray_session):
     import ray.data
 
