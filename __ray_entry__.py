@@ -157,6 +157,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return minhash_candidates(sequences_pipeline(sf_dir, verify_codec=False))
 
+    def dedup_groups_query(sf_dir: str):
+        from matrixprofile_1_ray.stages.dedup import dedup_groups, minhash_candidates
+
+        return dedup_groups(
+            minhash_candidates(sequences_pipeline(sf_dir, verify_codec=False)))
+
     def events_rollup(sf_dir: str):
         import pandas as pd
         import ray.data
@@ -506,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": seq_stage(fingerprint_batch),
         "simhash": seq_stage(simhash_batch),
         "dedup_minhash_lsh": minhash_query,
+        "dedup_groups": dedup_groups_query,
         "ann_topk": ann_query,
         "ann_ivf_topk": ann_ivf_query,
         # chunked scale path (oracle-checked: must equal the plain rollup)
