@@ -13,7 +13,7 @@ Layout (little-endian):
   int codec:   b'D', n:uint32, v0:int32, d0:int32, ctrl[3b/elem], then the
                packed substreams for widths (7, 9, 12, 36) in class order.
   float codec: b'X', n:uint32, u0:uint64, ctrl[2b/elem], substreams for XOR
-               residual widths (16, 32, 64).
+               residual widths (16, 36, 64).
 
 Invariant (tested property-style): decode(encode(x)) == x exactly — int
 streams bit-exact, float streams bit-exact including NaN payloads.
@@ -56,9 +56,15 @@ def _unzigzag(z: np.ndarray) -> np.ndarray:
 
 
 def encode_int_dod(values) -> bytes:
-    """Encode an int32 sequence as delta-of-delta with bucketed widths."""
+    """Encode an int32 sequence as delta-of-delta with bucketed widths.
+
+    The contract is int32 input (zigzagged dod then fits 35 bits <= the
+    widest 36-bit bucket); out-of-range input raises instead of silently
+    wrapping ``v[0]`` / leaving a nonzero residual in the zero class."""
     v = np.ascontiguousarray(values, dtype=np.int64)
     n = v.shape[0]
+    if n and (v.min() < np.iinfo(np.int32).min or v.max() > np.iinfo(np.int32).max):
+        raise OverflowError("encode_int_dod: values exceed the int32 contract")
     head = [b"D", np.uint32(n).tobytes()]
     if n == 0:
         return b"".join(head)
@@ -78,6 +84,8 @@ def encode_int_dod(values) -> bytes:
     bl[nonzero] = np.floor(np.log2(z[nonzero].astype("d"))).astype(np.uint64) + 1
     for ci, width in enumerate(_INT_WIDTHS, start=1):
         classes[nonzero & (classes == 0) & (bl <= width)] = ci
+    if bool(np.any(nonzero & (classes == 0))):
+        raise OverflowError("encode_int_dod: delta-of-delta exceeds widest bucket")
 
     out = head
     out.append(_pack_bits(classes.astype(np.uint64), 3).tobytes())

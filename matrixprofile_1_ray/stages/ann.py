@@ -6,19 +6,35 @@ batch is one BLAS matmul, per-batch top-k candidates flow into a tiny
 ``groupby(query_id)`` refine.  The shuffle carries k rows per query per
 batch, never the embeddings.
 
-Scale path: IVF — centroids fitted on a driver-side sample (k-means, a few
-Lloyd iterations), every vector assigned to its centroid in ``map_batches``;
-a query probes the closest ``nprobe`` centroids so only those partitions are
-scanned.
+Scale path: IVF as a PERSISTED PARTITIONED INDEX — a one-time build stage
+fits centroids on a sample (k-means, a few Lloyd iterations), assigns every
+vector in one ``map_batches`` pass, and writes the corpus hive-partitioned
+by centroid id (``write_parquet(partition_cols=["centroid"])``).  A query
+then probes the closest ``nprobe`` centroids and reads ONLY those partition
+directories (``partition_filter`` prunes at file discovery, before any
+bytes move) — scan cost is proportional to nprobe/n_centroids of the
+corpus, not corpus size.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ..functions.tokenize import list_column_to_numpy
+
+
+def auto_concurrency(cap: int | None = None) -> tuple:
+    """Autoscaling actor-pool bounds sized to the cluster, not a constant —
+    hardcoded caps starve wide machines (round-1 finding)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    hi = max(2, cpus if cap is None else min(cpus, cap))
+    return (1, hi)
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -60,10 +76,12 @@ class BruteForceTopK:
 
 
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
-                     concurrency=(1, 4), batch_size: int = 4096):
+                     concurrency=None, batch_size: int = 4096):
     """-> (query_id, vec_id, score, rank) global top-k per query."""
     import ray
 
+    if concurrency is None:
+        concurrency = auto_concurrency()
     queries_ref = ray.put(np.asarray(queries, dtype="d"))
 
     candidates = ds.map_batches(
@@ -98,32 +116,91 @@ def fit_centroids(sample: np.ndarray, n_centroids: int = 16,
     return cent
 
 
-def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
-             nprobe: int = 4, sample_size: int = 2048, seed: int = 13):
-    """IVF search: assign vectors to centroid lists, scan only the probed
-    lists per query, exact cosine rerank inside them."""
+def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
+                    sample_size: int = 2048, seed: int = 13) -> np.ndarray:
+    """One-time IVF build: fit centroids on a sample, assign every vector to
+    its centroid in one streaming ``map_batches`` pass, and persist the
+    corpus hive-partitioned by centroid id.  The tiny centroid matrix lands
+    at ``<index_dir>/_centroids.parquet``.  Returns the centroids.
+
+    At 100 TB this is the only full-corpus pass ANN ever makes; every query
+    afterwards touches ``nprobe/n_centroids`` of the bytes."""
     import ray
 
     sample_rows = ds.limit(sample_size).take_all()
-    sample = np.stack([np.asarray(r["embedding"], dtype="d") for r in sample_rows])
+    sample = np.stack([np.asarray(r["embedding"], dtype="d")
+                       for r in sample_rows])
     centroids = fit_centroids(sample, n_centroids=n_centroids, seed=seed)
     cent_ref = ray.put(centroids)
 
+    class Assign:
+        def __init__(self):
+            self.centroids = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(_emb_matrix(batch))
+            assign = np.argmax(mat @ self.centroids.T, axis=1)
+            return batch.append_column(
+                "centroid", pa.array(assign.astype(np.int64)))
+
+    (ds.map_batches(Assign, batch_format="pyarrow", batch_size=4096,
+                    concurrency=auto_concurrency())
+     .write_parquet(index_dir, partition_cols=["centroid"]))
+
+    import pyarrow.parquet as pq
+    pq.write_table(
+        pa.table({"centroid": pa.array(np.arange(len(centroids)), pa.int64()),
+                  "vector": pa.array(list(centroids),
+                                     pa.list_(pa.float64()))}),
+        os.path.join(index_dir, "_centroids.parquet"))
+    return centroids
+
+
+def load_ivf_centroids(index_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, "_centroids.parquet"))
+    order = np.argsort(t["centroid"].to_numpy())
+    return np.stack([np.asarray(v, dtype="d")
+                     for v in t["vector"].to_pylist()])[order]
+
+
+def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
+               nprobe: int = 4):
+    """Query a built IVF index: read ONLY the nprobe-probed centroid
+    partitions (``partition_filter`` prunes files before any read), exact
+    cosine rerank inside them.  -> (query_id, vec_id, score, rank)."""
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    import ray
+    import ray.data
+
+    centroids = load_ivf_centroids(index_dir)
     queries = _normalize(np.asarray(queries, dtype="d"))
+    nprobe = min(nprobe, len(centroids))
     probes = np.argsort(-(queries @ centroids.T), axis=1)[:, :nprobe]
+    probe_union = {str(c) for c in probes.ravel()}
     probe_sets = [set(row) for row in probes]
+
+    pf = PathPartitionFilter.of(
+        lambda kv: kv.get("centroid") in probe_union, style="hive")
+    ds = ray.data.read_parquet(index_dir, partition_filter=pf,
+                               file_extensions=["parquet"])
+
     queries_ref = ray.put(queries)
     probes_ref = ray.put(probe_sets)
 
     class ProbeScan:
+        """Rows arrive pre-partitioned — the batch's centroid column (hive
+        key, no recompute) routes them to the queries probing that list."""
+
         def __init__(self):
-            self.centroids = ray.get(cent_ref)
             self.queries = ray.get(queries_ref)
             self.probe_sets = ray.get(probes_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             mat = _normalize(_emb_matrix(batch))
-            assign = np.argmax(mat @ self.centroids.T, axis=1)
+            assign = batch["centroid"].to_numpy(zero_copy_only=False).astype(np.int64)
             vec_ids = batch["vec_id"].to_numpy()
             out_q, out_v, out_s = [], [], []
             for qi, probe in enumerate(self.probe_sets):
@@ -147,7 +224,8 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
             })
 
     candidates = ds.map_batches(ProbeScan, batch_format="pyarrow",
-                                batch_size=4096, concurrency=(1, 2))
+                                batch_size=4096,
+                                concurrency=auto_concurrency())
 
     def refine(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
@@ -157,3 +235,19 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
 
     return candidates.groupby("query_id").map_groups(refine,
                                                      batch_format="pandas")
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, sample_size: int = 2048, seed: int = 13,
+             index_dir: str | None = None):
+    """Build-then-query convenience: persist the IVF index (one corpus
+    pass) and answer ``queries`` from the probed partitions only.  Pass
+    ``index_dir`` to reuse/persist the index across calls."""
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    if not os.path.exists(os.path.join(index_dir, "_centroids.parquet")):
+        build_ivf_index(ds, index_dir, n_centroids=n_centroids,
+                        sample_size=sample_size, seed=seed)
+    return ivf_search(index_dir, queries, k=k, nprobe=nprobe)

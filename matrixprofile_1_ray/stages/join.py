@@ -28,10 +28,30 @@ def _with_part(df: pd.DataFrame, keys, num_partitions: int,
 
 
 def hash_join(ds_a, ds_b, keys, how: str = "inner",
-              num_partitions: int = 16, suffixes=("_a", "_b")):
-    """Join two Datasets on ``keys`` -> Dataset of merged rows."""
+              num_partitions: int = 16, suffixes=("_a", "_b"),
+              left_cols=None, right_cols=None):
+    """Join two Datasets on ``keys`` -> Dataset of merged rows.
+
+    Each side's column list is recorded up front (``left_cols`` /
+    ``right_cols``, defaulting to the Dataset schemas) so a part can split
+    the unioned rows back into sides by explicit column selection — never
+    by ``dropna``, which would silently drop a column that is legitimately
+    all-null within one part and make per-part schemas diverge.  Outer
+    parts with a missing side are reindexed to the full merged schema."""
     if isinstance(keys, str):
         keys = [keys]
+    if left_cols is None:
+        left_cols = list(ds_a.schema().names)
+    if right_cols is None:
+        right_cols = list(ds_b.schema().names)
+    # The merged schema pandas will produce: keys once, then non-key
+    # columns of each side, suffixed where the names collide.
+    a_val = [c for c in left_cols if c not in keys]
+    b_val = [c for c in right_cols if c not in keys]
+    overlap = set(a_val) & set(b_val)
+    out_cols = (list(keys)
+                + [c + suffixes[0] if c in overlap else c for c in a_val]
+                + [c + suffixes[1] if c in overlap else c for c in b_val])
 
     a_tagged = ds_a.map_batches(
         lambda df: _with_part(df, keys, num_partitions, "a"),
@@ -43,16 +63,18 @@ def hash_join(ds_a, ds_b, keys, how: str = "inner",
     both = a_tagged.union(b_tagged)
 
     def join_part(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["_side"] == "a"].drop(columns=["_side", "_part"])
-        right = g[g["_side"] == "b"].drop(columns=["_side", "_part"])
-        # union fills the other side's columns with nulls — drop them
-        left = left.dropna(axis=1, how="all")
-        right = right.dropna(axis=1, how="all")
+        left = g[g["_side"] == "a"].reindex(columns=left_cols)
+        right = g[g["_side"] == "b"].reindex(columns=right_cols)
         if left.empty or right.empty:
-            if how == "inner":
-                return pd.DataFrame()
-            return left if how == "left" else right
-        return left.merge(right, on=keys, how=how, suffixes=suffixes)
+            if how == "inner" or (how == "left" and left.empty):
+                return pd.DataFrame(columns=out_cols)
+            merged = left if how == "left" else right
+            merged = merged.rename(
+                columns={c: c + (suffixes[0] if how == "left" else suffixes[1])
+                         for c in overlap})
+            return merged.reindex(columns=out_cols)
+        return (left.merge(right, on=keys, how=how, suffixes=suffixes)
+                .reindex(columns=out_cols))
 
     return both.groupby("_part").map_groups(join_part, batch_format="pandas")
 

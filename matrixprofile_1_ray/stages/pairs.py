@@ -17,6 +17,7 @@ import pyarrow as pa
 from ..functions.tokenize import list_column_to_numpy
 from ..kernels.hierarchical import hierarchical_clusters
 from ..kernels.mpdist import mpdist
+from .ann import auto_concurrency
 
 
 def _corpus_dict(sequences: pa.Table) -> dict[str, np.ndarray]:
@@ -61,7 +62,7 @@ def mpdist_pairs(sequences: pa.Table, w: int, threshold: float = 0.05,
     return (ray.data.from_arrow(pairs_table)
             .repartition(n_blocks)
             .map_batches(PairDist, batch_format="pyarrow",
-                         batch_size=batch_size, concurrency=(1, 8)))
+                         batch_size=batch_size, concurrency=auto_concurrency()))
 
 
 def pairwise_dist_distributed(sequences: pa.Table, w: int,
@@ -124,7 +125,7 @@ def ab_join_stage(ds, query: np.ndarray, w: int):
                                pa.list_(pa.int64())),
             })
 
-    return ds.map_batches(ABJoin, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(ABJoin, batch_format="pyarrow", concurrency=auto_concurrency())
 
 
 def mass_search_stage(ds, query: np.ndarray, k: int = 3):
@@ -167,4 +168,4 @@ def mass_search_stage(ds, query: np.ndarray, k: int = 3):
             })
 
     return ds.map_batches(MassSearch, batch_format="pyarrow",
-                          concurrency=(1, 8))
+                          concurrency=auto_concurrency())

@@ -106,6 +106,20 @@ def chunked_rollup(chunks_ds, tiers=None):
                 "p_sum": pa.array(sums, pa.float64()),
                 "p_count": pa.array(counts.astype(np.int64), pa.int64()),
             }))
+        if not parts:
+            # a batch of only empty-token docs contributes no buckets —
+            # return an empty table with the output schema (concat_tables
+            # on an empty list raises)
+            return pa.table({
+                "doc_id": batch["doc_id"].slice(0, 0),
+                "source": batch["source"].slice(0, 0),
+                "tier": pa.array([], pa.string()),
+                "bucket": pa.array([], pa.int64()),
+                "p_min": pa.array([], pa.float64()),
+                "p_max": pa.array([], pa.float64()),
+                "p_sum": pa.array([], pa.float64()),
+                "p_count": pa.array([], pa.int64()),
+            })
         return pa.concat_tables(parts)
 
     from ray.data.aggregate import Max, Min, Sum

@@ -35,6 +35,19 @@ def test_int_edge_sizes():
         np.testing.assert_array_equal(decode_int_dod(encode_int_dod(arr)), arr)
 
 
+def test_int_out_of_contract_raises():
+    import pytest
+
+    with pytest.raises(OverflowError):
+        encode_int_dod(np.array([0, 2**40], dtype=np.int64))
+    with pytest.raises(OverflowError):
+        encode_int_dod(np.array([-(2**35), 0, 1], dtype=np.int64))
+    # full int32 range stays in contract
+    lo, hi = np.iinfo(np.int32).min, np.iinfo(np.int32).max
+    arr = np.array([lo, hi, lo, hi, 0], dtype=np.int32)
+    np.testing.assert_array_equal(decode_int_dod(encode_int_dod(arr)), arr)
+
+
 def test_compression_ratio_on_smooth_tokens():
     """Token-like smooth streams must compress well below 4 bytes/point."""
     rng = np.random.default_rng(0)

@@ -58,6 +58,23 @@ def test_connected_components(ray_session):
     assert out["d"] == out["e"] == "d"
 
 
+def test_connected_components_long_chain_pointer_doubling(ray_session):
+    """A 20-node chain has diameter 19 — plain min-label propagation needs
+    19 rounds, pointer doubling reaches radius 2^(r-1) and converges well
+    inside the default max_iters=8 (and the default check_fixpoint raises
+    instead of silently returning unconverged)."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.dedup import connected_components
+
+    nodes = [f"n{i:02d}" for i in range(20)]
+    pairs = pd.DataFrame({"doc_a": nodes[:-1], "doc_b": nodes[1:]})
+    out = (connected_components(ray.data.from_pandas(pairs),
+                                num_partitions=2)
+           .to_pandas().set_index("doc_id")["component"])
+    assert (out == "n00").all()
+
+
 def test_dedup_groups_end_to_end(ray_session):
     """LSH candidates -> dedup groups over the sf corpus (driver
     union-find path for the small candidate set)."""

@@ -37,6 +37,41 @@ def test_hash_join_inner_counts(ray_session):
         np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy(), err_msg=c)
 
 
+def test_hash_join_keeps_all_null_columns(ray_session):
+    """A column that is all-null within a part (here: globally) must survive
+    the join with its nulls — the round-1 dropna side-splitter dropped it."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.join import hash_join
+
+    left = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3, 4], "lv": [None, None, None, None]}))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3], "rv": [10.0, 20.0, 30.0]}))
+    out = hash_join(left, right, "k", num_partitions=4).to_pandas()
+    assert sorted(out.columns) == ["k", "lv", "rv"]
+    assert len(out) == 3
+    assert out["lv"].isna().all()
+
+
+def test_hash_join_left_outer_schema(ray_session):
+    """Left-join parts with an empty right side must still carry the right
+    columns (null-filled), and unmatched keys survive."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.join import hash_join
+
+    left = ray.data.from_pandas(pd.DataFrame({
+        "k": list(range(20)), "lv": list(range(20))}))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "k": [0, 1], "rv": [100.0, 101.0]}))
+    out = hash_join(left, right, "k", how="left",
+                    num_partitions=8).to_pandas()
+    assert sorted(out.columns) == ["k", "lv", "rv"]
+    assert len(out) == 20
+    assert out["rv"].notna().sum() == 2
+
+
 def test_asof_join_query_oracle(ray_session):
     import __ray_entry__ as e
 

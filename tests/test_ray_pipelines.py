@@ -1,6 +1,8 @@
 """End-to-end Ray Data pipelines on sf0.001, cross-checked against the
 DuckDB oracle SQL — the same comparison the driver's correctness gate runs."""
 
+import os
+
 import duckdb
 import numpy as np
 import pandas as pd
@@ -104,6 +106,56 @@ def test_ann_topk(entry_mod):
         sub = df[df.query_id == q].sort_values("rank")
         assert sub.iloc[0].vec_id == q  # vec_ids 0..7 are the queries
         assert sub.iloc[0].score >= sub.iloc[-1].score
+
+
+def test_ivf_index_prunes_and_recalls(entry_mod, tmp_path):
+    """The IVF index is a real partitioned layout: the query path reads
+    ONLY the probed centroid partitions, and recall@5 vs brute force is
+    high for self-queries."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from matrixprofile_1_ray.stages.ann import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_search,
+        load_ivf_centroids,
+    )
+
+    head = pq.read_table(f"{SF}/embeddings.parquet").slice(0, 8)
+    queries = np.stack([np.asarray(v, dtype="d")
+                        for v in head["embedding"].to_pylist()])
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    index_dir = str(tmp_path / "ivf")
+    centroids = build_ivf_index(ds, index_dir, n_centroids=8)
+    assert load_ivf_centroids(index_dir).shape == centroids.shape
+    part_dirs = [d for d in os.listdir(index_dir) if d.startswith("centroid=")]
+    assert len(part_dirs) >= 2  # really partitioned on disk
+
+    queries = queries[:3]
+    got = _to_pandas(ivf_search(index_dir, queries, k=5, nprobe=2))
+    # pruned read: the probed-partition row total < full corpus
+    n_total = ds.count()
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    probe_union = set(np.argsort(-(qn @ centroids.T), axis=1)[:, :2].ravel())
+    probed_rows = sum(
+        pq.read_table(os.path.join(index_dir, d)).num_rows
+        for d in part_dirs if int(d.split("=")[1]) in probe_union)
+    assert probed_rows < n_total
+    assert len(got) == len(got[got.vec_id.notna()])
+
+    bf = _to_pandas(brute_force_topk(ds, queries[:3], k=5))
+    hits = 0
+    for q in range(3):
+        ivf_ids = set(got[got.query_id == q].vec_id)
+        bf_ids = set(bf[bf.query_id == q].vec_id)
+        hits += len(ivf_ids & bf_ids)
+    assert hits >= 0.6 * 3 * 5  # recall@5 >= 60% with nprobe=2/8
+    # each query still finds itself (exact within probed lists)
+    for q in range(3):
+        sub = got[got.query_id == q].sort_values("rank")
+        assert sub.iloc[0].vec_id == q
 
 
 def test_dedup_exact_counts(entry_mod, oracle_con):

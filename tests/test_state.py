@@ -47,6 +47,24 @@ def test_chunked_rollup_equals_plain(ray_session):
     pd.testing.assert_frame_equal(a[cols + vals], b, check_dtype=False)
 
 
+def test_chunked_rollup_all_empty_docs(ray_session):
+    """A batch consisting only of empty-token docs must yield an empty
+    rollup, not crash in pa.concat_tables([])."""
+    import pyarrow as pa
+    import ray.data
+
+    from matrixprofile_1_ray.state.chunked import chunked_rollup
+
+    chunks = pa.table({
+        "doc_id": pa.array(["e1", "e2"], pa.string()),
+        "source": pa.array(["s", "s"], pa.string()),
+        "start": pa.array([0, 0], pa.int64()),
+        "tokens": pa.array([[], []], pa.list_(pa.int64())),
+    })
+    out = chunked_rollup(ray.data.from_arrow(chunks)).to_pandas()
+    assert len(out) == 0
+
+
 def test_distributed_mpx_equals_serial(ray_session, sampledata):
     from matrixprofile_1_ray.kernels.mpx import mpx_self
     from matrixprofile_1_ray.state.chunked import distributed_mpx
