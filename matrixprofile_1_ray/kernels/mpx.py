@@ -22,6 +22,7 @@ import math
 
 import numpy as np
 
+from . import _native
 from .mass import exact_sliding_dot_product, fft_convolve
 from .moving_stats import muinvn
 
@@ -29,6 +30,16 @@ from .moving_stats import muinvn
 # BLAS to FFT (absolute error ~1e-9 relative, far below the reference's own
 # golden tolerance of 1e-4 once scaled by 1/(w*sigma^2)).
 _EXACT_SDP_LIMIT = 1 << 25
+
+# Profile lengths >= this use the compiled streaming walk when available
+# (kernels/_native.py, ~5x the NumPy diagonal path — np.cumsum alone is
+# ~40% of it); below it the NumPy path runs bit-for-bit as before, which
+# keeps every small conformance vector byte-stable.  The two paths agree
+# to ~1e-13 (seed-first vs cumsum-then-seed accumulation order).
+_NATIVE_MIN_PL = 2048
+# AB joins dispatch on the pl_a*pl_b product instead (both operands small
+# in the tiny exact-index conformance tests).
+_NATIVE_MIN_AB = 1 << 21
 
 # Self-joins with profiles up to this length use one BLAS gram-matrix
 # (z-normalized windows @ transpose) instead of the per-diagonal walk —
@@ -93,8 +104,13 @@ def mpx_diag_range(d_lo: int, d_hi: int, seed, df, dg, sig, mp, mpi):
     place with Pearson values.  Partial results over disjoint diagonal
     ranges merge by elementwise max-correlation (the reference's per-thread
     merge law, cympx.pyx:104-112) — which is what lets state/chunked.py
-    fan the diagonal axis out over Ray tasks."""
+    fan the diagonal axis out over Ray tasks.  Dispatches to the compiled
+    walk for long profiles (the choice depends only on pl, so every task
+    of a fanned-out range picks the same path)."""
     pl = sig.shape[0]
+    if _native.AVAILABLE and pl >= _NATIVE_MIN_PL:
+        return _native.mpx_diag_range_native(d_lo, d_hi, seed, df, dg,
+                                             sig, mp, mpi)
     offsets = np.arange(pl)
     # reusable scratch buffers — one allocation for the whole range
     c_buf = np.empty(pl)
@@ -196,6 +212,11 @@ def _ab_one_side(seed, df_a, dg_a, df_b, dg_b, sig_a, sig_b, mp_a, mpi_a, mp_b, 
     ``|delta + i| <= minlag`` are skipped wholesale."""
     pl_a = sig_a.shape[0]
     pl_b = sig_b.shape[0]
+    if _native.AVAILABLE and pl_a * pl_b >= _NATIVE_MIN_AB:
+        _native.ab_one_side_native(seed, df_a, dg_a, df_b, dg_b,
+                                   sig_a, sig_b, mp_a, mpi_a, mp_b, mpi_b,
+                                   delta=delta, minlag=minlag)
+        return
     a_idx = np.arange(pl_a)
     b_idx = np.arange(pl_b)
     for i in range(pl_a):

@@ -1,12 +1,12 @@
 """Pair operators: distributed MPDist pairs table, all-pairs condensed
 matrix, hierarchical clustering.
 
-The pairs table (i<j) is built driver-side from doc_ids only; series data is
-broadcast ONCE via ``ray.put`` and fetched per task — the all-pairs product
-is O(M^2) in compute but the corpus crosses the wire once (the reference's
-pairwise_dist has the same corpus-in-memory assumption,
-pairwise_dist.py:36-101; for corpora beyond one node's memory the
-hash-bucketed pair-join in stages/dedup.py is the template)."""
+Scale design (vs the reference's corpus-in-memory pairwise_dist.py:36-101):
+each series is its own object-store entry (``ray.put`` per doc, once), so a
+pair task fetches exactly the two series it needs — no whole-corpus
+broadcast; the i<j pair table is GENERATED INSIDE tasks from the id list
+(never enumerated on the driver), or supplied as a Dataset (e.g. LSH
+candidates from stages/dedup.py) when all-pairs is too many."""
 
 from __future__ import annotations
 
@@ -20,65 +20,118 @@ from ..kernels.mpdist import mpdist
 from .ann import auto_concurrency
 
 
-def _corpus_dict(sequences: pa.Table) -> dict[str, np.ndarray]:
+def _series_refs(sequences: pa.Table) -> dict:
+    """One object-store entry PER SERIES (not one corpus dict): a pair task
+    fetches only its two operands, and the object store spills what no task
+    currently needs."""
+    import ray
+
     values, offsets = list_column_to_numpy(sequences["tokens"])
     ids = sequences["doc_id"].to_pylist()
-    return {d: values[offsets[i] : offsets[i + 1]].astype("d")
-            for i, d in enumerate(ids)}
+    return {d: ray.put(np.ascontiguousarray(
+        values[offsets[i] : offsets[i + 1]], dtype="d"))
+        for i, d in enumerate(ids)}
+
+
+def all_pairs_dataset(ids, rows_per_task: int = 128):
+    """(doc_a, doc_b) for all i<j as a Dataset whose rows are GENERATED
+    inside tasks — the driver ships only the id list (M strings), never the
+    O(M^2) pair list."""
+    import ray
+    import ray.data
+
+    ids_arr = np.asarray(list(ids))
+    n = len(ids_arr)
+    ids_ref = ray.put(ids_arr)
+    starts = pa.table({"start": pa.array(
+        list(range(0, max(n - 1, 0), rows_per_task)), pa.int64())})
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids_l = ray.get(ids_ref)
+        out_a, out_b = [], []
+        for s in batch["start"].to_pylist():
+            for i in range(s, min(s + rows_per_task, n - 1)):
+                out_a.append(np.full(n - i - 1, i, dtype=np.int64))
+                out_b.append(np.arange(i + 1, n, dtype=np.int64))
+        if not out_a:
+            return pa.table({"doc_a": pa.array([], pa.string()),
+                             "doc_b": pa.array([], pa.string())})
+        return pa.table({
+            "doc_a": pa.array(ids_l[np.concatenate(out_a)]),
+            "doc_b": pa.array(ids_l[np.concatenate(out_b)]),
+        })
+
+    return ray.data.from_arrow(starts).map_batches(
+        gen, batch_format="pyarrow", batch_size=1)
 
 
 def mpdist_pairs(sequences: pa.Table, w: int, threshold: float = 0.05,
                  pairs=None, batch_size: int = 64):
-    """-> Dataset (doc_a, doc_b, mpdist) for all i<j pairs (or an explicit
-    pair list)."""
+    """-> Dataset (doc_a, doc_b, mpdist).  ``pairs`` may be a Dataset of
+    candidate pairs (the 100 TB path: LSH candidates, not all-pairs), an
+    explicit small list, or None for task-generated all i<j pairs."""
     import ray
     import ray.data
 
-    corpus_ref = ray.put(_corpus_dict(sequences))
-    ids = sequences["doc_id"].to_pylist()
-    if pairs is None:
-        pairs = [(ids[i], ids[j]) for i in range(len(ids))
-                 for j in range(i + 1, len(ids))]
+    refs_ref = ray.put(_series_refs(sequences))
 
-    pairs_table = pa.table({
-        "doc_a": pa.array([p[0] for p in pairs], pa.string()),
-        "doc_b": pa.array([p[1] for p in pairs], pa.string()),
-    })
+    if pairs is None:
+        pairs_ds = all_pairs_dataset(sequences["doc_id"].to_pylist())
+    elif hasattr(pairs, "map_batches"):
+        pairs_ds = pairs
+    else:
+        pairs_ds = ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([p[0] for p in pairs], pa.string()),
+            "doc_b": pa.array([p[1] for p in pairs], pa.string()),
+        }))
 
     class PairDist:
+        """Fetches per-pair series by ref with a bounded per-actor cache —
+        repeated operands (each doc appears in M-1 pairs) hit the cache or
+        the local object store, not the wire."""
+
         def __init__(self):
-            self.corpus = ray.get(corpus_ref)
+            self.refs = ray.get(refs_ref)
+            self.cache: dict = {}
+
+        def _series(self, d):
+            s = self.cache.get(d)
+            if s is None:
+                s = ray.get(self.refs[d])
+                if len(self.cache) >= 1024:
+                    self.cache.pop(next(iter(self.cache)))
+                self.cache[d] = s
+            return s
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             dists = [
-                mpdist(self.corpus[a], self.corpus[b], w, threshold=threshold)
+                mpdist(self._series(a), self._series(b), w,
+                       threshold=threshold)
                 for a, b in zip(batch["doc_a"].to_pylist(),
                                 batch["doc_b"].to_pylist())
             ]
             return batch.append_column("mpdist",
                                        pa.array(dists, pa.float64()))
 
-    n_blocks = max(1, len(pairs) // batch_size)
-    return (ray.data.from_arrow(pairs_table)
-            .repartition(n_blocks)
-            .map_batches(PairDist, batch_format="pyarrow",
-                         batch_size=batch_size, concurrency=auto_concurrency()))
+    return pairs_ds.map_batches(PairDist, batch_format="pyarrow",
+                                batch_size=batch_size,
+                                concurrency=auto_concurrency())
 
 
 def pairwise_dist_distributed(sequences: pa.Table, w: int,
                               threshold: float = 0.05) -> np.ndarray:
     """Condensed distance matrix via the distributed pairs table — same
-    layout as kernels.mpdist.pairwise_dist."""
+    layout as kernels.mpdist.pairwise_dist.  Condensed indices are computed
+    with column arithmetic (no per-row Python)."""
     ids = sequences["doc_id"].to_pylist()
     index = {d: i for i, d in enumerate(ids)}
     m = len(ids)
     dm = np.empty((m * (m - 1)) // 2, dtype="d")
     out = mpdist_pairs(sequences, w, threshold=threshold).to_pandas()
-    for _, row in out.iterrows():
-        i, j = index[row.doc_a], index[row.doc_b]
-        if i > j:
-            i, j = j, i
-        dm[m * i + j - ((i + 2) * (i + 1)) // 2] = row.mpdist
+    i = out["doc_a"].map(index).to_numpy(dtype=np.int64)
+    j = out["doc_b"].map(index).to_numpy(dtype=np.int64)
+    lo, hi = np.minimum(i, j), np.maximum(i, j)
+    dm[m * lo + hi - ((lo + 2) * (lo + 1)) // 2] = out["mpdist"].to_numpy()
     return dm
 
 

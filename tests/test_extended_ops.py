@@ -89,6 +89,58 @@ def test_mpdist_pairs_and_hclust(entry_mod):
     assert clusters.cluster.nunique() <= 4
 
 
+def test_mpdist_pairs_scales_without_corpus_broadcast(ray_session):
+    """150 docs -> 11 175 task-generated pairs, per-series object refs (no
+    whole-corpus dict), condensed fill vectorized and equal to the serial
+    kernel on a spot-checked subset."""
+    import numpy as np
+
+    from matrixprofile_1_ray.kernels import pairwise_dist
+    from matrixprofile_1_ray.sources import synthetic_sequences_table
+    from matrixprofile_1_ray.stages.pairs import (
+        all_pairs_dataset,
+        mpdist_pairs,
+        pairwise_dist_distributed,
+    )
+
+    table = synthetic_sequences_table(150, seed=3, min_len=64, max_len=96)
+    n = 150
+    pairs_ds = all_pairs_dataset(table["doc_id"].to_pylist())
+    assert pairs_ds.count() == n * (n - 1) // 2
+
+    out = mpdist_pairs(table, w=16).to_pandas()
+    assert len(out) == n * (n - 1) // 2
+    assert (out.mpdist >= -1e-12).all()
+
+    # condensed layout parity with the serial kernel on the first 10 docs
+    sub = synthetic_sequences_table(10, seed=3, min_len=64, max_len=96)
+    from matrixprofile_1_ray.functions.tokenize import list_column_to_numpy
+
+    values, offsets = list_column_to_numpy(sub["tokens"])
+    series = [values[offsets[i]:offsets[i + 1]].astype("d")
+              for i in range(10)]
+    np.testing.assert_allclose(
+        pairwise_dist_distributed(sub, 16), pairwise_dist(series, 16),
+        rtol=1e-10, atol=1e-12)
+
+
+def test_mpdist_pairs_accepts_candidate_dataset(ray_session):
+    """The 100 TB path: pairs supplied as a Dataset (e.g. LSH candidates)."""
+    import ray.data
+
+    from matrixprofile_1_ray.sources import synthetic_sequences_table
+    from matrixprofile_1_ray.stages.pairs import mpdist_pairs
+
+    table = synthetic_sequences_table(8, seed=5, min_len=64, max_len=96)
+    ids = table["doc_id"].to_pylist()
+    cand = ray.data.from_pandas(pd.DataFrame({
+        "doc_a": [ids[0], ids[2]], "doc_b": [ids[1], ids[5]]}))
+    out = mpdist_pairs(table, w=16, pairs=cand).to_pandas()
+    assert len(out) == 2
+    assert set(zip(out.doc_a, out.doc_b)) == {(ids[0], ids[1]),
+                                              (ids[2], ids[5])}
+
+
 def test_ab_join_and_mass_search(entry_mod):
     ab = _df(entry_mod.queries()["ab_join"](SF))
     assert len(ab) > 400
