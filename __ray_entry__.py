@@ -674,6 +674,32 @@ SELECT user_id,
        max(c) AS max_session_events
 FROM per GROUP BY user_id
 """,
+        "sliding_event_counts": """
+SELECT event_type,
+       (epoch_us(ts) // 900000000) * 900000000 - k.k * 900000000
+           AS window_start,
+       count(*) AS n_events
+FROM events, range(4) k(k)
+GROUP BY event_type, window_start
+""",
+        "ann_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings WHERE vec_id < 8
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS raw
+  FROM q CROSS JOIN embeddings e
+), r AS (
+  SELECT query_id, vec_id, raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw DESC, vec_id ASC) - 1 AS rank
+  FROM s
+)
+SELECT query_id, vec_id, round(raw, 6) AS score, rank
+FROM r WHERE rank < 5
+""",
         "per_source_distinct_tokens": _SEQ_CTE + """
 SELECT source, count(DISTINCT tok) AS n_distinct_tokens
 FROM ex GROUP BY source

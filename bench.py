@@ -22,6 +22,9 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SYNTH_ROWS = int(os.environ.get("GRAFT_SYNTH_ROWS", "4000"))
+# larger second scale point: round-over-round deltas measured above the
+# host's ±30-40% noise floor (0 disables)
+SYNTH_BIG_ROWS = int(os.environ.get("GRAFT_SYNTH_BIG_ROWS", "20000"))
 SYNTH_SEED = 42
 # scaling mode: N vs 4N parallelism in fresh sessions.  4/16 rather than
 # 8/32 because this host throttles above ~24 busy cores (a pure CPU-burn
@@ -33,13 +36,14 @@ SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "16"))
 SCALE_ROWS = int(os.environ.get("GRAFT_SCALE_ROWS", "16000"))
 
 
-def synth_path() -> str:
+def synth_path(rows: int = None) -> str:
     """Deterministic synthetic sequences corpus, generated once (untimed)."""
-    path = f"/tmp/graft_synth_{SYNTH_ROWS}_{SYNTH_SEED}"
+    rows = SYNTH_ROWS if rows is None else rows
+    path = f"/tmp/graft_synth_{rows}_{SYNTH_SEED}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from matrixprofile_1_ray.sources import write_synthetic_sequences
 
-        write_synthetic_sequences(path, SYNTH_ROWS, seed=SYNTH_SEED,
+        write_synthetic_sequences(path, rows, seed=SYNTH_SEED,
                                   rows_per_block=250)
         open(os.path.join(path, "_SUCCESS"), "w").close()
     return path
@@ -106,6 +110,21 @@ def run_bench() -> dict:
 
     timed("synth_mp_rollup", synth_run)
 
+    # 4b. the same pipeline at 5x rows — the noise-robust scale point for
+    # round-over-round comparisons (generation is cached and untimed)
+    if SYNTH_BIG_ROWS:
+        bigpath = synth_path(SYNTH_BIG_ROWS)
+
+        def synth_big_run():
+            ds = ray.data.read_parquet(bigpath)
+            prof = ds.map_batches(
+                lambda b: compute_profiles_batch(b, w=32),
+                batch_format="pyarrow", batch_size=64)
+            return prof.map_batches(mp_rollup_batch,
+                                    batch_format="pyarrow").count()
+
+        timed("synth_mp_rollup_5x", synth_big_run)
+
     # 5. corpus-level discovery
     timed("corpus_discords",
           lambda: corpus_top_discords(profiles_pipeline(SF_DIR, w=32)).count())
@@ -157,7 +176,10 @@ def run_bench() -> dict:
     counters["rollup_rows"] = int(n_rollup_rows)
 
     ray.shutdown()
-    total = round(sum(timings.values()), 3)
+    # headline total keeps round-1 scope (the 5x point is reported on its
+    # own so adding it doesn't read as a regression in round deltas)
+    total = round(sum(v for k, v in timings.items()
+                      if k != "synth_mp_rollup_5x"), 3)
     return {
         "metric": "flagship pipelines wall time (rollups, mp, codec, dedup, ann)",
         "value": total,

@@ -346,9 +346,15 @@ def simhash_batch(batch: pa.Table, k: int = 5) -> pa.Table:
 
 
 def embedding_near_dup(ds, threshold: float = 0.95, planes: int = 16,
-                       seed: int = 11, dim: int = 64):
+                       seed: int = 11, dim: int = 64,
+                       num_partitions: int = 16):
     """Embedding-cosine near-dup: random-hyperplane LSH bucket per vector,
-    exact cosine verification inside each bucket."""
+    exact cosine verification inside each bucket.
+
+    Buckets shuffle inside COARSE hash partitions (one ``groupby("_part")``,
+    vectorized per-bucket verify within each part) rather than a per-bucket
+    ``map_groups`` — per-key dispatch is Python-per-bucket, and one hot
+    bucket (e.g. all-zero vectors) would otherwise skew a whole task."""
     rng = np.random.default_rng(seed)
     hyper = rng.normal(size=(dim, planes))
 
@@ -360,22 +366,32 @@ def embedding_near_dup(ds, threshold: float = 0.95, planes: int = 16,
         return pa.table({
             "vec_id": batch["vec_id"],
             "bucket": pa.array(key, pa.int64()),
+            "_part": pa.array(key % num_partitions, pa.int64()),
             "embedding": batch["embedding"],
         })
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(g["embedding"].to_numpy()).astype("d")
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1
-        sims = (mat / norms) @ (mat / norms).T
-        ids = g["vec_id"].to_numpy()
-        ii, jj = np.where(np.triu(sims, 1) >= threshold)
-        return pd.DataFrame({
-            "vec_a": ids[ii].astype(np.int64),
-            "vec_b": ids[jj].astype(np.int64),
-            "cosine": sims[ii, jj],
-        })
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _b, grp in g.groupby("bucket", sort=False):
+            if len(grp) < 2:
+                continue
+            mat = np.stack(grp["embedding"].to_numpy()).astype("d")
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1
+            sims = (mat / norms) @ (mat / norms).T
+            ids = grp["vec_id"].to_numpy()
+            ii, jj = np.where(np.triu(sims, 1) >= threshold)
+            outs.append(pd.DataFrame({
+                "vec_a": ids[ii].astype(np.int64),
+                "vec_b": ids[jj].astype(np.int64),
+                "cosine": sims[ii, jj],
+            }))
+        if not outs:
+            return pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                                 "vec_b": pd.Series(dtype=np.int64),
+                                 "cosine": pd.Series(dtype="d")})
+        return pd.concat(outs, ignore_index=True)
 
     return (ds.map_batches(bucket, batch_format="pyarrow")
-            .groupby("bucket")
-            .map_groups(verify, batch_format="pandas"))
+            .groupby("_part")
+            .map_groups(verify_part, batch_format="pandas"))

@@ -1,0 +1,201 @@
+"""Binary .mpf round-trip (reference tests/test_io.py:73-123 MPF cases,
+re-expressed) plus wire-level cross-validation against the reference's
+generated protobuf bindings when available."""
+
+import numpy as np
+import pytest
+
+from matrixprofile_1_ray.io import from_disk_mpf, from_mpf, to_disk_mpf, to_mpf
+from matrixprofile_1_ray.kernels import mpx, skimp
+
+def _build_pb_classes():
+    """Recreate the MPFOutput schema dynamically with google.protobuf
+    (the reference's checked-in pb2 predates protobuf 4+ and no longer
+    imports) — Google's own serializer then cross-validates our wire
+    codec."""
+    from google.protobuf import descriptor_pb2, descriptor_pool, message_factory
+
+    fd = descriptor_pb2.FileDescriptorProto()
+    fd.name = "mpf_test_schema.proto"
+    fd.package = "mpftest"
+    fd.syntax = "proto3"
+    F = descriptor_pb2.FieldDescriptorProto
+
+    def msg(name):
+        m = fd.message_type.add()
+        m.name = name
+        return m
+
+    def add(m, name, num, ftype, label=F.LABEL_OPTIONAL, type_name=None,
+            packed=False):
+        f = m.field.add()
+        f.name = name
+        f.number = num
+        f.type = ftype
+        f.label = label
+        if type_name:
+            f.type_name = f".mpftest.{type_name}"
+        if packed:
+            f.options.packed = True
+
+    dm = msg("DoubleMatrix")
+    add(dm, "rows", 1, F.TYPE_UINT64)
+    add(dm, "cols", 2, F.TYPE_UINT64)
+    add(dm, "data", 3, F.TYPE_DOUBLE, F.LABEL_REPEATED, packed=True)
+    im = msg("IntMatrix")
+    add(im, "rows", 1, F.TYPE_UINT64)
+    add(im, "cols", 2, F.TYPE_UINT64)
+    add(im, "data", 3, F.TYPE_INT64, F.LABEL_REPEATED, packed=True)
+    loc = msg("Location")
+    add(loc, "row", 1, F.TYPE_UINT64)
+    add(loc, "col", 2, F.TYPE_UINT64)
+    mo = msg("Motif")
+    add(mo, "motifs", 1, F.TYPE_MESSAGE, F.LABEL_REPEATED, "Location")
+    add(mo, "neighbors", 2, F.TYPE_MESSAGE, F.LABEL_REPEATED, "Location")
+    mp_m = msg("MatrixProfile")
+    add(mp_m, "mp", 1, F.TYPE_MESSAGE, type_name="DoubleMatrix")
+    add(mp_m, "pi", 2, F.TYPE_MESSAGE, type_name="IntMatrix")
+    add(mp_m, "lmp", 3, F.TYPE_MESSAGE, type_name="DoubleMatrix")
+    add(mp_m, "lpi", 4, F.TYPE_MESSAGE, type_name="IntMatrix")
+    add(mp_m, "rmp", 5, F.TYPE_MESSAGE, type_name="DoubleMatrix")
+    add(mp_m, "rpi", 6, F.TYPE_MESSAGE, type_name="IntMatrix")
+    add(mp_m, "ez", 9, F.TYPE_UINT64)
+    add(mp_m, "join", 10, F.TYPE_BOOL)
+    pmp_m = msg("PanMatrixProfile")
+    add(pmp_m, "pmp", 1, F.TYPE_MESSAGE, type_name="DoubleMatrix")
+    add(pmp_m, "pmpi", 2, F.TYPE_MESSAGE, type_name="IntMatrix")
+    out = msg("MPFOutput")
+    add(out, "klass", 1, F.TYPE_STRING)
+    add(out, "algorithm", 2, F.TYPE_STRING)
+    add(out, "metric", 3, F.TYPE_STRING)
+    add(out, "sample_pct", 4, F.TYPE_DOUBLE)
+    add(out, "windows", 5, F.TYPE_UINT64, F.LABEL_REPEATED, packed=True)
+    add(out, "ts", 6, F.TYPE_MESSAGE, type_name="DoubleMatrix")
+    add(out, "query", 7, F.TYPE_MESSAGE, type_name="DoubleMatrix")
+    add(out, "mp", 8, F.TYPE_MESSAGE, type_name="MatrixProfile")
+    add(out, "pmp", 9, F.TYPE_MESSAGE, type_name="PanMatrixProfile")
+    add(out, "motifs", 10, F.TYPE_MESSAGE, F.LABEL_REPEATED, "Motif")
+    add(out, "discords", 11, F.TYPE_MESSAGE, F.LABEL_REPEATED, "Location")
+    add(out, "cmp", 12, F.TYPE_MESSAGE, type_name="DoubleMatrix")
+    add(out, "av", 13, F.TYPE_MESSAGE, type_name="DoubleMatrix")
+    add(out, "av_type", 14, F.TYPE_STRING)
+
+    pool = descriptor_pool.DescriptorPool()
+    pool.Add(fd)
+    desc = pool.FindMessageTypeByName("mpftest.MPFOutput")
+    return message_factory.GetMessageClass(desc)
+
+
+def _assert_profile_equal(a: dict, b: dict, keys):
+    for k in keys:
+        va, vb = a.get(k), b.get(k)
+        if isinstance(va, np.ndarray) or isinstance(vb, np.ndarray):
+            np.testing.assert_equal(np.asarray(va), np.asarray(vb), err_msg=k)
+        elif va is not None and vb is not None:
+            assert va == vb, k
+
+
+def test_mpf_roundtrip_matrix_profile(tmp_path):
+    rng = np.random.default_rng(4)
+    ts = rng.uniform(size=1024)
+    profile = mpx(ts, 32)
+    path = str(tmp_path / "mp.mpf")
+    to_disk_mpf(profile, path)
+    back = from_disk_mpf(path)
+
+    _assert_profile_equal(profile, back,
+                          ["class", "algorithm", "metric", "sample_pct",
+                           "w", "ez", "join", "mp", "pi"])
+    np.testing.assert_equal(profile["data"]["ts"], back["data"]["ts"])
+    assert back["data"]["query"] is None
+    assert back["lmp"] is None and back["rpi"] is None
+
+
+def test_mpf_roundtrip_join_profile(tmp_path):
+    rng = np.random.default_rng(5)
+    ts = rng.uniform(size=512)
+    q = rng.uniform(size=128)
+    profile = mpx(ts, 32, query=q)
+    buf = to_mpf(profile)
+    back = from_mpf(buf)
+    assert back["join"] is True
+    np.testing.assert_equal(profile["mp"], back["mp"])
+    np.testing.assert_equal(profile["data"]["query"], back["data"]["query"])
+
+
+def test_mpf_roundtrip_pmp(tmp_path):
+    rng = np.random.default_rng(6)
+    ts = rng.uniform(size=512)
+    profile = skimp(ts, windows=[16, 32, 64])
+    back = from_mpf(to_mpf(profile))
+    assert back["class"] == "PMP"
+    np.testing.assert_equal(profile["pmp"], back["pmp"])
+    np.testing.assert_equal(profile["pmpi"], back["pmpi"])
+    np.testing.assert_equal(np.asarray(profile["windows"]), back["windows"])
+
+
+def test_mpf_roundtrip_motifs_discords_av():
+    rng = np.random.default_rng(7)
+    ts = rng.uniform(size=400)
+    profile = mpx(ts, 16)
+    profile["discords"] = np.array([5, 90, 200])
+    profile["motifs"] = [{"motifs": [3, 77], "neighbors": [120, 130]},
+                         {"motifs": [9, 50], "neighbors": []}]
+    profile["av"] = np.ones(len(profile["mp"]))
+    profile["av_type"] = "complexity"
+    profile["cmp"] = profile["mp"] * 1.0
+    back = from_mpf(to_mpf(profile))
+    np.testing.assert_equal(back["discords"], profile["discords"])
+    assert back["motifs"] == [{"motifs": [3, 77], "neighbors": [120, 130]},
+                              {"motifs": [9, 50], "neighbors": []}]
+    np.testing.assert_equal(back["av"], profile["av"])
+    np.testing.assert_equal(back["cmp"], profile["cmp"])
+    assert back["av_type"] == "complexity"
+
+
+def test_mpf_wire_compatible_with_protobuf():
+    """Bytes we write parse with Google's protobuf against the reference
+    schema, and bytes protobuf writes load through our decoder — true
+    archive compatibility with reference-written .mpf files."""
+    pytest.importorskip("google.protobuf")
+    MPFOutput = _build_pb_classes()
+    rng = np.random.default_rng(8)
+    ts = rng.uniform(size=256)
+    profile = mpx(ts, 16)
+    profile["discords"] = np.array([1, 2])
+
+    # ours -> protobuf parser
+    msg = MPFOutput()
+    msg.ParseFromString(to_mpf(profile))
+    assert msg.klass == "MatrixProfile"
+    assert msg.algorithm == "mpx"
+    assert list(msg.windows) == [16]
+    np.testing.assert_allclose(np.array(msg.mp.mp.data), profile["mp"])
+    np.testing.assert_equal(np.array(msg.mp.pi.data), profile["pi"])
+    np.testing.assert_allclose(np.array(msg.ts.data), ts)
+    assert [d.row for d in msg.discords] == [1, 2]
+
+    # protobuf writer -> our parser
+    out = MPFOutput()
+    out.klass = "MatrixProfile"
+    out.algorithm = "mpx"
+    out.metric = "euclidean"
+    out.sample_pct = 1.0
+    out.windows.extend([16])
+    out.ts.rows = len(ts)
+    out.ts.cols = 0
+    out.ts.data.extend(ts)
+    out.mp.ez = 4
+    out.mp.join = False
+    out.mp.mp.rows = len(profile["mp"])
+    out.mp.mp.cols = 0
+    out.mp.mp.data.extend(profile["mp"])
+    out.mp.pi.rows = len(profile["pi"])
+    out.mp.pi.cols = 0
+    out.mp.pi.data.extend(profile["pi"])
+    back = from_mpf(out.SerializeToString())
+    assert back["class"] == "MatrixProfile" and back["w"] == 16
+    assert back["ez"] == 4
+    np.testing.assert_allclose(back["mp"], profile["mp"])
+    np.testing.assert_equal(back["pi"], profile["pi"])
+    np.testing.assert_allclose(back["data"]["ts"], ts)
