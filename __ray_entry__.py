@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ngram_top_k,
         per_source_distinct_tokens,
         per_source_stats,
+        per_source_token_quantiles,
         quality_batch,
         sequences_meta_batch,
         word_count_batch,
@@ -494,6 +495,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sequences_pipeline(sf, verify_codec=False)),
         "per_source_distinct_tokens": lambda sf: per_source_distinct_tokens(
             sequences_pipeline(sf, verify_codec=False)),
+        "per_source_token_quantiles": lambda sf: per_source_token_quantiles(
+            sequences_pipeline(sf, verify_codec=False)),
         "ngram_top50": lambda sf: ngram_top_k(
             sequences_pipeline(sf, verify_codec=False), n=3, k=50),
         # matrix-profile operators (rows-only checks)
@@ -674,6 +677,15 @@ SELECT user_id,
        max(c) AS max_session_events
 FROM per GROUP BY user_id
 """,
+        "fingerprints": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(list_reduce(
+         list_prepend(0::HUGEINT,
+           list_transform(split(text, ''), c -> ascii(c)::HUGEINT)),
+         (acc, ch) -> (acc * 1000003 + ch) % 2305843009213693951)
+         AS BIGINT) AS fingerprint
+FROM documents
+""",
         "sliding_event_counts": """
 SELECT event_type,
        (epoch_us(ts) // 900000000) * 900000000 - k.k * 900000000
@@ -702,6 +714,14 @@ FROM r WHERE rank < 5
 """,
         "per_source_distinct_tokens": _SEQ_CTE + """
 SELECT source, count(DISTINCT tok) AS n_distinct_tokens
+FROM ex GROUP BY source
+""",
+        "per_source_token_quantiles": _SEQ_CTE + """
+SELECT source,
+       count(*) AS n_tokens,
+       quantile_disc(tok, 0.5) AS p50,
+       quantile_disc(tok, 0.9) AS p90,
+       quantile_disc(tok, 0.99) AS p99
 FROM ex GROUP BY source
 """,
         "per_source_stats": _SEQ_CTE + """

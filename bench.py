@@ -26,13 +26,16 @@ SYNTH_ROWS = int(os.environ.get("GRAFT_SYNTH_ROWS", "4000"))
 # host's ±30-40% noise floor (0 disables)
 SYNTH_BIG_ROWS = int(os.environ.get("GRAFT_SYNTH_BIG_ROWS", "20000"))
 SYNTH_SEED = 42
-# scaling mode: N vs 4N parallelism in fresh sessions.  4/16 rather than
-# 8/32 because this host throttles above ~24 busy cores (a pure CPU-burn
-# test measures 32 procs at only 24 cores' throughput), which would cap
-# even perfectly-parallel code below the 0.8 efficiency bar; 4 vs 16
-# isolates the ENGINE's scaling from the host's quota.
-SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "4"))
-SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+# scaling mode: N vs 4N parallelism in fresh sessions.  The pairing must
+# sit BELOW the host's own throttling point or the measurement caps the
+# engine at the host quota, not its scaling: round 1 measured a ~24-core
+# quota (4/16 was clean then); by round 2 a pure CPU-burn calibration
+# shows 4->16 procs sustaining only ~3.0-3.1x (0.76-0.78 host ceiling
+# before any Ray code) while 2->8 stays at ~4x, so the default pair is
+# now 2/8.  Re-run the burn calibration (BASELINE.md "Scaling evidence")
+# if these numbers look off — the quota drifts with neighbor load.
+SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "8"))
 SCALE_ROWS = int(os.environ.get("GRAFT_SCALE_ROWS", "16000"))
 
 
@@ -223,8 +226,9 @@ def run_flagship_scaled(num_cpus: int, spath: str) -> dict:
     ds = ds.map_batches(gapfill_batch, batch_format="pyarrow")
     ds = ds.map_batches(verify_roundtrip_batch, batch_format="pyarrow")
     ds = ds.drop_columns(["tokens_enc"])
+    batch = int(os.environ.get("GRAFT_FLAGSHIP_BATCH", "48"))
     n_rollups = ds.map_batches(flagship_batch, batch_format="pyarrow",
-                               batch_size=16).count()
+                               batch_size=batch).count()
     wall = time.perf_counter() - t0
     ray.shutdown()
     return {

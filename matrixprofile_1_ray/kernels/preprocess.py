@@ -51,6 +51,34 @@ def validate_preprocess_kwargs(preprocessing_kwargs):
     return out
 
 
+def to_np_array(a) -> np.ndarray:
+    """Coerce array-likes to ndarray, rejecting scalars/strings/sets with
+    the reference's error contract (reference core.py:79-105)."""
+    if isinstance(a, np.ndarray):
+        return a
+    if isinstance(a, (list, tuple, range)) or hasattr(a, "__array__"):
+        return np.array(a)
+    raise ValueError("Unable to convert to np.ndarray!")
+
+
+def precheck_series_and_query_1d(ts, query):
+    """Validate a (series, query) pair as 1-D numeric arrays
+    (reference core.py:108-140)."""
+    try:
+        ts = to_np_array(ts).astype("d")
+    except ValueError:
+        raise ValueError("Invalid ts value given. Must be array_like!")
+    try:
+        query = to_np_array(query).astype("d")
+    except ValueError:
+        raise ValueError("Invalid query value given. Must be array_like!")
+    if ts.ndim != 1:
+        raise ValueError("ts must be one dimensional!")
+    if query.ndim != 1:
+        raise ValueError("query must be one dimensional!")
+    return ts, query
+
+
 def is_subsequence_constant(subsequence) -> bool:
     """All-equal test (reference preprocess.py:91-112)."""
     temp = np.asarray(subsequence)

@@ -98,6 +98,96 @@ def broadcast_semi_join(ds, key_values, key, anti: bool = False):
     return ds.map_batches(filt, batch_format="pandas")
 
 
+_BLOOM_KEYS = (3141592653589793, 2718281828459045)
+
+
+def _bloom_positions(series: pd.Series, num_bits: int, num_hashes: int):
+    """k bit positions per key via double hashing (two independent pandas
+    hashes, h1 + i*h2) — deterministic across processes."""
+    s = series.astype(str)
+    h1 = pd.util.hash_pandas_object(s, index=False,
+                                    hash_key=str(_BLOOM_KEYS[0])).to_numpy()
+    h2 = (pd.util.hash_pandas_object(s, index=False,
+                                     hash_key=str(_BLOOM_KEYS[1])).to_numpy()
+          | np.uint64(1))
+    i = np.arange(num_hashes, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(num_bits))
+
+
+def build_bloom_filter(keys_ds, key: str, num_bits: int = 1 << 23,
+                       num_hashes: int = 4):
+    """Distributed Bloom build: each block of the key Dataset sets its bits
+    locally, partial filters OR-combine in a task tree — the driver never
+    sees the keys, only (num_bits/8)-byte filters.  -> ObjectRef to the
+    packed uint8 bit array (pass to :func:`bloom_semi_join`)."""
+    import ray
+
+    @ray.remote
+    def block_bloom(df: pd.DataFrame):
+        bits = np.zeros(num_bits // 8, dtype=np.uint8)
+        pos = _bloom_positions(df[key], num_bits, num_hashes).ravel()
+        np.bitwise_or.at(bits, (pos // 8).astype(np.int64),
+                         np.left_shift(np.uint8(1), (pos % 8).astype(np.uint8)))
+        return bits
+
+    @ray.remote
+    def or_pair(a, b):
+        return np.bitwise_or(a, b)
+
+    parts = [block_bloom.remote(b) for b in keys_ds.to_pandas_refs()]
+    while len(parts) > 1:
+        parts = ([or_pair.remote(parts[i], parts[i + 1])
+                  for i in range(0, len(parts) - 1, 2)]
+                 + ([parts[-1]] if len(parts) % 2 else []))
+    return parts[0]
+
+
+def bloom_semi_join(ds, keys_ds, key: str, num_bits: int = 1 << 23,
+                    num_hashes: int = 4, exact: bool = True,
+                    num_partitions: int = 16):
+    """Semi join against a LARGE key side: a distributed-built Bloom filter
+    prefilters every batch with zero shuffle (no false negatives — rows
+    the filter drops are definitely non-members), then, with ``exact=True``,
+    only the small surviving fraction pays a partitioned verification join
+    to remove the filter's false positives.  This is the scale path when
+    the key side no longer fits one ``ray.put`` set for
+    :func:`broadcast_semi_join`."""
+    import ray
+
+    bloom_ref = build_bloom_filter(keys_ds, key, num_bits=num_bits,
+                                   num_hashes=num_hashes)
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        bits = ray.get(bloom_ref)
+        pos = _bloom_positions(df[key], num_bits, num_hashes)
+        hit = (bits[(pos // 8).astype(np.int64)]
+               >> (pos % 8).astype(np.uint8)) & 1
+        return df[hit.all(axis=0).astype(bool)]
+
+    survivors = ds.map_batches(prefilter, batch_format="pandas")
+    if not exact:
+        return survivors
+
+    # exact verification: shuffle only survivors + keys on a coarse hash
+    left_cols = list(ds.schema().names)
+    left_tagged = survivors.map_batches(
+        lambda df: _with_part(df, [key], num_partitions, "a"),
+        batch_format="pandas")
+    keys_only = keys_ds.map_batches(
+        lambda df: _with_part(df[[key]].drop_duplicates(), [key],
+                              num_partitions, "b"),
+        batch_format="pandas")
+    both = left_tagged.union(keys_only)
+
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == "a"].reindex(columns=left_cols)
+        right_keys = g.loc[g["_side"] == "b", key]
+        return left[left[key].isin(set(right_keys))]
+
+    return both.groupby("_part").map_groups(verify_part,
+                                            batch_format="pandas")
+
+
 def asof_join(ds_left, ds_right, key, on, right_cols,
               num_partitions: int = 16):
     """As-of join: for each left row, the latest right row with the same

@@ -59,12 +59,14 @@ def langid_batch(batch: pa.Table) -> pa.Table:
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, fingerprint) rolling-hash document fingerprints."""
+    """(doc_id, fingerprint) rolling-hash document fingerprints.
+    Values live in [0, 2^61-1) so int64 is lossless — kept signed for
+    DuckDB-oracle parity (HUGEINT arithmetic casts to BIGINT)."""
     values, offsets = list_column_to_numpy(batch["tokens"])
     fp = rolling_fingerprint(values, offsets)
     return pa.table({
         "doc_id": batch["doc_id"],
-        "fingerprint": pa.array(fp, pa.uint64()),
+        "fingerprint": pa.array(fp.astype(np.int64), pa.int64()),
     })
 
 
@@ -177,6 +179,64 @@ def per_source_stats(ds):
         Min("tok_min", alias_name="tok_min"),
         Max("tok_max", alias_name="tok_max"),
     )
+
+
+def per_source_token_quantiles(ds, qs=(0.5, 0.9, 0.99)):
+    """Exact per-source token quantiles via bounded-domain histograms.
+
+    Quantiles are not algebraic, but the token domain is bounded (code
+    points), so exact quantiles reduce to a histogram: per-batch bincount
+    partials over a combined (source, token) key (combiner before
+    shuffle), a keyed sum whose state is O(sources x vocab) REGARDLESS of
+    corpus size, and rank extraction from the cumulative histogram — no
+    sort, no per-row shuffle.  This is the scale-first alternative to a
+    distributed sort or an approximate sketch, and it is exact.
+
+    Rank convention matches DuckDB ``quantile_disc``: the value at 0-based
+    rank ceil(q*n) - 1 of the sorted multiset.
+    -> (source, n_tokens, p50, p90, p99 ...)."""
+    from ray.data.aggregate import Sum
+
+    def partial_hist(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        values, offsets = list_column_to_numpy(batch["tokens"])
+        lengths = np.diff(offsets).astype(np.int64)
+        srcs = pd.Series(batch["source"].to_pylist())
+        codes, uniques = pd.factorize(srcs)
+        src_per_tok = np.repeat(codes, lengths)
+        if len(values) == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "tok": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        span = int(values.max()) + 1
+        key = src_per_tok * span + values.astype(np.int64)
+        counts = np.bincount(key, minlength=len(uniques) * span)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            "source": pa.array(uniques[nz // span]),
+            "tok": pa.array((nz % span).astype(np.int64), pa.int64()),
+            "cnt": pa.array(counts[nz].astype(np.int64), pa.int64()),
+        })
+
+    hist = (ds.map_batches(partial_hist, batch_format="pyarrow")
+            .groupby(["source", "tok"])
+            .aggregate(Sum("cnt", alias_name="n")))
+
+    def finish(g):
+        import pandas as pd
+
+        g = g.sort_values("tok")
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        toks = g["tok"].to_numpy()
+        row = {"source": g["source"].iloc[0], "n_tokens": n}
+        for q in qs:
+            rank = int(np.ceil(q * n)) - 1
+            row[f"p{int(q * 100)}"] = int(toks[np.searchsorted(cum, rank + 1)])
+        return pd.DataFrame([row])
+
+    return hist.groupby("source").map_groups(finish, batch_format="pandas")
 
 
 def per_source_distinct_tokens(ds, salt_buckets: int = 32):

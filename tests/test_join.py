@@ -104,6 +104,35 @@ def test_semi_and_anti_join(ray_session):
     assert not anti.l_orderkey.isin(keys).any()
 
 
+def test_bloom_semi_join_exact(ray_session):
+    """Bloom prefilter + verification must equal the broadcast semi join
+    exactly; prefilter alone must have zero false negatives."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.join import (
+        bloom_semi_join,
+        broadcast_semi_join,
+    )
+
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+    keys = np.arange(0, 2000, 3)
+    keys_ds = ray.data.from_pandas(pd.DataFrame({"l_orderkey": keys}))
+
+    exact = (bloom_semi_join(li, keys_ds, "l_orderkey")
+             .to_pandas().sort_values(["l_orderkey", "l_quantity"])
+             .reset_index(drop=True))
+    expected = (broadcast_semi_join(li, keys, "l_orderkey")
+                .to_pandas().sort_values(["l_orderkey", "l_quantity"])
+                .reset_index(drop=True))
+    pd.testing.assert_frame_equal(exact[expected.columns.tolist()], expected)
+
+    pre = bloom_semi_join(li, keys_ds, "l_orderkey", exact=False).to_pandas()
+    # no false negatives: every true member survives the prefilter
+    assert set(map(tuple, expected.values)) <= set(
+        map(tuple, pre[expected.columns.tolist()].values))
+
+
 def test_semi_join_query_oracle(ray_session):
     import __ray_entry__ as e
 

@@ -68,7 +68,9 @@ def test_entry_smoke(entry_mod):
 @pytest.mark.parametrize("name", ["sequences_meta", "rollup_1m", "rollup_1h",
                                   "doc_stats", "quality", "word_counts",
                                   "dedup_exact", "events_rollup_hourly",
-                                  "moving_stats_w8"])
+                                  "moving_stats_w8", "fingerprints",
+                                  "per_source_token_quantiles",
+                                  "sliding_event_counts", "ann_topk"])
 def test_oracle_parity(entry_mod, oracle_con, name):
     engine = _to_pandas(entry_mod.queries()[name](SF))
     oracle = oracle_con.execute(entry_mod.oracle_sql()[name]).df()
