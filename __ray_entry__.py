@@ -150,9 +150,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 for v in head["embedding"].to_pylist()])
         ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                    columns=["vec_id", "embedding"])
-        # persisted index keyed by input dir: the build is a one-time
-        # corpus pass; every query after reads only the probed partitions
-        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        # persisted index keyed by input file identity (path + size +
+        # mtime): the build is a one-time corpus pass; every query after
+        # reads only the probed partitions, and a regenerated input gets
+        # a fresh index instead of a stale cache
+        import os as _os
+
+        st = _os.stat(f"{sf_dir}/embeddings.parquet")
+        ident = f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}"
+        tag = hashlib.sha1(ident.encode()).hexdigest()[:10]
         return ivf_topk(ds, queries_mat, k=5,
                         index_dir=f"/tmp/ivf_index_{tag}")
 

@@ -125,7 +125,15 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
 
     At 100 TB this is the only full-corpus pass ANN ever makes; every query
     afterwards touches ``nprobe/n_centroids`` of the bytes."""
+    import shutil
+
     import ray
+
+    # a partial dir from a crashed build would get appended to — rebuild
+    # from clean (the centroids file is written LAST, so its presence is
+    # the build-complete marker ivf_topk keys on)
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
 
     sample_rows = ds.limit(sample_size).take_all()
     sample = np.stack([np.asarray(r["embedding"], dtype="d")

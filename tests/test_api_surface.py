@@ -154,6 +154,41 @@ def test_plot_data_surfaces(sampledata):
         plot_data({"class": "bogus"})
 
 
+def test_render_svg(sampledata, tmp_path):
+    """Dependency-free SVG render: one well-formed document per figure,
+    with marks and geometry present."""
+    import xml.etree.ElementTree as ET
+
+    from matrixprofile_1_ray.kernels import (
+        extract_regimes,
+        mpx,
+        skimp,
+        top_k_discords,
+        top_k_motifs,
+    )
+    from matrixprofile_1_ray.visualize import render_svg, render_svg_to_dir
+
+    prof = extract_regimes(top_k_motifs(top_k_discords(mpx(sampledata, 32))))
+    figs = render_svg(prof)
+    assert {"matrix_profile", "series", "discords",
+            "corrected_arc_curve"} <= set(figs)
+    for name, svg in figs.items():
+        root = ET.fromstring(svg)  # well-formed XML
+        assert root.tag.endswith("svg"), name
+    assert "polyline" in figs["matrix_profile"]
+    assert "circle" in figs["discords"]
+    # regimes draw as dashed rules on the CAC figure
+    assert figs["corrected_arc_curve"].count("stroke-dasharray") == len(
+        prof["regimes"])
+
+    pmp = skimp(sampledata, windows=[16, 32], sample_pct=1)
+    heat = render_svg(pmp)["pan_matrix_profile"]
+    assert "<rect" in heat and ET.fromstring(heat) is not None
+
+    paths = render_svg_to_dir(prof, str(tmp_path / "figs"))
+    assert all(p.endswith(".svg") for p in paths) and len(paths) == len(figs)
+
+
 def test_pmpi_int_nan_quirk(sampledata):
     """The reference's np.full(nan, dtype=int) padding becomes INT64_MIN
     (skimp.py:178) — preserved."""
