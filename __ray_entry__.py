@@ -562,8 +562,34 @@ def _round_score(df):
     return df
 
 
+def _simhash_sql() -> str:
+    """SQL reproduction of the 31-bit SimHash: polynomial k=5 shingle
+    hashes mod 2^31-1 (all intermediates < 2^52, BIGINT-safe) and a
+    per-bit majority vote ORed back together."""
+    h = "CAST(ascii(substr(text, i + 1, 1)) AS BIGINT)"
+    for j in range(1, 5):
+        h = (f"(({h} * CAST(1000003 AS BIGINT) + "
+             f"ascii(substr(text, i + {j + 1}, 1))) % 2147483647)")
+    bits = " + ".join(
+        f"(CASE WHEN 2 * sum((h >> {b}) & 1) >= count(*) "
+        f"THEN {1 << b} ELSE 0 END)" for b in range(31))
+    return f"""
+WITH seq AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+sh AS (
+  SELECT doc_id, {h} AS h
+  FROM (SELECT doc_id, text, unnest(range(length(text) - 4)) AS i
+        FROM seq WHERE length(text) >= 5)
+),
+agg AS (SELECT doc_id, CAST({bits} AS BIGINT) AS fingerprint
+        FROM sh GROUP BY doc_id)
+SELECT s.doc_id, coalesce(a.fingerprint, 0) AS fingerprint
+FROM seq s LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "simhash": _simhash_sql(),
         "sequences_meta": _SEQ_CTE + """
 SELECT s.doc_id, s.source,
        CAST(length(s.text) AS BIGINT) AS n_tok,

@@ -335,13 +335,14 @@ def connected_components(pairs_ds, max_iters: int = 8,
 
 
 def simhash_batch(batch: pa.Table, k: int = 5) -> pa.Table:
-    """(doc_id, simhash) fingerprints."""
+    """(doc_id, simhash) fingerprints.  31-bit values — int64 output for
+    DuckDB-oracle parity (the oracle recomputes the majority vote in SQL)."""
     values, offsets = list_column_to_numpy(batch["tokens"])
     flat, sh_off = shingle_hashes(values, offsets, k=k)
     fp = simhash(flat, sh_off)
     return pa.table({
         "doc_id": batch["doc_id"],
-        "fingerprint": pa.array(fp, pa.uint64()),
+        "fingerprint": pa.array(fp.astype(np.int64), pa.int64()),
     })
 
 
