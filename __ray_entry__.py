@@ -587,9 +587,43 @@ FROM seq s LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _langid_sql() -> str:
+    """SQL reproduction of the stopword/charset language heuristic: per-doc
+    distinct-word intersection counts against each marker set, winner =
+    first language in (en, de, fr, es) order whose count strictly beats
+    every earlier one (ties keep the earlier); CJK code points in the
+    first 200 chars short-circuit to zh."""
+    markers = {
+        "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+        "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+        "fr": ["le", "la", "et", "les", "des", "est", "dans", "une"],
+        "es": ["el", "la", "los", "de", "que", "es", "una", "por"],
+    }
+    def lst(words):
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    hits = {lang: ("len(list_intersect(list_distinct(string_split("
+                   f"lower(text), ' ')), {lst(words)}))")
+            for lang, words in markers.items()}
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CASE
+    WHEN regexp_matches(substr(text, 1, 200), '[^\\x00-\\x{{2E7F}}]') THEN 'zh'
+    WHEN {hits['es']} > {hits['en']} AND {hits['es']} > {hits['de']}
+         AND {hits['es']} > {hits['fr']} THEN 'es'
+    WHEN {hits['fr']} > {hits['en']} AND {hits['fr']} > {hits['de']}
+         THEN 'fr'
+    WHEN {hits['de']} > {hits['en']} THEN 'de'
+    ELSE 'en'
+  END AS lang_pred
+FROM documents
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_sql(),
+        "langid": _langid_sql(),
         "sequences_meta": _SEQ_CTE + """
 SELECT s.doc_id, s.source,
        CAST(length(s.text) AS BIGINT) AS n_tok,

@@ -165,6 +165,52 @@ def verify_jaccard_pairs(pairs_df: pd.DataFrame, sequences: pa.Table,
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
 
+def verify_jaccard_distributed(pairs_ds, sequences: pa.Table, k: int = 5,
+                               threshold: float = 0.8, batch_size: int = 256):
+    """Exact n-gram Jaccard verification of a candidate-pair DATASET — the
+    scale path: each doc's shingle multiset is its own object-store entry
+    (``ray.put`` per doc, as in stages/pairs.mpdist_pairs), a verifier
+    actor fetches only the two operands per pair with a bounded cache, and
+    only (doc_a, doc_b, jaccard) rows survive the threshold.  The corpus
+    never broadcasts and never shuffles."""
+    import ray
+
+    values, offsets = list_column_to_numpy(sequences["tokens"])
+    flat, sh_off = shingle_hashes(values, offsets, k=k)
+    ids = sequences["doc_id"].to_pylist()
+    refs = {d: ray.put(np.ascontiguousarray(flat[sh_off[i]:sh_off[i + 1]]))
+            for i, d in enumerate(ids)}
+    refs_ref = ray.put(refs)
+
+    class Verify:
+        def __init__(self):
+            self.refs = ray.get(refs_ref)
+            self.cache: dict = {}
+
+        def _shingles(self, d):
+            s = self.cache.get(d)
+            if s is None:
+                s = ray.get(self.refs[d])
+                if len(self.cache) >= 2048:
+                    self.cache.pop(next(iter(self.cache)))
+                self.cache[d] = s
+            return s
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            sims = np.array([
+                jaccard(self._shingles(a), self._shingles(b))
+                for a, b in zip(df["doc_a"], df["doc_b"])])
+            out = df[["doc_a", "doc_b"]].copy()
+            out["jaccard"] = sims
+            return out[out["jaccard"] >= threshold]
+
+    from .ann import auto_concurrency
+
+    return pairs_ds.map_batches(Verify, batch_format="pandas",
+                                batch_size=batch_size,
+                                concurrency=auto_concurrency())
+
+
 def dedup_groups(pairs_ds, driver_threshold: int = 1_000_000):
     """Candidate pairs -> duplicate groups.
 

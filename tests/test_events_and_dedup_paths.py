@@ -154,6 +154,32 @@ def test_verify_jaccard_pairs():
     assert out.jaccard.iloc[0] > 0.8
 
 
+def test_verify_jaccard_distributed_matches_driver(ray_session):
+    """The Dataset-input scale path (per-doc shingle refs, no corpus
+    broadcast) must agree exactly with the driver-side helper."""
+    import ray.data
+
+    from matrixprofile_1_ray.sources import synthetic_sequences_table
+    from matrixprofile_1_ray.stages.dedup import (
+        verify_jaccard_distributed,
+        verify_jaccard_pairs,
+    )
+
+    table = synthetic_sequences_table(12, seed=56, min_len=64, max_len=128)
+    ids = table["doc_id"].to_pylist()
+    pairs = pd.DataFrame({
+        "doc_a": [ids[i] for i in range(0, 10)],
+        "doc_b": [ids[i + 1] for i in range(0, 10)],
+    })
+    drv = verify_jaccard_pairs(pairs, table, threshold=0.0)
+    dist = (verify_jaccard_distributed(ray.data.from_pandas(pairs), table,
+                                       threshold=0.0)
+            .to_pandas().sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True))
+    drv = drv.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(dist, drv[dist.columns.tolist()])
+
+
 def test_frame_sample_batch():
     from matrixprofile_1_ray.stages.multimodal import frame_sample_batch
 

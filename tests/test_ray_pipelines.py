@@ -71,7 +71,7 @@ def test_entry_smoke(entry_mod):
                                   "moving_stats_w8", "fingerprints",
                                   "per_source_token_quantiles",
                                   "sliding_event_counts", "ann_topk",
-                                  "simhash"])
+                                  "simhash", "langid"])
 def test_oracle_parity(entry_mod, oracle_con, name):
     engine = _to_pandas(entry_mod.queries()[name](SF))
     oracle = oracle_con.execute(entry_mod.oracle_sql()[name]).df()
