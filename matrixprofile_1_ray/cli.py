@@ -81,6 +81,62 @@ def cmd_synth(args):
     print(json.dumps({"rows": args.rows, "path": args.output}))
 
 
+def cmd_dedup(args):
+    """End-to-end near-dup job: MinHash-LSH candidates -> exact Jaccard
+    verification (per-doc shingle refs, no corpus broadcast) -> duplicate
+    groups -> partitioned parquet of (doc_id, component)."""
+    import ray.data
+
+    from .sources.sequences import sequences_table_from_documents
+    from .stages.dedup import (
+        dedup_groups,
+        minhash_candidates,
+        verify_jaccard_distributed,
+    )
+
+    _init_ray(args.num_cpus)
+    seq_table = sequences_table_from_documents(args.input)
+    ds = ray.data.from_arrow(seq_table).repartition(args.num_cpus * 2)
+    cand = minhash_candidates(ds)
+    verified = verify_jaccard_distributed(cand, seq_table,
+                                          threshold=args.threshold)
+    groups = dedup_groups(verified)
+    groups.write_parquet(args.output)
+    out = groups.to_pandas()
+    print(json.dumps({
+        "candidates": cand.count(),
+        "verified_pairs": verified.count(),
+        "grouped_docs": len(out),
+        "components": int(out["component"].nunique()),
+        "path": args.output,
+    }))
+
+
+def cmd_ann(args):
+    """Build (once) and query the persisted IVF index."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .stages.ann import build_ivf_index, ivf_search
+
+    _init_ray(args.num_cpus)
+    emb_path = f"{args.input}/embeddings.parquet"
+    if args.build or not os.path.exists(
+            os.path.join(args.index_dir, "_centroids.parquet")):
+        ds = ray.data.read_parquet(emb_path,
+                                   columns=["vec_id", "embedding"])
+        build_ivf_index(ds, args.index_dir, n_centroids=args.centroids)
+    head = pq.read_table(emb_path).slice(0, args.queries)
+    qm = np.stack([np.asarray(v, dtype="d")
+                   for v in head["embedding"].to_pylist()])
+    out = ivf_search(args.index_dir, qm, k=args.k,
+                     nprobe=args.nprobe).to_pandas()
+    print(json.dumps({"index_dir": args.index_dir,
+                      "queries": args.queries, "k": args.k,
+                      "rows": len(out)}))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="matrixprofile_1_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -106,6 +162,28 @@ def main(argv=None):
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("dedup", help="near-dup job: LSH -> verify -> groups")
+    p.add_argument("--input", required=True,
+                   help="sf directory containing documents.parquet")
+    p.add_argument("--output", required=True)
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--num-cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser("ann", help="build/query the persisted IVF index")
+    p.add_argument("--input", required=True,
+                   help="sf directory containing embeddings.parquet")
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--build", action="store_true")
+    p.add_argument("--centroids", type=int, default=16)
+    p.add_argument("--nprobe", type=int, default=4)
+    p.add_argument("--queries", type=int, default=8)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--num-cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    p.set_defaults(fn=cmd_ann)
 
     args = parser.parse_args(argv)
     args.fn(args)

@@ -123,6 +123,33 @@ def test_cli_rollup_resume(ray_session, tmp_path):
     assert {"tier", "bucket", "t_min", "mp_min"} <= cols
 
 
+def test_cli_dedup_and_ann(ray_session, tmp_path, capsys):
+    """End-to-end CLI jobs: near-dup (LSH -> verify -> groups) and the
+    persisted-IVF build/query pair."""
+    import json
+
+    from matrixprofile_1_ray.cli import main
+
+    sf = "/root/testdata/sf0.001"
+    main(["dedup", "--input", sf, "--output", str(tmp_path / "dup"),
+          "--num-cpus", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["candidates"] > 0
+    assert out["components"] <= out["grouped_docs"]
+    assert os.path.isdir(tmp_path / "dup")
+
+    idx = str(tmp_path / "ivf")
+    main(["ann", "--input", sf, "--index-dir", idx, "--build",
+          "--queries", "4", "--k", "5", "--num-cpus", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 20
+    # second run reuses the index (no --build)
+    main(["ann", "--input", sf, "--index-dir", idx,
+          "--queries", "4", "--k", "5", "--num-cpus", "4"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 20
+
+
 def test_plot_data_surfaces(sampledata):
     from matrixprofile_1_ray.kernels import (
         extract_regimes,
