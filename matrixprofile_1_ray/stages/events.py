@@ -15,25 +15,56 @@ import numpy as np
 import pandas as pd
 
 
-def session_windows(ds, gap_minutes: int = 30):
+def session_windows(ds, gap_minutes: int = 30, num_partitions: int = 16):
     """Per-user session stats: a session breaks when the gap to the
     previous event exceeds ``gap_minutes``.
-    -> (user_id, n_sessions, n_events, max_session_events)."""
+    -> (user_id, n_sessions, n_events, max_session_events).
+
+    Users shuffle inside COARSE hash partitions; within a part the whole
+    sessionization is one vectorized pass over (user, ts)-sorted events —
+    session starts are `user changed OR gap exceeded`, per-session sizes
+    come from one bincount — instead of a per-user ``map_groups`` whose
+    per-key Python dispatch dominates at millions of users."""
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy())
-        starts = np.concatenate(([True], np.diff(ts) > gap))
-        session_ids = np.cumsum(starts)
-        sizes = np.bincount(session_ids)[1:]
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = (pd.util.hash_pandas_object(
+            df["user_id"].astype(str), index=False)
+            % num_partitions).astype(np.int64)
+        return df
+
+    def sessionize_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=g["user_id"].dtype),
+                "n_sessions": pd.Series(dtype=np.int64),
+                "n_events": pd.Series(dtype=np.int64),
+                "max_session_events": pd.Series(dtype=np.int64)})
+        g = g.sort_values(["user_id", "ts"])
+        users = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        new_user = np.concatenate(([True], users[1:] != users[:-1]))
+        big_gap = np.concatenate(([True], np.diff(ts) > gap))
+        starts = new_user | big_gap
+        session_ids = np.cumsum(starts)          # 1-based, global in part
+        sizes = np.bincount(session_ids)[1:]      # events per session
+        # per-user reduction: first/last session id per user row-run
+        run_starts = np.flatnonzero(new_user)
+        run_ends = np.concatenate((run_starts[1:], [len(users)]))
+        first_sid = session_ids[run_starts]
+        last_sid = session_ids[run_ends - 1]
+        max_sizes = np.maximum.reduceat(sizes, first_sid - 1)
         return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_sessions": np.array([int(starts.sum())], dtype=np.int64),
-            "n_events": np.array([len(ts)], dtype=np.int64),
-            "max_session_events": np.array([int(sizes.max())], dtype=np.int64),
+            "user_id": users[run_starts],
+            "n_sessions": (last_sid - first_sid + 1).astype(np.int64),
+            "n_events": (run_ends - run_starts).astype(np.int64),
+            "max_session_events": max_sizes.astype(np.int64),
         })
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (ds.map_batches(add_part, batch_format="pandas")
+            .groupby("_part")
+            .map_groups(sessionize_part, batch_format="pandas"))
 
 
 def sliding_window_counts(ds, window_minutes: int = 60, slide_minutes: int = 15):
