@@ -75,6 +75,29 @@ class BruteForceTopK:
         })
 
 
+def _refine_topk(candidates, k: int, num_partitions: int = 32):
+    """Global top-k per query from per-batch candidates: queries shuffle
+    inside COARSE hash partitions and each part refines ALL its queries in
+    one vectorized pandas pass (sort + groupby.head + cumcount) — a
+    per-query ``map_groups`` would pay Python dispatch per query id, which
+    dominates at thousands of queries."""
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_part"] = (df["query_id"] % num_partitions).astype(np.int64)
+        return df
+
+    def refine_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True])
+        g = g.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+        g["rank"] = g.groupby("query_id", sort=False).cumcount()
+        return g.drop(columns=["_part"])
+
+    return (candidates.map_batches(add_part, batch_format="pandas")
+            .groupby("_part").map_groups(refine_part, batch_format="pandas"))
+
+
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                      concurrency=None, batch_size: int = 4096):
     """-> (query_id, vec_id, score, rank) global top-k per query."""
@@ -90,14 +113,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 
-    def refine(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(len(g), dtype=np.int64)
-        return g
-
-    return candidates.groupby("query_id").map_groups(refine,
-                                                     batch_format="pandas")
+    return _refine_topk(candidates, k)
 
 
 def fit_centroids(sample: np.ndarray, n_centroids: int = 16,
@@ -235,14 +251,7 @@ def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
                                 batch_size=4096,
                                 concurrency=auto_concurrency())
 
-    def refine(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(len(g), dtype=np.int64)
-        return g
-
-    return candidates.groupby("query_id").map_groups(refine,
-                                                     batch_format="pandas")
+    return _refine_topk(candidates, k)
 
 
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
