@@ -206,6 +206,24 @@ def scrimp_plus_plus(ts, window_size: int, query=None, step_size: float = 0.25,
     sample_size = int(np.ceil(len(compute_order) * sample_pct))
     compute_order = np.random.choice(compute_order, size=sample_size, replace=False)
 
+    scrimp_refine_diags(ts, m, mu, sig, compute_order,
+                        profile["mp"], profile["pi"])
+
+    profile["algorithm"] = "scrimp++"
+    profile["sample_pct"] = sample_pct
+    return profile
+
+
+def scrimp_refine_diags(ts, m, mu, sig, diag_order, mp, pi):
+    """SCRIMP phase-2 refinement over an ORDERED sequence of sampled
+    diagonals, updating (mp, pi) in place with strict-< min merges
+    (reference scrimp.py:478-544 loop body).  Disjoint diagonal slices
+    merged in slice order with the same strict-< law reproduce the serial
+    result EXACTLY — the hook state/chunked.distributed_scrimp fans out
+    on."""
+    n = len(ts)
+    pl = n - m + 1
+    orig_index = np.arange(pl)
     curlastz = np.zeros(pl)
     curdistance = np.zeros(pl)
     dist1 = np.full(pl, np.inf)
@@ -213,10 +231,7 @@ def scrimp_plus_plus(ts, window_size: int, query=None, step_size: float = 0.25,
     u_buf = np.empty(pl)
     m_buf = np.empty(pl, dtype=bool)
 
-    mp = profile["mp"]
-    pi = profile["pi"]
-
-    for idx in compute_order:
+    for idx in diag_order:
         L = pl - idx
         # diagonal covariance walk, fused into reusable buffers
         curlastz[idx] = np.dot(ts[:m], ts[idx : idx + m])
@@ -247,7 +262,4 @@ def scrimp_plus_plus(ts, window_size: int, query=None, step_size: float = 0.25,
         loc2 = np.less(dist2, mp, out=m_buf)
         np.copyto(mp, dist2, where=loc2)
         np.copyto(pi, orig_index + idx, where=loc2)
-
-    profile["algorithm"] = "scrimp++"
-    profile["sample_pct"] = sample_pct
-    return profile
+    return mp, pi

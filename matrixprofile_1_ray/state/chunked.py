@@ -313,3 +313,62 @@ def distributed_stomp(ts, w: int, n_partitions: int = 8):
         "sample_pct": 1, "data": {"ts": ts, "query": None},
         "class": "MatrixProfile", "algorithm": "stomp_distributed",
     }
+
+
+def distributed_scrimp(ts, w: int, step_size: float = 0.25,
+                       sample_pct: float = 0.1, random_state=None,
+                       n_partitions: int = 8):
+    """SCRIMP++ over one long series as a Ray fan-out on the SAMPLED
+    diagonal axis.  Reproduces kernels.scrimp.scrimp_plus_plus EXACTLY
+    (same seed -> same sampled diagonals; contiguous slices of the sample
+    order run per task starting from +inf partials; partials merge in
+    slice order with the serial strict-< law, so values AND indices
+    match): phase-1 PreSCRIMP runs on the driver (anchor count is
+    len/(w*step) — cheap), phase 2 is the quadratic part that fans out."""
+    import ray
+
+    from ..kernels.scrimp import prescrimp, scrimp_refine_diags
+
+    if random_state is not None:
+        np.random.seed(random_state)
+    profile = prescrimp(ts, w, step_size=step_size, sample_pct=sample_pct,
+                        random_state=random_state)
+    ts_arr = profile["data"]["ts"]
+    m = profile["w"]
+    ez = profile["ez"]
+    pl = len(ts_arr) - m + 1
+
+    # EXACT replication of the serial sampling (same RNG call sequence)
+    orig_index = np.arange(pl)
+    compute_order = orig_index[orig_index > ez]
+    sample_size = int(np.ceil(len(compute_order) * sample_pct))
+    compute_order = np.random.choice(compute_order, size=sample_size,
+                                     replace=False)
+
+    from ..kernels.moving_stats import moving_avg_std
+
+    mu, sig = moving_avg_std(ts_arr, m)
+    shared = ray.put({"ts": ts_arr, "mu": mu, "sig": sig})
+
+    @ray.remote
+    def refine_slice(diags):
+        state = ray.get(shared)
+        mp = np.full(pl, np.inf)
+        pi = np.full(pl, -1, dtype=np.int64)
+        scrimp_refine_diags(state["ts"], m, state["mu"], state["sig"],
+                            diags, mp, pi)
+        return mp, pi
+
+    bounds = np.linspace(0, len(compute_order), n_partitions + 1).astype(int)
+    futures = [refine_slice.remote(compute_order[lo:hi])
+               for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo]
+
+    mp, pi = profile["mp"], profile["pi"]
+    for part_mp, part_pi in ray.get(futures):  # slice order = serial order
+        better = part_mp < mp
+        mp[better] = part_mp[better]
+        pi[better] = part_pi[better]
+
+    profile["algorithm"] = "scrimp++_distributed"
+    profile["sample_pct"] = sample_pct
+    return profile

@@ -203,3 +203,19 @@ def test_file_fingerprint_changes(tmp_path):
     f1 = file_fingerprint(str(p))
     p.write_bytes(b"abcd")
     assert file_fingerprint(str(p)) != f1
+
+
+def test_distributed_scrimp_equals_serial(ray_session, sampledata):
+    """Phase-2 fan-out must reproduce the serial SCRIMP++ EXACTLY (values
+    and indices): same seed -> same sampled diagonals, slice-ordered
+    strict-< merge."""
+    from matrixprofile_1_ray.kernels.scrimp import scrimp_plus_plus
+    from matrixprofile_1_ray.state.chunked import distributed_scrimp
+
+    serial = scrimp_plus_plus(sampledata, 32, sample_pct=0.25,
+                              random_state=99)
+    dist = distributed_scrimp(sampledata, 32, sample_pct=0.25,
+                              random_state=99, n_partitions=4)
+    np.testing.assert_array_equal(serial["mp"], dist["mp"])
+    np.testing.assert_array_equal(serial["pi"], dist["pi"])
+    assert dist["algorithm"] == "scrimp++_distributed"
