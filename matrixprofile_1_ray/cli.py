@@ -66,7 +66,8 @@ def cmd_rollup(args):
                               batch_format="pyarrow", batch_size=32)
 
     status = run_partitioned(args.output, partitions, make,
-                             progress=lambda k: print(f"done {k}", file=sys.stderr))
+                             progress=lambda k: print(f"done {k}", file=sys.stderr),
+                             concurrent_jobs=args.jobs)
     print(json.dumps({"partitions": status,
                       "done": sum(v == "done" for v in status.values()),
                       "skipped": sum(v == "skipped" for v in status.values())}))
@@ -150,6 +151,9 @@ def main(argv=None):
     p.add_argument("--partitions", type=int, default=8,
                    help="target number of resume partitions")
     p.add_argument("--files-per-partition", type=int, default=None)
+    p.add_argument("--jobs", type=int, default=2,
+                   help="overlapped partition executions (hides per-"
+                        "partition fixed startup; keep small)")
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     p.set_defaults(fn=cmd_rollup)

@@ -219,3 +219,31 @@ def test_distributed_scrimp_equals_serial(ray_session, sampledata):
     np.testing.assert_array_equal(serial["mp"], dist["mp"])
     np.testing.assert_array_equal(serial["pi"], dist["pi"])
     assert dist["algorithm"] == "scrimp++_distributed"
+
+
+def test_run_partitioned_concurrent_jobs(ray_session, tmp_path):
+    """Overlapped partition executions produce the same outputs/manifest
+    semantics as the serial path."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    def make(key):
+        table = synthetic_sequences_table(3, seed=int(key[-1]))
+        return ray.data.from_arrow(rollup_batch(table, tiers={"1m": 60}))
+
+    parts = {f"part{i}": f"fp{i}" for i in range(4)}
+    serial = str(tmp_path / "serial")
+    conc = str(tmp_path / "conc")
+    assert set(run_partitioned(serial, parts, make).values()) == {"done"}
+    assert set(run_partitioned(conc, parts, make,
+                               concurrent_jobs=3).values()) == {"done"}
+    for key in parts:
+        a = pads.dataset(f"{serial}/{key}").to_table().to_pandas()
+        b = pads.dataset(f"{conc}/{key}").to_table().to_pandas()
+        cols = sorted(a.columns)
+        pd.testing.assert_frame_equal(
+            a[cols].sort_values(cols).reset_index(drop=True),
+            b[cols].sort_values(cols).reset_index(drop=True))
+    # resume skips everything
+    assert set(run_partitioned(conc, parts, make,
+                               concurrent_jobs=3).values()) == {"skipped"}
