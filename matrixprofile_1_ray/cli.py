@@ -98,10 +98,14 @@ def cmd_dedup(args):
     _init_ray(args.num_cpus)
     seq_table = sequences_table_from_documents(args.input)
     ds = ray.data.from_arrow(seq_table).repartition(args.num_cpus * 2)
-    cand = minhash_candidates(ds)
-    verified = verify_jaccard_distributed(cand, seq_table,
-                                          threshold=args.threshold)
-    groups = dedup_groups(verified)
+    # materialize each stage once: Datasets are lazy and uncached, so a
+    # count() on a lazy stage would re-run its whole upstream chain —
+    # counting candidates, verifying, grouping and writing off one
+    # materialized result each keeps this a single pass per stage
+    cand = minhash_candidates(ds).materialize()
+    verified = verify_jaccard_distributed(
+        cand, seq_table, threshold=args.threshold).materialize()
+    groups = dedup_groups(verified).materialize()
     groups.write_parquet(args.output)
     out = groups.to_pandas()
     print(json.dumps({

@@ -230,9 +230,12 @@ def _decode_matrix(payload: bytes, signed: bool):
                     data = _decode_packed_varints(v, signed=True)
                 else:
                     data = np.frombuffer(v, dtype="<f8").copy()
-            else:  # non-packed single element
-                extra = (np.frombuffer(v, dtype="<f8")
-                         if not signed else np.array([v], dtype=np.int64))
+            else:  # non-packed single element (proto2-style writers)
+                if signed:
+                    iv = v - (1 << 64) if v >= 1 << 63 else v
+                    extra = np.array([iv], dtype=np.int64)
+                else:
+                    extra = np.frombuffer(v, dtype="<f8")
                 data = extra if data is None else np.concatenate([data, extra])
     if data is None or len(data) < 1:
         return None

@@ -97,13 +97,28 @@ AVAILABLE = False
 _lib = None
 
 
+def _cache_dir() -> str:
+    """Per-user 0700 cache dir — a world-writable /tmp path would let
+    another local user plant a .so at the predictable source-hash name."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    path = os.path.join(base, "mpf1ray_native")
+    try:
+        os.makedirs(path, mode=0o700, exist_ok=True)
+        if os.stat(path).st_uid != os.getuid():
+            raise PermissionError(path)
+    except Exception:
+        # fall back to a fresh private tempdir (no reuse across processes)
+        path = tempfile.mkdtemp(prefix="mpf1ray_native_")
+    return path
+
+
 def _build() -> str:
     tag = hashlib.sha1(_SRC.encode()).hexdigest()[:16]
-    cache_dir = os.path.join(tempfile.gettempdir(), "mpf1ray_native")
+    cache_dir = _cache_dir()
     so_path = os.path.join(cache_dir, f"kernels_{tag}.so")
-    if os.path.exists(so_path):
+    if os.path.exists(so_path) and os.stat(so_path).st_uid == os.getuid():
         return so_path
-    os.makedirs(cache_dir, exist_ok=True)
     c_path = os.path.join(cache_dir, f"kernels_{tag}.c")
     with open(c_path, "w") as f:
         f.write(_SRC)

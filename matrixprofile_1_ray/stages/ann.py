@@ -133,7 +133,8 @@ def fit_centroids(sample: np.ndarray, n_centroids: int = 16,
 
 
 def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
-                    sample_size: int = 2048, seed: int = 13) -> np.ndarray:
+                    sample_size: int = 2048, seed: int = 13,
+                    input_fingerprint: str = "") -> np.ndarray:
     """One-time IVF build: fit centroids on a sample, assign every vector to
     its centroid in one streaming ``map_batches`` pass, and persist the
     corpus hive-partitioned by centroid id.  The tiny centroid matrix lands
@@ -172,12 +173,23 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
      .write_parquet(index_dir, partition_cols=["centroid"]))
 
     import pyarrow.parquet as pq
-    pq.write_table(
-        pa.table({"centroid": pa.array(np.arange(len(centroids)), pa.int64()),
-                  "vector": pa.array(list(centroids),
-                                     pa.list_(pa.float64()))}),
-        os.path.join(index_dir, "_centroids.parquet"))
+    meta_table = pa.table({
+        "centroid": pa.array(np.arange(len(centroids)), pa.int64()),
+        "vector": pa.array(list(centroids), pa.list_(pa.float64())),
+    })
+    meta_table = meta_table.replace_schema_metadata(
+        {b"input_fingerprint": input_fingerprint.encode()})
+    pq.write_table(meta_table, os.path.join(index_dir, "_centroids.parquet"))
     return centroids
+
+
+def ivf_index_fingerprint(index_dir: str) -> str:
+    """The input fingerprint recorded at build time ('' if none)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_schema(
+        os.path.join(index_dir, "_centroids.parquet")).metadata or {}
+    return meta.get(b"input_fingerprint", b"").decode()
 
 
 def load_ivf_centroids(index_dir: str) -> np.ndarray:
@@ -256,15 +268,23 @@ def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
 
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
              nprobe: int = 4, sample_size: int = 2048, seed: int = 13,
-             index_dir: str | None = None):
+             index_dir: str | None = None,
+             input_fingerprint: str | None = None):
     """Build-then-query convenience: persist the IVF index (one corpus
     pass) and answer ``queries`` from the probed partitions only.  Pass
-    ``index_dir`` to reuse/persist the index across calls."""
+    ``index_dir`` to reuse/persist the index across calls and
+    ``input_fingerprint`` (any string identifying the corpus version,
+    e.g. path+size+mtime) so a cached index built from a DIFFERENT corpus
+    is rebuilt instead of silently answering from stale data."""
     import tempfile
 
     if index_dir is None:
         index_dir = tempfile.mkdtemp(prefix="ivf_index_")
-    if not os.path.exists(os.path.join(index_dir, "_centroids.parquet")):
+    marker = os.path.join(index_dir, "_centroids.parquet")
+    stale = (os.path.exists(marker) and input_fingerprint is not None
+             and ivf_index_fingerprint(index_dir) != input_fingerprint)
+    if stale or not os.path.exists(marker):
         build_ivf_index(ds, index_dir, n_centroids=n_centroids,
-                        sample_size=sample_size, seed=seed)
+                        sample_size=sample_size, seed=seed,
+                        input_fingerprint=input_fingerprint or "")
     return ivf_search(index_dir, queries, k=k, nprobe=nprobe)

@@ -184,21 +184,13 @@ def verify_jaccard_distributed(pairs_ds, sequences: pa.Table, k: int = 5,
 
     class Verify:
         def __init__(self):
-            self.refs = ray.get(refs_ref)
-            self.cache: dict = {}
+            from ..state.refcache import RefCache
 
-        def _shingles(self, d):
-            s = self.cache.get(d)
-            if s is None:
-                s = ray.get(self.refs[d])
-                if len(self.cache) >= 2048:
-                    self.cache.pop(next(iter(self.cache)))
-                self.cache[d] = s
-            return s
+            self.shingles = RefCache(ray.get(refs_ref), max_items=2048)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             sims = np.array([
-                jaccard(self._shingles(a), self._shingles(b))
+                jaccard(self.shingles.get(a), self.shingles.get(b))
                 for a, b in zip(df["doc_a"], df["doc_b"])])
             out = df[["doc_a", "doc_b"]].copy()
             out["jaccard"] = sims
@@ -280,7 +272,11 @@ def connected_components(pairs_ds, max_iters: int = 8,
     import ray
     import ray.data
 
-    P = num_partitions
+    # num_returns=1 would hand the next wave a ref to the whole 1-list
+    # instead of per-part refs, so a single partition is widened to two
+    # (same result; the code-review repro showed pd.concat crashing on the
+    # list element)
+    P = max(2, num_partitions)
 
     @ray.remote
     def scatter_edges(df: pd.DataFrame):
@@ -343,8 +339,6 @@ def connected_components(pairs_ds, max_iters: int = 8,
     block_refs = pairs_ds.to_pandas_refs()
     scattered = [scatter_edges.options(num_returns=P).remote(b)
                  for b in block_refs]
-    if P == 1:  # num_returns=1 yields a bare ref to the 1-list
-        scattered = [[s] for s in scattered]
     parts = [build_part.remote(*[s[p] for s in scattered]) for p in range(P)]
 
     prev_sig = None
@@ -352,12 +346,8 @@ def connected_components(pairs_ds, max_iters: int = 8,
     for _ in range(max_iters):
         outs = [wave_a.options(num_returns=2 * P).remote(part)
                 for part in parts]
-        if 2 * P == 1:
-            outs = [[o] for o in outs]
         replies = [wave_b.options(num_returns=P).remote(
             parts[q], *[o[P + q] for o in outs]) for q in range(P)]
-        if P == 1:
-            replies = [[r] for r in replies]
         new_parts, sigs = [], []
         for r in range(P):
             cands = [o[r] for o in outs] + [rep[r] for rep in replies]

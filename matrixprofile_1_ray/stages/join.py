@@ -189,15 +189,20 @@ def bloom_semi_join(ds, keys_ds, key: str, num_bits: int = 1 << 23,
 
 
 def asof_join(ds_left, ds_right, key, on, right_cols,
-              num_partitions: int = 16):
+              num_partitions: int = 16, left_cols=None):
     """As-of join: for each left row, the latest right row with the same
     ``key`` and ``on``-value <= the left's.  Same coarse hash-partition
     shuffle as :func:`hash_join`; within each part both sides sort by
     ``on`` and a vectorized ``pd.merge_asof`` does the matching.
 
-    ``right_cols`` names the right side's value columns explicitly so a
-    part with no right rows still yields the full (null-filled) schema —
-    column presence must not depend on which keys landed in a part."""
+    Both sides' column lists are explicit (``right_cols`` required,
+    ``left_cols`` defaulting to the left schema) so a part never infers
+    sides via ``dropna`` — an all-null-in-part left column must survive,
+    and a part with no right rows still yields the full (null-filled)
+    schema."""
+    if left_cols is None:
+        left_cols = [c for c in ds_left.schema().names
+                     if c not in right_cols]
     left_tagged = ds_left.map_batches(
         lambda df: _with_part(df, [key], num_partitions, "a"),
         batch_format="pandas")
@@ -205,25 +210,26 @@ def asof_join(ds_left, ds_right, key, on, right_cols,
         lambda df: _with_part(df, [key], num_partitions, "b"),
         batch_format="pandas")
     both = left_tagged.union(right_tagged)
+    out_cols = list(left_cols) + [c for c in right_cols
+                                  if c not in left_cols]
 
     def join_part(g: pd.DataFrame) -> pd.DataFrame:
-        left = (g[g["_side"] == "a"].drop(columns=["_side", "_part"])
-                .drop(columns=[c for c in right_cols if c in g.columns])
-                .dropna(axis=1, how="all"))
+        left = g[g["_side"] == "a"].reindex(columns=left_cols)
         # reindex: a part whose blocks are all left-side may lack the right
         # columns entirely (union of heterogeneous schemas)
         right = (g[g["_side"] == "b"]
                  .reindex(columns=[key, on] + list(right_cols)))
         if left.empty:
-            return pd.DataFrame()
+            return pd.DataFrame(columns=out_cols)
         left = left.sort_values(on)
         if right.empty:
             out = left.copy()
             for c in right_cols:
                 out[c] = np.nan
-            return out
+            return out.reindex(columns=out_cols)
         right = right.sort_values(on)
-        return pd.merge_asof(left, right, on=on, by=key,
-                             direction="backward")
+        return (pd.merge_asof(left, right, on=on, by=key,
+                              direction="backward")
+                .reindex(columns=out_cols))
 
     return both.groupby("_part").map_groups(join_part, batch_format="pandas")

@@ -91,21 +91,13 @@ def mpdist_pairs(sequences: pa.Table, w: int, threshold: float = 0.05,
         the local object store, not the wire."""
 
         def __init__(self):
-            self.refs = ray.get(refs_ref)
-            self.cache: dict = {}
+            from ..state.refcache import RefCache
 
-        def _series(self, d):
-            s = self.cache.get(d)
-            if s is None:
-                s = ray.get(self.refs[d])
-                if len(self.cache) >= 1024:
-                    self.cache.pop(next(iter(self.cache)))
-                self.cache[d] = s
-            return s
+            self.series = RefCache(ray.get(refs_ref), max_items=1024)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             dists = [
-                mpdist(self._series(a), self._series(b), w,
+                mpdist(self.series.get(a), self.series.get(b), w,
                        threshold=threshold)
                 for a, b in zip(batch["doc_a"].to_pylist(),
                                 batch["doc_b"].to_pylist())

@@ -75,6 +75,20 @@ def test_connected_components_long_chain_pointer_doubling(ray_session):
     assert (out == "n00").all()
 
 
+def test_connected_components_single_partition(ray_session):
+    """num_partitions=1 is widened internally (num_returns=1 would hand a
+    whole-list ref to the next wave) — must not crash."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.dedup import connected_components
+
+    pairs = pd.DataFrame({"doc_a": ["a", "b"], "doc_b": ["b", "c"]})
+    out = (connected_components(ray.data.from_pandas(pairs),
+                                num_partitions=1)
+           .to_pandas().set_index("doc_id")["component"])
+    assert (out == "a").all()
+
+
 def test_dedup_groups_end_to_end(ray_session):
     """LSH candidates -> dedup groups over the sf corpus (driver
     union-find path for the small candidate set)."""

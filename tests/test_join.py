@@ -104,6 +104,27 @@ def test_semi_and_anti_join(ray_session):
     assert not anti.l_orderkey.isin(keys).any()
 
 
+def test_asof_join_keeps_all_null_left_column(ray_session):
+    """asof_join must not drop a left column that is all-null in a part
+    (the dropna side-splitter defect fixed in hash_join existed here too)."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.join import asof_join
+
+    left = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 1, 2, 2], "ts": [10, 20, 10, 20],
+        "lv": [None, None, None, None]}))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 2], "ts": [5, 15], "rv": [1.0, 2.0]}))
+    out = asof_join(left, right, "k", "ts", ["rv"],
+                    num_partitions=4).to_pandas()
+    assert sorted(out.columns) == ["k", "lv", "rv", "ts"]
+    assert len(out) == 4
+    assert out["lv"].isna().all()
+    assert out.sort_values(["k", "ts"]).rv.tolist() == [1.0, 1.0, None, 2.0] \
+        or out["rv"].notna().sum() == 3
+
+
 def test_bloom_semi_join_exact(ray_session):
     """Bloom prefilter + verification must equal the broadcast semi join
     exactly; prefilter alone must have zero false negatives."""

@@ -153,6 +153,24 @@ def test_mpf_roundtrip_motifs_discords_av():
     assert back["av_type"] == "complexity"
 
 
+def test_mpf_unpacked_negative_int64():
+    """proto2-style writers emit repeated int64 UNPACKED; negative values
+    (pi = -1 unmatched, INT64_MIN pmpi quirk) must decode via two's
+    complement, not overflow."""
+    from matrixprofile_1_ray.io.mpf import _f_varint, _f_bytes, _varint, _tag
+
+    # hand-build an IntMatrix with unpacked data: rows=3, three elements
+    vals = [-1, 5, -(1 << 63)]
+    payload = _f_varint(1, 3)
+    for v in vals:
+        payload += _tag(3, 0) + _varint(v)
+    mp_msg = _f_bytes(2, payload)  # field 2 = pi inside MatrixProfile
+    buf = (_f_bytes(1, b"MatrixProfile")  # klass
+           + _f_bytes(8, mp_msg))         # mp envelope
+    out = from_mpf(buf)
+    assert out["pi"].tolist() == vals
+
+
 def test_mpf_wire_compatible_with_protobuf():
     """Bytes we write parse with Google's protobuf against the reference
     schema, and bytes protobuf writes load through our decoder — true
