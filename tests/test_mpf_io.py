@@ -153,6 +153,21 @@ def test_mpf_roundtrip_motifs_discords_av():
     assert back["av_type"] == "complexity"
 
 
+def test_av_io_mpf_roundtrip():
+    """Corrected-profile artifacts survive the binary format (reference
+    tests/test_annotation_vector.py:54-81 test_av_io_MPF, re-expressed)."""
+    from matrixprofile_1_ray.kernels.transform import apply_av
+
+    rng = np.random.default_rng(10)
+    ts = rng.uniform(size=512)
+    profile = apply_av(mpx(ts, 32), "default")
+    back = from_mpf(to_mpf(profile))
+    np.testing.assert_equal(back["av"], profile["av"])
+    np.testing.assert_equal(back["cmp"], profile["cmp"])
+    assert back["av_type"] == profile["av_type"] == "default"
+    np.testing.assert_equal(back["mp"], profile["mp"])
+
+
 def test_mpf_unpacked_negative_int64():
     """proto2-style writers emit repeated int64 UNPACKED; negative values
     (pi = -1 unmatched, INT64_MIN pmpi quirk) must decode via two's
