@@ -113,15 +113,26 @@ def minhash_candidates(ds, k: int = 5, num_perm: int = 64, bands: int = 16,
         batch_format="pyarrow")
 
     def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+        """All i<j pairs within each multi-doc bucket, vectorized by SIZE
+        CLASS: buckets of equal size share one triu index pattern, so the
+        loop runs over the handful of distinct bucket sizes — not over the
+        (potentially millions of) buckets themselves."""
         df = df.sort_values(["band", "band_key", "doc_id"])
-        sizes = df.groupby(["band", "band_key"])["doc_id"].transform("size")
-        multi = df[sizes > 1]
+        docs = df["doc_id"].to_numpy()
+        key_change = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            key_change[1:] = ((df["band"].to_numpy()[1:]
+                               != df["band"].to_numpy()[:-1])
+                              | (df["band_key"].to_numpy()[1:]
+                                 != df["band_key"].to_numpy()[:-1]))
+        starts = np.flatnonzero(key_change)
+        sizes = np.diff(np.concatenate((starts, [len(df)])))
         out_a, out_b = [], []
-        for (_band, _key), g in multi.groupby(["band", "band_key"]):
-            docs = g["doc_id"].to_numpy()
-            ii, jj = np.triu_indices(len(docs), 1)
-            out_a.append(docs[ii])
-            out_b.append(docs[jj])
+        for s in np.unique(sizes[sizes > 1]):
+            grp_starts = starts[sizes == s]
+            ii, jj = np.triu_indices(int(s), 1)
+            out_a.append(docs[(grp_starts[:, None] + ii[None, :]).ravel()])
+            out_b.append(docs[(grp_starts[:, None] + jj[None, :]).ravel()])
         if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype=object),
                                  "doc_b": pd.Series([], dtype=object)})
