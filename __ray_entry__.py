@@ -106,21 +106,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def profiles_scalar(sf_dir: str):
         import pyarrow.compute as pc
 
+        from matrixprofile_1_ray.functions.tokenize import list_column_to_numpy
+
         ds = profiles_pipeline(sf_dir, w=32)
 
         def scalars(batch):
             import pyarrow as pa
 
-            mins = []
-            for row, ok in zip(batch["mp"], batch["valid"]):
-                vals = np.asarray(row.as_py(), dtype="d") if ok.as_py() else None
-                mins.append(float(np.min(vals)) if vals is not None and vals.size else None)
+            # flat values + reduceat over the nonempty rows' offsets — no
+            # per-row .as_py() (rows with empty profiles come out null)
+            values, offsets = list_column_to_numpy(batch["mp"])
+            nz = np.diff(offsets) > 0
+            mins = np.full(len(batch), np.nan)
+            if nz.any():
+                mins[nz] = np.minimum.reduceat(values.astype("d"),
+                                               offsets[:-1][nz])
             return pa.table({
                 "doc_id": batch["doc_id"],
                 "w": batch["w"],
                 "valid": batch["valid"],
                 "profile_len": pc.list_value_length(batch["mp"]).cast(pa.int64()),
-                "mp_min": pa.array(mins, pa.float64()),
+                "mp_min": pa.array(mins, pa.float64(), mask=~nz),
             })
 
         return ds.map_batches(scalars, batch_format="pyarrow")
@@ -206,10 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out
 
     from matrixprofile_1_ray.sources.sequences import sequences_table_from_documents
-    from matrixprofile_1_ray.stages.multimodal import (
-        make_fake_media_table,
-        media_features_stage,
-    )
+    from matrixprofile_1_ray.stages.multimodal import media_features_stage
     from matrixprofile_1_ray.stages.pairs import (
         ab_join_stage,
         hierarchical_clusters_distributed,
@@ -259,13 +262,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
 
         def scalars(batch):
-            mins = [float(np.min(r.as_py())) if len(r) else None
-                    for r in batch["cmp"]]
+            from matrixprofile_1_ray.functions.tokenize import (
+                list_column_to_numpy,
+            )
+
+            values, offsets = list_column_to_numpy(batch["cmp"])
+            nz = np.diff(offsets) > 0
+            mins = np.full(len(batch), np.nan)
+            if nz.any():
+                mins[nz] = np.minimum.reduceat(values.astype("d"),
+                                               offsets[:-1][nz])
             return pa.table({
                 "doc_id": batch["doc_id"],
                 "av_type": batch["av_type"],
                 "cmp_len": pc.list_value_length(batch["cmp"]).cast(pa.int64()),
-                "cmp_min": pa.array(mins, pa.float64()),
+                "cmp_min": pa.array(mins, pa.float64(), mask=~nz),
             })
 
         return ds.map_batches(scalars, batch_format="pyarrow")
@@ -295,6 +306,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return mass_search_stage(
             sequences_pipeline(sf_dir, verify_codec=False), q[:16], k=2)
 
+    def mp_small_query(sf_dir: str):
+        """Bounded-slice exploded profile rows — the driver-visible ORACLE
+        for the MP kernel (DuckDB brute-forces the z-norm ED self-join)."""
+        from matrixprofile_1_ray.stages.profile import mp_rows_small_batch
+
+        return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            mp_rows_small_batch, batch_format="pyarrow")
+
+    def mp_discords_small_query(sf_dir: str):
+        from matrixprofile_1_ray.stages.profile import mp_discord_top1_batch
+
+        return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            mp_discord_top1_batch, batch_format="pyarrow")
+
+    def mass_topk_query(sf_dir: str):
+        from matrixprofile_1_ray.stages.pairs import (
+            mass_topk_rows_batch,
+            pick_oracle_query_doc,
+        )
+
+        _qd, qts = pick_oracle_query_doc(sf_dir)
+        q = qts[:16]
+        return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            lambda b: mass_topk_rows_batch(b, q, k=2), batch_format="pyarrow")
+
+    def ab_small_query(sf_dir: str):
+        from matrixprofile_1_ray.stages.pairs import (
+            ab_profile_rows_batch,
+            pick_oracle_query_doc,
+        )
+
+        _qd, qts = pick_oracle_query_doc(sf_dir)
+        q = qts[:80]
+        return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            lambda b: ab_profile_rows_batch(b, q, w=16),
+            batch_format="pyarrow")
+
     def chunked_rollup_query(sf_dir: str):
         ds = sequences_pipeline(sf_dir, verify_codec=False).map_batches(
             lambda b: chunk_sequences_batch(b, chunk_tokens=97),
@@ -302,10 +350,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return chunked_rollup(ds, tiers={"1m": 60})
 
     def media_query(sf_dir: str):
+        """Media decode plumbing over documents-derived opaque payloads;
+        the deterministic sha256 fake features are recomputed by a DuckDB
+        oracle, exploded to (media_id, dim, feature) rows."""
+        import pyarrow as pa
         import ray.data
 
-        media = ray.data.from_arrow(make_fake_media_table(64, seed=1))
-        return media_features_stage(media, feature_dim=8)
+        from matrixprofile_1_ray.functions.tokenize import list_column_to_numpy
+        from matrixprofile_1_ray.stages.multimodal import media_from_documents
+
+        media = ray.data.from_arrow(media_from_documents(sf_dir, n=64))
+        feats = media_features_stage(media, feature_dim=8)
+
+        def explode(batch):
+            values, offsets = list_column_to_numpy(batch["features"])
+            lengths = np.diff(offsets)
+            rows = np.repeat(np.arange(len(batch)), lengths)
+            dims = np.arange(len(values)) - np.repeat(offsets[:-1], lengths)
+            return pa.table({
+                "media_id": batch["media_id"].take(pa.array(rows, pa.int64())),
+                "dim": pa.array(dims, pa.int64()),
+                "feature": pa.array(values.astype("d"), pa.float64()),
+            })
+
+        return feats.map_batches(explode, batch_format="pyarrow")
 
     def user_sessions_query(sf_dir: str):
         import ray.data
@@ -385,37 +453,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                               batch_size=None)
 
     def asof_query(sf_dir: str):
-        """Per order: timestamp of the customer's latest event at or before
-        the order date (hash-partitioned merge_asof; epoch-int64 timestamps
-        for cross-engine hash stability)."""
+        """Per event: the same user's latest STRICTLY-earlier event
+        timestamp (hash-partitioned merge_asof with exact matches off;
+        epoch-int64 timestamps for cross-engine hash stability).  Re-based
+        from orders-vs-events in round 3: TPC-H order dates predate every
+        event timestamp, so that fixture matched 0 rows — this self-asof
+        matches all but each user's first event, and the gate test asserts
+        the matched count is non-zero."""
         import pandas as pd
         import ray.data
 
         from matrixprofile_1_ray.stages.join import asof_join
 
-        orders = ray.data.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        left = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts"]).map_batches(
             lambda df: pd.DataFrame({
-                "o_orderkey": df["o_orderkey"],
-                "user_id": df["o_custkey"],
-                "ts": df["o_orderdate"].values.astype("datetime64[us]")
-                      .astype(np.int64),
+                "event_id": df["event_id"],
+                "user_id": df["user_id"],
+                "ts": df["ts"].values.astype("datetime64[us]").astype(np.int64),
             }), batch_format="pandas")
-        events = ray.data.read_parquet(
+        right = ray.data.read_parquet(
             f"{sf_dir}/events.parquet", columns=["user_id", "ts"]).map_batches(
             lambda df: pd.DataFrame({
                 "user_id": df["user_id"],
                 "ts": df["ts"].values.astype("datetime64[us]").astype(np.int64),
-                "last_event_ts": df["ts"].values.astype("datetime64[us]")
+                "prev_event_ts": df["ts"].values.astype("datetime64[us]")
                                  .astype(np.int64),
             }), batch_format="pandas")
-        out = asof_join(orders, events, key="user_id", on="ts",
-                        right_cols=["last_event_ts"])
+        out = asof_join(left, right, key="user_id", on="ts",
+                        right_cols=["prev_event_ts"],
+                        allow_exact_matches=False)
         return out.map_batches(
-            lambda df: df[["o_orderkey", "user_id", "ts", "last_event_ts"]]
-            .astype({"o_orderkey": "int64", "user_id": "int64",
-                     "ts": "int64", "last_event_ts": "float64"}),
+            lambda df: df[["event_id", "user_id", "ts", "prev_event_ts"]]
+            .astype({"event_id": "int64", "user_id": "int64",
+                     "ts": "int64", "prev_event_ts": "float64"}),
             batch_format="pandas")
 
     def sliding_counts_query(sf_dir: str):
@@ -468,13 +540,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            windows=windows)
 
         def discover(batch: pa.Table) -> pa.Table:
-            doc_ids, rows, cols_, ws = [], [], [], []
-            for doc in set(batch["doc_id"].to_pylist()):
-                prof = assemble_pmp(batch, doc, windows)
+            # sort once, slice each doc's contiguous run zero-copy — the
+            # per-doc kernel runs over the small slice, not the whole part
+            batch = batch.sort_by("doc_id")
+            doc_arr = np.asarray(batch["doc_id"])
+            docs_u, starts = np.unique(doc_arr, return_index=True)
+            ends = np.concatenate((starts[1:], [len(batch)]))
+            doc_ids, cols_, ws = [], [], []
+            for doc, a, b in zip(docs_u, starts, ends):
+                sub = batch.slice(int(a), int(b - a))
+                prof = assemble_pmp(sub, doc, windows)
                 out = pmp_top_k_discords(dict(prof), k=2)
                 for r, c in out["discords"]:
                     doc_ids.append(doc)
-                    rows.append(int(r))
                     cols_.append(int(c))
                     ws.append(windows[int(r)])
             return pa.table({
@@ -483,9 +561,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "discord_idx": pa.array(cols_, pa.int64()),
             })
 
-        # repartition so every (doc, window) row of one doc shares a batch
-        return pmp_ds.groupby("doc_id").map_groups(
-            lambda t: discover(t), batch_format="pyarrow")
+        # COARSE hash partitions (not per-key map_groups — Python dispatch
+        # per doc id dominates at corpus scale); every (doc, window) row of
+        # one doc lands in the same part by construction of the hash
+        import zlib
+
+        def add_part(batch: pa.Table) -> pa.Table:
+            part = np.array([zlib.crc32(d.encode()) % 32
+                             for d in batch["doc_id"].to_pylist()],
+                            dtype=np.int64)
+            return batch.append_column("_part", pa.array(part, pa.int64()))
+
+        return (pmp_ds.map_batches(add_part, batch_format="pyarrow")
+                .groupby("_part")
+                .map_groups(discover, batch_format="pyarrow"))
 
     qs: dict[str, Callable[[str], Any]] = {
         # sequences / rollups (oracle-checked)
@@ -534,6 +623,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_query,
         # chunked scale path (oracle-checked: must equal the plain rollup)
         "rollup_1m_chunked": chunked_rollup_query,
+        # bounded-slice MP family (DuckDB brute-force oracle-checked)
+        "mp_profiles_small": mp_small_query,
+        "mp_discords_small": mp_discords_small_query,
+        "mass_topk": mass_topk_query,
+        "ab_join_small": ab_small_query,
         # multi-window / pair / summary operators (rows-only)
         "pmp": pmp_query,
         "pick_mp_w32": pick_mp_query,
@@ -553,7 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_event_counts": sliding_counts_query,
         # relational joins (explicit partitioned hash / as-of)
         "order_lines_by_status": order_join_query,
-        "orders_last_event_asof": asof_query,
+        "prev_event_asof": asof_query,
         "open_order_lines_semi": semi_join_query,
     }
     return qs
@@ -620,6 +714,271 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
     ELSE 'en'
   END AS lang_pred
 FROM documents
+"""
+
+
+def _win_cte(w: int) -> str:
+    """Per-doc sliding-window mean/std CTEs over the tokenized docs (`ex`
+    from _SEQ_CTE) plus the shared near-constant-window doc guard (`good`).
+    Arithmetic mirrors stages/pairs._doc_window_stats so the sig2 >= 1e-3
+    decision and the mu/sig doubles are IEEE-identical across engines."""
+    return f"""
+, stats AS (
+  SELECT doc_id, idx AS i,
+         sum(tok) OVER win AS s,
+         sum(tok * tok) OVER win AS ss,
+         count(*) OVER win AS cnt
+  FROM ex
+  WINDOW win AS (PARTITION BY doc_id ORDER BY idx
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+), win AS (
+  SELECT doc_id, i, s / {w}.0 AS mu,
+         sqrt(greatest(ss / {w}.0 - (s / {w}.0) * (s / {w}.0), 0)) AS sig,
+         ss / {w}.0 - (s / {w}.0) * (s / {w}.0) AS sig2
+  FROM stats WHERE cnt = {w}
+), good AS (
+  SELECT doc_id FROM win GROUP BY doc_id HAVING min(sig2) >= 0.001
+)"""
+
+
+def _mp_small_rows_cte(w: int = 16, lo: int = 32, hi: int = 256) -> str:
+    """CTE chain ending in ``mp_rows(doc_id, idx, mp)`` — DuckDB
+    brute-force of the z-normalized ED self-join matrix profile on the
+    bounded doc slice (reference mpx semantics: minlag = ceil(w/4),
+    diagonals <= minlag excluded, Pearson clamped at 1).  Dot products are
+    windowed sums of token products along each diagonal."""
+    minlag = -(-w // 4)
+    return _SEQ_CTE + _win_cte(w) + f"""
+, sel AS (
+  SELECT g.doc_id FROM good g JOIN seq USING (doc_id)
+  WHERE length(seq.text) BETWEEN {lo} AND {hi}
+), e AS (SELECT ex.* FROM ex JOIN sel USING (doc_id))
+, prod AS (
+  SELECT a.doc_id, b.idx - a.idx AS d, a.idx AS u,
+         CAST(a.tok * b.tok AS DOUBLE) AS p
+  FROM e a JOIN e b
+    ON a.doc_id = b.doc_id AND b.idx - a.idx >= {minlag + 1})
+, qt AS (
+  SELECT doc_id, d, u AS i,
+         sum(p) OVER win AS qt, count(*) OVER win AS cnt
+  FROM prod
+  WINDOW win AS (PARTITION BY doc_id, d ORDER BY u
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING))
+, corr AS (
+  SELECT q.doc_id, q.i, q.i + q.d AS j,
+         (q.qt - {w} * wi.mu * wj.mu) / ({w} * wi.sig * wj.sig) AS c
+  FROM qt q
+  JOIN win wi ON wi.doc_id = q.doc_id AND wi.i = q.i
+  JOIN win wj ON wj.doc_id = q.doc_id AND wj.i = q.i + q.d
+  WHERE q.cnt = {w})
+, both_sides AS (
+  SELECT doc_id, i AS idx, c FROM corr
+  UNION ALL
+  SELECT doc_id, j AS idx, c FROM corr)
+, mp_rows AS (
+  SELECT doc_id, idx,
+         round(sqrt(greatest({2 * w} * (1 - least(max(c), 1.0)), 0)), 4) AS mp
+  FROM both_sides GROUP BY doc_id, idx)"""
+
+
+def _mp_small_sql() -> str:
+    return _mp_small_rows_cte() + "\nSELECT doc_id, idx, mp FROM mp_rows"
+
+
+def _mp_discords_small_sql() -> str:
+    return _mp_small_rows_cte() + """
+, r AS (
+  SELECT doc_id, idx, mp,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY mp DESC, idx ASC) AS rn
+  FROM mp_rows)
+SELECT doc_id, idx AS discord_idx, mp AS discord_dist FROM r WHERE rn = 1
+"""
+
+
+_QDOC_CTE = """
+, qdoc AS (
+  SELECT min(g.doc_id) AS qd
+  FROM good g JOIN seq USING (doc_id)
+  WHERE length(seq.text) BETWEEN 96 AND 256)
+"""
+
+
+def _mass_topk_sql() -> str:
+    w, ez = 16, 8
+    return _SEQ_CTE + _win_cte(w) + _QDOC_CTE + f"""
+, q AS (
+  SELECT ex.idx AS t, CAST(ex.tok AS DOUBLE) AS v
+  FROM ex JOIN qdoc ON ex.doc_id = qdoc.qd WHERE ex.idx < {w})
+, qs AS (
+  SELECT sum(v) / {w} AS muq,
+         sqrt(greatest(sum(v * v) / {w} - (sum(v) / {w}) * (sum(v) / {w}), 0))
+           AS sigq
+  FROM q)
+, dot AS (
+  SELECT e.doc_id, e.idx - q.t AS i,
+         sum(CAST(e.tok AS DOUBLE) * q.v) AS qt, count(*) AS cnt
+  FROM ex e JOIN q ON e.idx >= q.t
+  GROUP BY e.doc_id, e.idx - q.t)
+, dist AS (
+  SELECT d.doc_id, d.i AS idx,
+         round(sqrt(greatest({2 * w} * (1 - least(
+           (d.qt - {w} * w2.mu * qs.muq) / ({w} * w2.sig * qs.sigq), 1.0)),
+           0)), 4) AS distance
+  FROM dot d
+  JOIN win w2 ON w2.doc_id = d.doc_id AND w2.i = d.i
+  JOIN good g ON g.doc_id = d.doc_id
+  CROSS JOIN qs
+  WHERE d.cnt = {w})
+, r0 AS (
+  SELECT doc_id, idx, distance FROM (
+    SELECT dist.*, row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY distance ASC, idx ASC) AS rn
+    FROM dist) WHERE rn = 1)
+, r1 AS (
+  SELECT doc_id, idx, distance FROM (
+    SELECT d.doc_id, d.idx, d.distance,
+           row_number() OVER (PARTITION BY d.doc_id
+                              ORDER BY d.distance ASC, d.idx ASC) AS rn
+    FROM dist d JOIN r0 USING (doc_id)
+    WHERE d.idx NOT BETWEEN r0.idx - {ez} AND r0.idx + {ez}) WHERE rn = 1)
+SELECT doc_id, CAST(0 AS BIGINT) AS rank, idx AS match_idx, distance FROM r0
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT) AS rank, idx AS match_idx, distance FROM r1
+"""
+
+
+def _ab_small_sql() -> str:
+    w, qlen, lo, hi = 16, 80, 32, 256
+    return _SEQ_CTE + _win_cte(w) + _QDOC_CTE + f"""
+, qtok AS (
+  SELECT ex.idx AS t, CAST(ex.tok AS DOUBLE) AS v
+  FROM ex JOIN qdoc ON ex.doc_id = qdoc.qd WHERE ex.idx < {qlen})
+, qwin AS (
+  SELECT win.i AS j, win.mu AS muq, win.sig AS sigq
+  FROM win JOIN qdoc ON win.doc_id = qdoc.qd WHERE win.i <= {qlen - w})
+, sel AS (
+  SELECT g.doc_id FROM good g JOIN seq USING (doc_id)
+  WHERE length(seq.text) BETWEEN {lo} AND {hi})
+, e AS (SELECT ex.* FROM ex JOIN sel USING (doc_id))
+, prod AS (
+  SELECT e.doc_id, q.t - e.idx AS d, e.idx AS u,
+         CAST(e.tok AS DOUBLE) * q.v AS p
+  FROM e CROSS JOIN qtok q)
+, qt AS (
+  SELECT doc_id, d, u AS i,
+         sum(p) OVER win AS qt, count(*) OVER win AS cnt
+  FROM prod
+  WINDOW win AS (PARTITION BY doc_id, d ORDER BY u
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING))
+, corr AS (
+  SELECT q.doc_id, q.i,
+         (q.qt - {w} * wi.mu * qw.muq) / ({w} * wi.sig * qw.sigq) AS c
+  FROM qt q
+  JOIN win wi ON wi.doc_id = q.doc_id AND wi.i = q.i
+  JOIN qwin qw ON qw.j = q.i + q.d
+  WHERE q.cnt = {w})
+SELECT doc_id, i AS idx,
+       round(sqrt(greatest({2 * w} * (1 - least(max(c), 1.0)), 0)), 4) AS ab_mp
+FROM corr GROUP BY doc_id, i
+"""
+
+
+def _minhash_perms(num_perm: int = 64, seed: int = 7):
+    """EXACTLY the constants functions/dedup.minhash_signatures draws."""
+    rng = np.random.default_rng(seed)
+    m31 = (1 << 31) - 1
+    a = rng.integers(1, m31, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, m31, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _minhash_pairs_cte() -> str:
+    """CTE chain ending in ``pairs(doc_a, doc_b)`` — SQL reproduction of
+    the MinHash-LSH candidate generation (k=5 polynomial shingles in the
+    Mersenne-31 field, 64 permutations with the engine's own seeded
+    constants inlined, 16 bands of 4 rows keyed by the engine's band-mix
+    polynomial).  Docs with no shingles take the sentinel residue 3
+    (= 2^64-1 mod 2^31-1, the engine's all-max signature)."""
+    a, b = _minhash_perms()
+    perms = ",\n    ".join(f"({p}, {int(a[p])}, {int(b[p])})"
+                           for p in range(64))
+    h = "CAST(ascii(substr(text, i + 1, 1)) AS BIGINT)"
+    for j in range(1, 5):
+        h = (f"(({h} * CAST(1000003 AS BIGINT) + "
+             f"ascii(substr(text, i + {j + 1}, 1))) % 2147483647)")
+    return f"""seq AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+), sh AS (
+  SELECT doc_id, {h} AS h
+  FROM (SELECT doc_id, text, unnest(range(length(text) - 4)) AS i
+        FROM seq WHERE length(text) >= 5)
+), perms(p, a, b) AS (
+  VALUES {perms}
+), sig AS (
+  SELECT d.doc_id, pr.p,
+         coalesce(min((s.h * pr.a + pr.b) % 2147483647), 3) AS s
+  FROM (SELECT doc_id FROM seq) d
+  CROSS JOIN perms pr
+  LEFT JOIN sh s ON s.doc_id = d.doc_id
+  GROUP BY d.doc_id, pr.p
+), bk AS (
+  SELECT doc_id, p // 4 AS band,
+         list_reduce(
+           list_prepend(CAST(p // 4 + 1 AS BIGINT), list(s ORDER BY p)),
+           (acc, x) -> (acc * 1000003 + x) % 2147483647) AS band_key
+  FROM sig GROUP BY doc_id, p // 4
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)"""
+
+
+def _minhash_sql() -> str:
+    return "WITH " + _minhash_pairs_cte() + "\nSELECT doc_a, doc_b FROM pairs"
+
+
+def _dedup_groups_sql() -> str:
+    """Connected components of the LSH candidate graph via a recursive
+    transitive closure; component = lexicographic-min member (the engine's
+    union-find / min-label convention)."""
+    return ("WITH RECURSIVE " + _minhash_pairs_cte() + """
+, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach AS (
+  SELECT a AS node, b AS peer FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a
+)
+SELECT node AS doc_id, least(node, min(peer)) AS component
+FROM reach GROUP BY node
+""")
+
+
+def _media_features_sql() -> str:
+    """SQL recomputation of the deterministic fake decode
+    (stages/multimodal.DecodeStub): feature d = first 32 bits of
+    sha256(payload || str(d)) / 2^32 over the documents-derived payloads."""
+    return """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, text
+  FROM documents ORDER BY CAST(doc_id AS VARCHAR) LIMIT 64
+), f AS (
+  SELECT media_id, CAST(t.d AS BIGINT) AS dim,
+         sha256(text || CAST(t.d AS VARCHAR)) AS hx
+  FROM m, range(8) t(d)
+)
+SELECT media_id, dim,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(split(substr(hx, 1, 8), ''),
+                     c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+    (a, x) -> a * 16 + x) AS DOUBLE) / 4294967296.0 AS feature
+FROM f
 """
 
 
@@ -695,15 +1054,22 @@ SELECT count(*) AS n_lines,
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
 """,
-        "orders_last_event_asof": """
-SELECT o.o_orderkey,
-       o.o_custkey AS user_id,
-       CAST(epoch_us(o.o_orderdate) AS BIGINT) AS ts,
-       CAST(epoch_us(e.ts) AS DOUBLE) AS last_event_ts
-FROM orders o
-ASOF LEFT JOIN events e
-  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+        "prev_event_asof": """
+SELECT e.event_id,
+       e.user_id,
+       CAST(epoch_us(e.ts) AS BIGINT) AS ts,
+       CAST(epoch_us(p.ts) AS DOUBLE) AS prev_event_ts
+FROM events e
+ASOF LEFT JOIN events p
+  ON e.user_id = p.user_id AND p.ts < e.ts
 """,
+        "mp_profiles_small": _mp_small_sql(),
+        "mp_discords_small": _mp_discords_small_sql(),
+        "mass_topk": _mass_topk_sql(),
+        "ab_join_small": _ab_small_sql(),
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_groups": _dedup_groups_sql(),
+        "media_features": _media_features_sql(),
         "order_lines_by_status": """
 SELECT o.o_orderstatus,
        count(*) AS n_lines,

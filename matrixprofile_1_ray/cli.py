@@ -84,27 +84,28 @@ def cmd_synth(args):
 
 def cmd_dedup(args):
     """End-to-end near-dup job: MinHash-LSH candidates -> exact Jaccard
-    verification (per-doc shingle refs, no corpus broadcast) -> duplicate
-    groups -> partitioned parquet of (doc_id, component)."""
-    import ray.data
-
-    from .sources.sequences import sequences_table_from_documents
+    verification (bucketed shingle join — the corpus NEVER materializes on
+    the driver) -> duplicate groups -> partitioned parquet of
+    (doc_id, component)."""
+    from .sources.sequences import sequences_from_documents
     from .stages.dedup import (
         dedup_groups,
         minhash_candidates,
-        verify_jaccard_distributed,
+        verify_jaccard_bucketed,
     )
 
     _init_ray(args.num_cpus)
-    seq_table = sequences_table_from_documents(args.input)
-    ds = ray.data.from_arrow(seq_table).repartition(args.num_cpus * 2)
-    # materialize each stage once: Datasets are lazy and uncached, so a
-    # count() on a lazy stage would re-run its whole upstream chain —
-    # counting candidates, verifying, grouping and writing off one
-    # materialized result each keeps this a single pass per stage
+    # streaming source: the corpus flows as Dataset blocks end-to-end (two
+    # lazy passes over it: one for LSH candidates, one for the candidate
+    # docs' shingles inside the verify)
+    ds = sequences_from_documents(args.input).repartition(args.num_cpus * 2)
+    # materialize only the SMALL pair tables: Datasets are lazy and
+    # uncached, so a count() on a lazy stage would re-run its whole
+    # upstream chain — the pair tables are orders of magnitude smaller
+    # than the corpus
     cand = minhash_candidates(ds).materialize()
-    verified = verify_jaccard_distributed(
-        cand, seq_table, threshold=args.threshold).materialize()
+    verified = verify_jaccard_bucketed(
+        cand, ds, threshold=args.threshold).materialize()
     groups = dedup_groups(verified).materialize()
     groups.write_parquet(args.output)
     out = groups.to_pandas()

@@ -120,7 +120,15 @@ def _motif(field: int, motif: dict) -> bytes:
 
 
 def to_mpf(profile: dict) -> bytes:
-    """Profile dict (MatrixProfile or PMP) -> binary MPFOutput message."""
+    """Profile dict (MatrixProfile or PMP) -> binary MPFOutput message.
+
+    Deliberate superset of the reference writer: the reference's
+    protobuf_utils guards matrix fields with ``if rows and cols`` and so
+    silently DROPS 1-D arrays (query, lmp/lpi/rmp/rpi — their normal
+    shape); this writer persists them (cols=0 convention, see
+    :func:`_matrix_attrs`) so our own round-trip is lossless.  Archives
+    are therefore not byte-identical to reference-written ones, but both
+    writers' outputs decode correctly in both readers."""
     klass = profile.get("class")
     out = [
         _f_string(1, profile.get("class")),
@@ -227,9 +235,13 @@ def _decode_matrix(payload: bytes, signed: bool):
         elif field == 3:
             if wt == 2:
                 if signed:
-                    data = _decode_packed_varints(v, signed=True)
+                    chunk = _decode_packed_varints(v, signed=True)
                 else:
-                    data = np.frombuffer(v, dtype="<f8").copy()
+                    chunk = np.frombuffer(v, dtype="<f8").copy()
+                # a conforming writer may split one packed repeated field
+                # across several length-delimited chunks — append, never
+                # replace
+                data = chunk if data is None else np.concatenate([data, chunk])
             else:  # non-packed single element (proto2-style writers)
                 if signed:
                     iv = v - (1 << 64) if v >= 1 << 63 else v

@@ -6,7 +6,8 @@ The reference's per-core throughput comes from compiled Cython scalar walks
 time).  This module closes that per-core gap the same way the reference
 does — a compiled streaming walk — but without adding a build step or a
 dependency: the ~60-line C source below is compiled AT IMPORT with the
-system gcc into a /tmp cache keyed by source hash and loaded via ctypes.
+system gcc into a per-user 0700 ``~/.cache`` directory keyed by source
+hash and loaded via ctypes.
 If no compiler is present (or anything else fails) ``AVAILABLE`` is False
 and callers keep the NumPy path, which remains the conformance baseline
 (tests cross-check native vs NumPy).

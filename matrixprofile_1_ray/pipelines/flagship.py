@@ -64,29 +64,71 @@ def mp_rollup_pipeline(sf_dir: str, w: int = 32, tiers=None, **seq_kwargs):
                           batch_format="pyarrow")
 
 
+TOKEN_ROLLUP_COLS = ["doc_id", "source", "tier", "bucket",
+                     "t_min", "t_max", "t_sum", "t_count", "t_mean"]
+MP_ROLLUP_COLS = ["doc_id", "source", "w", "tier", "bucket",
+                  "mp_min", "mp_mean", "mp_count", "mp_argmin"]
+
+
 def flagship_batch(batch, w: int = 32, tiers=None):
     """Single-pass flagship transform: token tier rollups AND matrix-profile
-    tier rollups from one batch, unified into one long-format table (token
-    rows carry null mp_* columns and vice versa).  One streaming pass over
-    the corpus instead of two."""
+    tier rollups from one batch, unified into one long-format table tagged
+    by ``kind`` ('token' rows carry null mp_* columns and vice versa).  One
+    streaming pass over the corpus instead of two."""
     import pyarrow as pa
 
     from ..stages.profile import compute_profiles_batch
     from ..stages.rollup import mp_rollup_batch, rollup_batch
 
     token_rolls = rollup_batch(batch, tiers=tiers)
+    token_rolls = token_rolls.append_column(
+        "kind", pa.array(["token"] * len(token_rolls), pa.string()))
     prof = compute_profiles_batch(batch, w=w)
     mp_rolls = mp_rollup_batch(prof, tiers=tiers)
+    mp_rolls = mp_rolls.append_column(
+        "kind", pa.array(["mp"] * len(mp_rolls), pa.string()))
     return pa.concat_tables([token_rolls, mp_rolls],
                             promote_options="default")
 
 
-def flagship_rollup(sf_dir: str, w: int = 32, tiers=None, out_dir=None):
-    """The end-to-end rollup: token tiers + MP tiers; optionally written as
-    partitioned Parquet (one directory per tier — resumable layout)."""
-    token_rollups = token_rollup_pipeline(sf_dir, tiers=tiers)
-    mp_rollups = mp_rollup_pipeline(sf_dir, w=w, tiers=tiers)
+def _select_kind(ds, kind: str, cols):
+    import pyarrow.compute as pc
+
+    def f(b):
+        sub = b.filter(pc.equal(b["kind"], kind))
+        return sub.select([c for c in cols if c in sub.column_names])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def flagship_rollup(sf_dir: str, w: int = 32, tiers=None, out_dir=None,
+                    **seq_kwargs):
+    """The end-to-end rollup in ONE corpus pass (``flagship_batch`` fuses
+    the token and MP rollups, so gap-fill + codec verify run once).
+
+    With ``out_dir`` the unified table streams straight to Parquet
+    partitioned by kind/tier (resumable layout) and the returned pair of
+    Datasets are pruned reads of what was written — zero recompute.
+    Without it the unified ROLLUP result (bucket-factor smaller than the
+    corpus; the corpus itself never materializes) is materialized once so
+    both returned views share the single pass.
+
+    Returns ``(token_rollups, mp_rollups)``."""
+    ds = sequences_pipeline(sf_dir, **seq_kwargs)
+    unified = ds.map_batches(lambda b: flagship_batch(b, w=w, tiers=tiers),
+                             batch_format="pyarrow", batch_size=64)
     if out_dir:
-        token_rollups.write_parquet(f"{out_dir}/token_rollups")
-        mp_rollups.write_parquet(f"{out_dir}/mp_rollups")
-    return token_rollups, mp_rollups
+        import ray.data
+
+        unified.write_parquet(out_dir, partition_cols=["kind", "tier"])
+        token = ray.data.read_parquet(f"{out_dir}/kind=token")
+        mp = ray.data.read_parquet(f"{out_dir}/kind=mp")
+        reorder_t = lambda b: b.select(  # noqa: E731 — hive read loses order
+            [c for c in TOKEN_ROLLUP_COLS if c in b.column_names])
+        reorder_m = lambda b: b.select(  # noqa: E731
+            [c for c in MP_ROLLUP_COLS if c in b.column_names])
+        return (token.map_batches(reorder_t, batch_format="pyarrow"),
+                mp.map_batches(reorder_m, batch_format="pyarrow"))
+    unified = unified.materialize()
+    return (_select_kind(unified, "token", TOKEN_ROLLUP_COLS),
+            _select_kind(unified, "mp", MP_ROLLUP_COLS))

@@ -148,8 +148,21 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
 
     # a partial dir from a crashed build would get appended to — rebuild
     # from clean (the centroids file is written LAST, so its presence is
-    # the build-complete marker ivf_topk keys on)
+    # the build-complete marker ivf_topk keys on).  Refuse to clobber a
+    # directory that is not recognizably an index (marker or hive
+    # centroid=* layout): --index-dir pointed at the wrong place must
+    # raise, not silently delete an unrelated tree.
     if os.path.isdir(index_dir):
+        entries = os.listdir(index_dir)
+        is_index = (not entries
+                    or "_centroids.parquet" in entries
+                    or any(e.startswith("centroid=") for e in entries))
+        if not is_index:
+            raise ValueError(
+                f"refusing to rebuild into {index_dir!r}: directory exists "
+                "and does not look like an IVF index (no _centroids.parquet "
+                "marker, no centroid=* partitions); delete it explicitly or "
+                "point --index-dir elsewhere")
         shutil.rmtree(index_dir)
 
     sample_rows = ds.limit(sample_size).take_all()

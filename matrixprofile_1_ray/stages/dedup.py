@@ -176,42 +176,99 @@ def verify_jaccard_pairs(pairs_df: pd.DataFrame, sequences: pa.Table,
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
 
-def verify_jaccard_distributed(pairs_ds, sequences: pa.Table, k: int = 5,
-                               threshold: float = 0.8, batch_size: int = 256):
-    """Exact n-gram Jaccard verification of a candidate-pair DATASET — the
-    scale path: each doc's shingle multiset is its own object-store entry
-    (``ray.put`` per doc, as in stages/pairs.mpdist_pairs), a verifier
-    actor fetches only the two operands per pair with a bounded cache, and
-    only (doc_a, doc_b, jaccard) rows survive the threshold.  The corpus
-    never broadcasts and never shuffles."""
+def verify_jaccard_bucketed(pairs_ds, sequences_ds, k: int = 5,
+                            threshold: float = 0.8,
+                            num_partitions: int = 16):
+    """Exact n-gram Jaccard verification of a candidate-pair DATASET
+    against a sequences DATASET — the 100 TB path, with NO driver-side
+    corpus materialization anywhere:
+
+    1. the candidate doc-id set (orders of magnitude smaller than the
+       corpus) is collected batch-wise and broadcast once (``ray.put``) —
+       at the extreme where even that set outgrows one broadcast, swap the
+       ``isin`` prefilter for :func:`~.join.bloom_semi_join` with the same
+       downstream plumbing;
+    2. ONLY the candidate docs' shingle sets are computed (streaming
+       ``map_batches`` over the sequences) and shuffled — once by
+       hash(doc_id) to meet the exploded pair halves, once by
+       hash(pair_id) to bring each pair's two operands together;
+    3. each part verifies all of its pairs vectorized and only
+       (doc_a, doc_b, jaccard >= threshold) rows survive.
+
+    The corpus tokens never broadcast, never pass through the driver, and
+    non-candidate docs never shuffle."""
     import ray
 
-    values, offsets = list_column_to_numpy(sequences["tokens"])
-    flat, sh_off = shingle_hashes(values, offsets, k=k)
-    ids = sequences["doc_id"].to_pylist()
-    refs = {d: ray.put(np.ascontiguousarray(flat[sh_off[i]:sh_off[i + 1]]))
-            for i, d in enumerate(ids)}
-    refs_ref = ray.put(refs)
+    cand_ids: set = set()
+    for b in pairs_ds.map_batches(
+            lambda df: pd.DataFrame({"doc_id": pd.unique(
+                pd.concat([df["doc_a"], df["doc_b"]], ignore_index=True))}),
+            batch_format="pandas").iter_batches(batch_format="pandas"):
+        cand_ids.update(b["doc_id"])
+    ids_ref = ray.put(np.array(sorted(cand_ids), dtype=object))
 
-    class Verify:
-        def __init__(self):
-            from ..state.refcache import RefCache
+    cols = ["pair_id", "doc_a", "doc_b", "slot", "doc_id", "shingles"]
 
-            self.shingles = RefCache(ray.get(refs_ref), max_items=2048)
+    def shingle_side(batch: pa.Table) -> pd.DataFrame:
+        keep = ray.get(ids_ref)
+        ids = np.array(batch["doc_id"].to_pylist(), dtype=object)
+        mask = np.isin(ids, keep)
+        sub = batch.filter(pa.array(mask))
+        values, offsets = list_column_to_numpy(sub["tokens"])
+        flat, sh_off = shingle_hashes(values, offsets, k=k)
+        # shingle sets travel as BYTES, not ndarrays: Ray's pandas tensor
+        # extension rejects object columns of ndarrays during sort-shuffle
+        # block merges
+        df = pd.DataFrame({
+            "doc_id": sub["doc_id"].to_pylist(),
+            "shingles": [flat[sh_off[i] : sh_off[i + 1]].tobytes()
+                         for i in range(len(sub))],
+        }).reindex(columns=cols)
+        df["_part"] = _hash_part(df["doc_id"], num_partitions)
+        df["_side"] = "s"
+        return df
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            sims = np.array([
-                jaccard(self.shingles.get(a), self.shingles.get(b))
-                for a, b in zip(df["doc_a"], df["doc_b"])])
-            out = df[["doc_a", "doc_b"]].copy()
-            out["jaccard"] = sims
-            return out[out["jaccard"] >= threshold]
+    def pair_halves(df: pd.DataFrame) -> pd.DataFrame:
+        pid = df["doc_a"] + "\x00" + df["doc_b"]
+        halves = pd.concat([
+            pd.DataFrame({"pair_id": pid, "doc_a": df["doc_a"],
+                          "doc_b": df["doc_b"], "slot": "a",
+                          "doc_id": df["doc_a"]}),
+            pd.DataFrame({"pair_id": pid, "doc_a": df["doc_a"],
+                          "doc_b": df["doc_b"], "slot": "b",
+                          "doc_id": df["doc_b"]}),
+        ], ignore_index=True).reindex(columns=cols)
+        halves["_part"] = _hash_part(halves["doc_id"], num_partitions)
+        halves["_side"] = "h"
+        return halves
 
-    from .ann import auto_concurrency
+    both = (sequences_ds.map_batches(shingle_side, batch_format="pyarrow")
+            .union(pairs_ds.map_batches(pair_halves, batch_format="pandas")))
 
-    return pairs_ds.map_batches(Verify, batch_format="pandas",
-                                batch_size=batch_size,
-                                concurrency=auto_concurrency())
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g[g["_side"] == "s"]
+        lookup = dict(zip(sh["doc_id"], sh["shingles"]))
+        hv = g[g["_side"] == "h"].copy()
+        hv["shingles"] = hv["doc_id"].map(lookup)
+        hv["_part"] = _hash_part(hv["pair_id"], num_partitions)
+        return hv[["pair_id", "doc_a", "doc_b", "slot", "shingles", "_part"]]
+
+    attached = both.groupby("_part").map_groups(attach, batch_format="pandas")
+
+    def judge(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["slot"] == "a"].set_index("pair_id")
+        b = g[g["slot"] == "b"].set_index("pair_id")
+        common = a.index.intersection(b.index)
+        a, b = a.loc[common], b.loc[common]
+        sims = np.array([jaccard(np.frombuffer(x, np.uint64),
+                                 np.frombuffer(y, np.uint64))
+                         for x, y in zip(a["shingles"], b["shingles"])])
+        out = pd.DataFrame({"doc_a": a["doc_a"].to_numpy(),
+                            "doc_b": a["doc_b"].to_numpy(),
+                            "jaccard": sims})
+        return out[out["jaccard"] >= threshold]
+
+    return attached.groupby("_part").map_groups(judge, batch_format="pandas")
 
 
 def dedup_groups(pairs_ds, driver_threshold: int = 1_000_000):

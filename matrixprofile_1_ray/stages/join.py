@@ -38,6 +38,11 @@ def hash_join(ds_a, ds_b, keys, how: str = "inner",
     by ``dropna``, which would silently drop a column that is legitimately
     all-null within one part and make per-part schemas diverge.  Outer
     parts with a missing side are reindexed to the full merged schema."""
+    if how not in ("inner", "left", "right"):
+        # outer would need empty-side parts to emit the *other* side's rows
+        # reindexed to the merged schema; nothing here exercises that path,
+        # so reject it instead of silently dropping rows
+        raise ValueError(f"hash_join supports inner/left/right, got {how!r}")
     if isinstance(keys, str):
         keys = [keys]
     if left_cols is None:
@@ -189,11 +194,14 @@ def bloom_semi_join(ds, keys_ds, key: str, num_bits: int = 1 << 23,
 
 
 def asof_join(ds_left, ds_right, key, on, right_cols,
-              num_partitions: int = 16, left_cols=None):
+              num_partitions: int = 16, left_cols=None,
+              allow_exact_matches: bool = True):
     """As-of join: for each left row, the latest right row with the same
-    ``key`` and ``on``-value <= the left's.  Same coarse hash-partition
-    shuffle as :func:`hash_join`; within each part both sides sort by
-    ``on`` and a vectorized ``pd.merge_asof`` does the matching.
+    ``key`` and ``on``-value <= the left's (< with
+    ``allow_exact_matches=False`` — e.g. a self-join for "previous event"
+    must not match the row itself).  Same coarse hash-partition shuffle as
+    :func:`hash_join`; within each part both sides sort by ``on`` and a
+    vectorized ``pd.merge_asof`` does the matching.
 
     Both sides' column lists are explicit (``right_cols`` required,
     ``left_cols`` defaulting to the left schema) so a part never infers
@@ -229,7 +237,8 @@ def asof_join(ds_left, ds_right, key, on, right_cols,
             return out.reindex(columns=out_cols)
         right = right.sort_values(on)
         return (pd.merge_asof(left, right, on=on, by=key,
-                              direction="backward")
+                              direction="backward",
+                              allow_exact_matches=allow_exact_matches)
                 .reindex(columns=out_cols))
 
     return both.groupby("_part").map_groups(join_part, batch_format="pandas")

@@ -42,6 +42,28 @@ def make_fake_media_table(n: int, seed: int = 0) -> pa.Table:
     })
 
 
+def media_from_documents(sf_dir: str, n: int = 64) -> pa.Table:
+    """Media corpus derived from the documents table: payload = UTF-8 text
+    bytes of the first ``n`` docs in lexicographic doc_id order (matching
+    ``ORDER BY CAST(doc_id AS VARCHAR) LIMIT n`` so the DuckDB oracle sees
+    the same payload set).  The payloads are *opaque bytes* to every stage
+    downstream — exactly how real image/audio columns would flow."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = np.array([str(x) for x in docs["doc_id"].to_pylist()])
+    order = np.argsort(ids)[:n]
+    return pa.table({
+        "media_id": pa.array(ids[order].tolist(), pa.string()),
+        "mime": pa.array(["text/plain"] * len(order), pa.string()),
+        "payload": pa.array([docs["text"][int(i)].as_py().encode()
+                             for i in order], pa.binary()),
+        "width": pa.array(np.zeros(len(order), np.int32)),
+        "height": pa.array(np.zeros(len(order), np.int32)),
+    })
+
+
 class DecodeStub:
     """Actor-pool decode stage.  strict=True raises (the honest stub);
     strict=False emits a deterministic fake feature vector per payload so
@@ -56,10 +78,13 @@ class DecodeStub:
             raise NotImplementedError(
                 "image/audio codecs are not available in this container; "
                 "plug a real decoder here (PIL.Image.open / av.open)")
-        digest = hashlib.sha256(payload).digest()
-        seed = int.from_bytes(digest[:8], "little")
-        return np.random.default_rng(seed).normal(
-            size=self.feature_dim).astype(np.float32)
+        # feature d = first 32 bits of sha256(payload || str(d)), scaled to
+        # [0, 1).  Division by 2^32 is exact in float64, so the fake decode
+        # is bit-reproducible in ANY engine with sha256 — the gate's DuckDB
+        # oracle recomputes these values in SQL.
+        vals = [int(hashlib.sha256(payload + str(d).encode())
+                    .hexdigest()[:8], 16) for d in range(self.feature_dim)]
+        return np.asarray(vals, dtype=np.float64) / 4294967296.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = np.stack([self._decode_payload(p.as_py())
@@ -70,7 +95,7 @@ class DecodeStub:
             "media_id": batch["media_id"],
             "mime": batch["mime"],
             "features": pa.ListArray.from_arrays(
-                off, pa.array(feats.reshape(-1), pa.float32())),
+                off, pa.array(feats.reshape(-1), pa.float64())),
         })
 
 

@@ -173,6 +173,128 @@ def ab_join_stage(ds, query: np.ndarray, w: int):
     return ds.map_batches(ABJoin, batch_format="pyarrow", concurrency=auto_concurrency())
 
 
+def _doc_window_stats(ts: np.ndarray, w: int):
+    """(mu, sig2) per window via plain cumsums — the same arithmetic shape
+    the DuckDB oracle uses, so the shared near-constant-window guard
+    (sig2 < floor) decides identically in both engines."""
+    c1 = np.concatenate(([0.0], np.cumsum(ts)))
+    c2 = np.concatenate(([0.0], np.cumsum(ts * ts)))
+    s = c1[w:] - c1[:-w]
+    ss = c2[w:] - c2[:-w]
+    mu = s / w
+    sig2 = ss / w - mu * mu
+    return mu, sig2
+
+
+def pick_oracle_query_doc(sf_dir: str, w: int = 16, min_n: int = 96,
+                          max_n: int = 256, sig2_floor: float = 1e-3):
+    """The deterministic query-doc rule shared with the DuckDB oracles:
+    smallest doc_id (VARCHAR order) whose length is in [min_n, max_n] and
+    whose every w-window has sig^2 >= sig2_floor.  -> (doc_id, tokens)."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = [str(x) for x in docs["doc_id"].to_pylist()]
+    for i in np.argsort(np.array(ids)):
+        text = docs["text"][int(i)].as_py()
+        if not (min_n <= len(text) <= max_n):
+            continue
+        ts = np.array([ord(c) for c in text], dtype="d")
+        _, sig2 = _doc_window_stats(ts, w)
+        if sig2.min() >= sig2_floor:
+            return ids[int(i)], ts
+    raise ValueError("no document satisfies the oracle query-doc rule")
+
+
+def mass_topk_rows_batch(batch: pa.Table, query: np.ndarray, k: int = 2,
+                         round_dp: int = 4,
+                         sig2_floor: float = 1e-3) -> pa.Table:
+    """Oracle-able MASS top-k: per doc, the k best z-normalized matches of
+    ``query`` with exclusion-zone suppression (ez = ceil(w/2), reference
+    mass2 search semantics), selected on ROUNDED distances so the DuckDB
+    brute-force oracle makes the identical picks.  Distances are clamped at
+    0 (instead of the reference's sqrt-of-tiny-negative NaN at perfect
+    matches) because SQL's ``greatest(x, 0)`` is the only cross-engine
+    reproducible convention; docs with a near-constant window are excluded
+    in both engines (shared guard, see :func:`_doc_window_stats`)."""
+    from ..kernels.mass import exact_sliding_dot_product
+
+    query = np.asarray(query, dtype="d")
+    w = query.shape[0]
+    ez = int(np.ceil(w / 2.0))
+    mu_q = query.mean()
+    sig_q = float(np.sqrt(max(query @ query / w - mu_q * mu_q, 0.0)))
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    doc_ids, ranks, idxs, dists = [], [], [], []
+    for i in range(len(batch)):
+        ts = values[offsets[i] : offsets[i + 1]].astype("d")
+        if ts.shape[0] < w:
+            continue
+        mu, sig2 = _doc_window_stats(ts, w)
+        if sig2.min() < sig2_floor:
+            continue
+        sig = np.sqrt(sig2)
+        prod = exact_sliding_dot_product(ts, query)
+        corr = (prod - w * mu * mu_q) / (w * sig * sig_q)
+        dp = np.round(np.sqrt(np.maximum(2.0 * w * (1.0 - np.minimum(corr, 1.0)),
+                                         0.0)), round_dp)
+        alive = np.ones(dp.shape[0], dtype=bool)
+        doc = batch["doc_id"][i].as_py()
+        for rank in range(min(k, dp.shape[0])):
+            if not alive.any():
+                break
+            cand = np.flatnonzero(alive)
+            j = int(cand[np.argmin(dp[cand])])  # argmin: first = lowest idx
+            doc_ids.append(doc)
+            ranks.append(rank)
+            idxs.append(j)
+            dists.append(float(dp[j]))
+            alive[max(0, j - ez) : j + ez + 1] = False
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "rank": pa.array(ranks, pa.int64()),
+        "match_idx": pa.array(idxs, pa.int64()),
+        "distance": pa.array(dists, pa.float64()),
+    })
+
+
+def ab_profile_rows_batch(batch: pa.Table, query: np.ndarray, w: int = 16,
+                          max_n: int = 256, round_dp: int = 4,
+                          sig2_floor: float = 1e-3) -> pa.Table:
+    """Bounded-slice AB-join profile rows (doc_id, idx, ab_mp) through the
+    real ``mpx_ab`` kernel, rounded for the DuckDB brute-force oracle
+    (cross-join of doc windows x query windows, min distance per doc
+    window).  Same doc bounds + near-constant guard as the self-join
+    oracle."""
+    from ..kernels.mpx import mpx_ab
+
+    query = np.asarray(query, dtype="d")
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    out_doc, out_idx, out_mp = [], [], []
+    for i in range(len(batch)):
+        ts = values[offsets[i] : offsets[i + 1]].astype("d")
+        n = ts.shape[0]
+        if n < 2 * w or n > max_n:
+            continue
+        _, sig2 = _doc_window_stats(ts, w)
+        if sig2.min() < sig2_floor:
+            continue
+        mp, _mpi, _mpb, _mpib = mpx_ab(ts, query, w)
+        out_doc.append(np.repeat(batch["doc_id"][i].as_py(), mp.shape[0]))
+        out_idx.append(np.arange(mp.shape[0], dtype=np.int64))
+        out_mp.append(np.round(mp, round_dp))
+    if not out_doc:
+        return pa.table({"doc_id": pa.array([], pa.string()),
+                         "idx": pa.array([], pa.int64()),
+                         "ab_mp": pa.array([], pa.float64())})
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(out_doc), pa.string()),
+        "idx": pa.array(np.concatenate(out_idx), pa.int64()),
+        "ab_mp": pa.array(np.concatenate(out_mp), pa.float64()),
+    })
+
+
 def mass_search_stage(ds, query: np.ndarray, k: int = 3):
     """Find the k best matches of a query pattern in every document via
     MASS2 (reference mass2.py:14-96), exclusion-zone suppressed."""

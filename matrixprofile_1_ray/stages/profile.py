@@ -100,6 +100,81 @@ def compute_profiles_batch(batch: pa.Table, w: int = 32,
     return pa.table(cols)
 
 
+def mp_rows_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
+                        round_dp: int = 4,
+                        sig2_floor: float = 1e-3) -> pa.Table:
+    """Exploded (doc_id, idx, mp) profile rows over a BOUNDED doc slice —
+    the driver-visible oracle for the matrix-profile kernel itself: DuckDB
+    can brute-force the z-normalized ED self-join on docs with
+    ``2*w <= n_tok <= max_n`` (per-window sums via window functions, dot
+    products as windowed sums along each diagonal).
+
+    Docs containing a near-constant window (``sig^2 < sig2_floor``) are
+    excluded in BOTH engines: the reference's constant-window special case
+    (kernels/mass.py apply semantics) is not SQL-reproducible.  For integer
+    token values the non-constant minimum sig^2 is ~0.058, so the 1e-3
+    threshold cannot flip between engines.  ``mp`` is rounded so the
+    ~1e-12 engine-vs-SQL float drift cannot move the value hash."""
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    out_doc, out_idx, out_mp = [], [], []
+    for i in range(len(batch)):
+        ts = values[offsets[i] : offsets[i + 1]].astype("d")
+        n = ts.shape[0]
+        if n < 2 * w or n > max_n:
+            continue
+        c1 = np.concatenate(([0.0], np.cumsum(ts)))
+        c2 = np.concatenate(([0.0], np.cumsum(ts * ts)))
+        s = c1[w:] - c1[:-w]
+        ss = c2[w:] - c2[:-w]
+        sig2 = ss / w - (s / w) ** 2
+        if sig2.min() < sig2_floor:
+            continue
+        mp, _ = mpx_self(ts, w)
+        out_doc.append(np.repeat(batch["doc_id"][i].as_py(), mp.shape[0]))
+        out_idx.append(np.arange(mp.shape[0], dtype=np.int64))
+        out_mp.append(np.round(mp, round_dp))
+    if not out_doc:
+        return pa.table({"doc_id": pa.array([], pa.string()),
+                         "idx": pa.array([], pa.int64()),
+                         "mp": pa.array([], pa.float64())})
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(out_doc), pa.string()),
+        "idx": pa.array(np.concatenate(out_idx), pa.int64()),
+        "mp": pa.array(np.concatenate(out_mp), pa.float64()),
+    })
+
+
+def mp_discord_top1_batch(batch: pa.Table, **small_kwargs) -> pa.Table:
+    """Top-1 discord per bounded-slice doc, reduced from the ROUNDED
+    profile rows of :func:`mp_rows_small_batch` (tie-break: smallest idx)
+    so the argmax decision is identical in the SQL oracle."""
+    rows = mp_rows_small_batch(batch, **small_kwargs)
+    if len(rows) == 0:
+        return pa.table({"doc_id": pa.array([], pa.string()),
+                         "discord_idx": pa.array([], pa.int64()),
+                         "discord_dist": pa.array([], pa.float64())})
+    doc = np.asarray(rows["doc_id"])
+    idx = rows["idx"].to_numpy()
+    mp = rows["mp"].to_numpy()
+    # rows are emitted doc-contiguous with ascending idx; np.unique gives
+    # each doc's start, argmax inside a segment returns the FIRST maximum
+    docs_u, starts = np.unique(doc, return_index=True)
+    order = np.argsort(starts)
+    docs_u, starts = docs_u[order], starts[order]
+    ends = np.concatenate((starts[1:], [len(doc)]))
+    d_idx = np.empty(len(docs_u), np.int64)
+    d_val = np.empty(len(docs_u), np.float64)
+    for k, (a, b) in enumerate(zip(starts, ends)):
+        j = int(np.argmax(mp[a:b]))
+        d_idx[k] = idx[a + j]
+        d_val[k] = mp[a + j]
+    return pa.table({
+        "doc_id": pa.array(docs_u.tolist(), pa.string()),
+        "discord_idx": pa.array(d_idx, pa.int64()),
+        "discord_dist": pa.array(d_val, pa.float64()),
+    })
+
+
 def profile_stage(ds, w: int = 32, algorithm: str = "mpx",
                   batch_size: int = 256, **kwargs):
     """Attach the profile computation to a sequences Dataset."""

@@ -168,14 +168,18 @@ def test_verify_jaccard_pairs():
     assert out.jaccard.iloc[0] > 0.8
 
 
-def test_verify_jaccard_distributed_matches_driver(ray_session):
-    """The Dataset-input scale path (per-doc shingle refs, no corpus
-    broadcast) must agree exactly with the driver-side helper."""
+def test_verify_jaccard_bucketed_matches_driver(ray_session):
+    """The bucketed scale path takes BOTH operands as Datasets — the
+    sequences are never collected on the driver — and must agree exactly
+    with the driver-side helper.  The sequences Dataset is deliberately
+    built lazily (generator source + transform) so the test fails if the
+    verify ever tries to collect it."""
+    import pyarrow as pa
     import ray.data
 
     from matrixprofile_1_ray.sources import synthetic_sequences_table
     from matrixprofile_1_ray.stages.dedup import (
-        verify_jaccard_distributed,
+        verify_jaccard_bucketed,
         verify_jaccard_pairs,
     )
 
@@ -186,8 +190,10 @@ def test_verify_jaccard_distributed_matches_driver(ray_session):
         "doc_b": [ids[i + 1] for i in range(0, 10)],
     })
     drv = verify_jaccard_pairs(pairs, table, threshold=0.0)
-    dist = (verify_jaccard_distributed(ray.data.from_pandas(pairs), table,
-                                       threshold=0.0)
+    seq_ds = (ray.data.from_arrow(table).repartition(4)
+              .map_batches(lambda b: b, batch_format="pyarrow"))
+    dist = (verify_jaccard_bucketed(ray.data.from_pandas(pairs), seq_ds,
+                                    threshold=0.0)
             .to_pandas().sort_values(["doc_a", "doc_b"])
             .reset_index(drop=True))
     drv = drv.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -158,13 +158,18 @@ def test_ab_join_and_mass_search(entry_mod):
 
 
 def test_media_features(entry_mod):
+    # exploded (media_id, dim, feature) rows: 64 payloads x 8 dims
     out = _df(entry_mod.queries()["media_features"](SF))
-    assert len(out) == 64
-    assert all(len(f) == 8 for f in out.features)
+    assert len(out) == 64 * 8
+    assert out.media_id.nunique() == 64
+    assert sorted(out[out.media_id == out.media_id.iloc[0]].dim) == list(range(8))
+    assert ((out.feature >= 0) & (out.feature < 1)).all()
     # deterministic across runs
     out2 = _df(entry_mod.queries()["media_features"](SF))
-    np.testing.assert_array_equal(np.stack(out.sort_values("media_id").features.to_numpy()),
-                                  np.stack(out2.sort_values("media_id").features.to_numpy()))
+    key = ["media_id", "dim"]
+    np.testing.assert_array_equal(
+        out.sort_values(key).feature.to_numpy(),
+        out2.sort_values(key).feature.to_numpy())
 
 
 def test_media_strict_raises(ray_session):

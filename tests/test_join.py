@@ -75,11 +75,11 @@ def test_hash_join_left_outer_schema(ray_session):
 def test_asof_join_query_oracle(ray_session):
     import __ray_entry__ as e
 
-    df = e.queries()["orders_last_event_asof"](SF).to_pandas()
+    df = e.queries()["prev_event_asof"](SF).to_pandas()
     con = duckdb.connect()
     for t in ("orders", "events"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
-    odf = con.execute(e.oracle_sql()["orders_last_event_asof"]).df()
+    odf = con.execute(e.oracle_sql()["prev_event_asof"]).df()
     cols = sorted(odf.columns)
     a = df[cols].sort_values(cols).reset_index(drop=True)
     b = odf[cols].sort_values(cols).reset_index(drop=True)

@@ -1,0 +1,187 @@
+"""Round-3 additions: oracle-able bounded-slice MP rows, strict self-asof
+(non-hollow fixture), corpus-free Jaccard verify wiring, destructive-op
+guards, mpf packed-chunk decoding, fused flagship rollup."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(x):
+    import ray.data
+
+    if isinstance(x, ray.data.Dataset):
+        return x.to_pandas()
+    if isinstance(x, pa.Table):
+        return x.to_pandas()
+    return x
+
+
+def _seq_batch(tokens_list):
+    return pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(tokens_list))]),
+        "tokens": pa.array([t.tolist() for t in tokens_list],
+                           pa.list_(pa.int32())),
+        "n_tok": pa.array([len(t) for t in tokens_list], pa.int32()),
+        "source": pa.array(["s"] * len(tokens_list)),
+    })
+
+
+def test_mp_rows_small_matches_bruteforce():
+    """The rounded small-slice rows equal an O(n^2) literal z-norm ED brute
+    force (minlag exclusion, population sigma) — independent of every mpx
+    kernel path."""
+    from matrixprofile_1_ray.stages.profile import mp_rows_small_batch
+
+    rng = np.random.default_rng(3)
+    toks = rng.integers(32, 127, size=120).astype(np.int32)
+    out = (mp_rows_small_batch(_seq_batch([toks]), w=16)
+           .to_pandas().sort_values("idx"))
+    w, minlag = 16, 4
+    ts = toks.astype("d")
+    pl = len(ts) - w + 1
+    wins = np.lib.stride_tricks.sliding_window_view(ts, w)
+    z = (wins - wins.mean(axis=1, keepdims=True)) / wins.std(axis=1,
+                                                            keepdims=True)
+    ref = np.full(pl, np.inf)
+    for i in range(pl):
+        for j in range(pl):
+            if abs(i - j) > minlag:
+                ref[i] = min(ref[i], np.sqrt(((z[i] - z[j]) ** 2).sum()))
+    assert len(out) == pl
+    np.testing.assert_allclose(out.mp.to_numpy(), np.round(ref, 4),
+                               atol=2e-4)
+
+
+def test_mp_rows_small_excludes_out_of_slice_docs():
+    from matrixprofile_1_ray.stages.profile import mp_rows_small_batch
+
+    rng = np.random.default_rng(4)
+    short = rng.integers(32, 127, size=20).astype(np.int32)      # < 2w
+    longd = rng.integers(32, 127, size=300).astype(np.int32)     # > max_n
+    const = np.concatenate([rng.integers(32, 127, 40),
+                            np.full(20, 65)]).astype(np.int32)   # flat window
+    ok = rng.integers(32, 127, size=64).astype(np.int32)
+    out = mp_rows_small_batch(_seq_batch([short, longd, const, ok]),
+                              w=16).to_pandas()
+    assert set(out.doc_id) == {"d3"}
+
+
+def test_mp_discord_top1_is_argmax_of_rows():
+    from matrixprofile_1_ray.stages.profile import (
+        mp_discord_top1_batch,
+        mp_rows_small_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    batch = _seq_batch([rng.integers(32, 127, size=n).astype(np.int32)
+                        for n in (64, 100, 200)])
+    rows = mp_rows_small_batch(batch, w=16).to_pandas()
+    top = mp_discord_top1_batch(batch, w=16).to_pandas()
+    assert len(top) == 3
+    for _, r in top.iterrows():
+        sub = rows[rows.doc_id == r.doc_id]
+        best = sub.sort_values(["mp", "idx"],
+                               ascending=[False, True]).iloc[0]
+        assert r.discord_idx == best.idx and r.discord_dist == best.mp
+
+
+def test_prev_event_asof_nonhollow_and_correct(ray_session):
+    """The round-2 asof fixture matched 0 of 150k rows (order dates predate
+    every event) — the re-based self-asof must match most rows, and agree
+    with a literal per-user previous-strictly-smaller-ts computation."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as m
+
+    out = _df(m.queries()["prev_event_asof"](SF))
+    assert out.prev_event_ts.notna().sum() > 0
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    ev["ts"] = ev["ts"].values.astype("datetime64[us]").astype(np.int64)
+    expected = {}
+    for _uid, g in ev.groupby("user_id"):
+        uniq = np.unique(g.ts.to_numpy())
+        for eid, t in zip(g.event_id, g.ts):
+            pos = np.searchsorted(uniq, t)
+            expected[eid] = float(uniq[pos - 1]) if pos > 0 else np.nan
+    got = dict(zip(out.event_id, out.prev_event_ts))
+    assert len(got) == len(expected)
+    for eid, want in expected.items():
+        have = got[eid]
+        assert (np.isnan(want) and np.isnan(have)) or want == have
+
+
+def test_small_slice_queries_nonempty(ray_session):
+    import __ray_entry__ as m
+
+    qs = m.queries()
+    for name in ("mp_profiles_small", "mp_discords_small",
+                 "mass_topk", "ab_join_small"):
+        assert len(_df(qs[name](SF))) > 0, name
+
+
+def test_hash_join_rejects_outer(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from matrixprofile_1_ray.stages.join import hash_join
+
+    a = ray.data.from_pandas(pd.DataFrame({"k": [1], "x": [2]}))
+    b = ray.data.from_pandas(pd.DataFrame({"k": [1], "y": [3]}))
+    with pytest.raises(ValueError, match="inner/left/right"):
+        hash_join(a, b, "k", how="outer")
+
+
+def test_ivf_build_refuses_non_index_dir(ray_session, tmp_path):
+    import ray.data
+
+    from matrixprofile_1_ray.stages.ann import build_ivf_index
+
+    target = tmp_path / "precious"
+    target.mkdir()
+    (target / "keep.txt").write_text("do not delete")
+    emb = pa.table({
+        "vec_id": pa.array(np.arange(8), pa.int64()),
+        "embedding": pa.array([np.random.default_rng(i).normal(size=4)
+                               .tolist() for i in range(8)],
+                              pa.list_(pa.float64())),
+    })
+    with pytest.raises(ValueError, match="refusing"):
+        build_ivf_index(ray.data.from_arrow(emb), str(target), n_centroids=2,
+                        sample_size=8)
+    assert (target / "keep.txt").exists()
+
+
+def test_mpf_packed_field_split_across_chunks():
+    """A conforming protobuf writer may split one packed repeated field
+    into several length-delimited chunks; the decoder must concatenate."""
+    from matrixprofile_1_ray.io import mpf as M
+
+    doubles = (M._f_varint(1, 4)
+               + M._f_bytes(3, np.array([1.0, 2.0]).tobytes())
+               + M._f_bytes(3, np.array([3.0, 4.0]).tobytes()))
+    np.testing.assert_array_equal(M._decode_matrix(doubles, signed=False),
+                                  [1.0, 2.0, 3.0, 4.0])
+    ints = (M._f_varint(1, 3)
+            + M._f_bytes(3, b"\x01\x02")
+            + M._f_bytes(3, b"\x03"))
+    np.testing.assert_array_equal(M._decode_matrix(ints, signed=True),
+                                  [1, 2, 3])
+
+
+def test_flagship_rollup_single_pass(ray_session, tmp_path):
+    from matrixprofile_1_ray.pipelines.flagship import flagship_rollup
+
+    tok, mp = flagship_rollup(SF, tiers={"1m": 60})
+    t_n, m_n = tok.count(), mp.count()
+    assert t_n > 0 and m_n > 0
+    out = tmp_path / "flag"
+    tok2, mp2 = flagship_rollup(SF, tiers={"1m": 60}, out_dir=str(out))
+    assert (out / "kind=token").is_dir() and (out / "kind=mp").is_dir()
+    assert tok2.count() == t_n and mp2.count() == m_n
+    cols = set(tok2.schema().names)
+    assert {"doc_id", "tier", "bucket", "t_min", "t_mean"} <= cols
+    assert "mp_min" not in cols
