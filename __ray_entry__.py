@@ -343,6 +343,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: ab_profile_rows_batch(b, q, w=16),
             batch_format="pyarrow")
 
+    def pmp_small_query(sf_dir: str):
+        """Two-window PMP rows over the bounded oracle slice (one pass)."""
+        import pyarrow as pa
+
+        from matrixprofile_1_ray.stages.profile import mp_rows_small_batch
+
+        def both(b):
+            parts = []
+            for w in (16, 32):
+                t = mp_rows_small_batch(b, w=w)
+                parts.append(t.add_column(
+                    1, "w", pa.array(np.full(len(t), w, np.int64))))
+            return pa.concat_tables(parts)
+
+        return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            both, batch_format="pyarrow")
+
+    def corrected_small_query(sf_dir: str):
+        from matrixprofile_1_ray.stages.profile import (
+            corrected_small_rows_batch,
+        )
+
+        return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            corrected_small_rows_batch, batch_format="pyarrow")
+
+    def mpdist_small_query(sf_dir: str):
+        import pyarrow.compute as pc
+
+        from matrixprofile_1_ray.stages.pairs import (
+            mpdist_pairs,
+            pick_small_slice_docs,
+        )
+
+        table = pick_small_slice_docs(sf_dir, limit=8)
+        out = mpdist_pairs(table, w=16)
+        return out.map_batches(
+            lambda t: t.set_column(t.schema.get_field_index("mpdist"),
+                                   "mpdist", pc.round(t["mpdist"], 4)),
+            batch_format="pyarrow")
+
     def chunked_rollup_query(sf_dir: str):
         ds = sequences_pipeline(sf_dir, verify_codec=False).map_batches(
             lambda b: chunk_sequences_batch(b, chunk_tokens=97),
@@ -628,6 +668,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mp_discords_small": mp_discords_small_query,
         "mass_topk": mass_topk_query,
         "ab_join_small": ab_small_query,
+        "pmp_small": pmp_small_query,
+        "corrected_profile_small": corrected_small_query,
+        "mpdist_pairs_small": mpdist_small_query,
         # multi-window / pair / summary operators (rows-only)
         "pmp": pmp_query,
         "pick_mp_w32": pick_mp_query,
@@ -741,13 +784,15 @@ def _win_cte(w: int) -> str:
 )"""
 
 
-def _mp_small_rows_cte(w: int = 16, lo: int = 32, hi: int = 256) -> str:
-    """CTE chain ending in ``mp_rows(doc_id, idx, mp)`` — DuckDB
+def _mp_small_rows_cte(w: int = 16, lo: int | None = None,
+                       hi: int = 256) -> str:
+    """CTE chain ending in ``mp_rows(doc_id, idx, mp_raw, mp)`` — DuckDB
     brute-force of the z-normalized ED self-join matrix profile on the
     bounded doc slice (reference mpx semantics: minlag = ceil(w/4),
     diagonals <= minlag excluded, Pearson clamped at 1).  Dot products are
     windowed sums of token products along each diagonal."""
     minlag = -(-w // 4)
+    lo = 2 * w if lo is None else lo
     return _SEQ_CTE + _win_cte(w) + f"""
 , sel AS (
   SELECT g.doc_id FROM good g JOIN seq USING (doc_id)
@@ -777,12 +822,117 @@ def _mp_small_rows_cte(w: int = 16, lo: int = 32, hi: int = 256) -> str:
   SELECT doc_id, j AS idx, c FROM corr)
 , mp_rows AS (
   SELECT doc_id, idx,
+         sqrt(greatest({2 * w} * (1 - least(max(c), 1.0)), 0)) AS mp_raw,
          round(sqrt(greatest({2 * w} * (1 - least(max(c), 1.0)), 0)), 4) AS mp
   FROM both_sides GROUP BY doc_id, idx)"""
 
 
-def _mp_small_sql() -> str:
-    return _mp_small_rows_cte() + "\nSELECT doc_id, idx, mp FROM mp_rows"
+def _mp_small_sql(w: int = 16) -> str:
+    return _mp_small_rows_cte(w=w) + "\nSELECT doc_id, idx, mp FROM mp_rows"
+
+
+def _pmp_small_sql() -> str:
+    """Two-window PMP over the bounded slice: one brute-force self-join
+    per window, unioned as (doc, w) rows — the engine's PMP row layout."""
+    return f"""
+SELECT doc_id, CAST(16 AS BIGINT) AS w, idx, mp FROM ({_mp_small_sql(16)})
+UNION ALL
+SELECT doc_id, CAST(32 AS BIGINT) AS w, idx, mp FROM ({_mp_small_sql(32)})
+"""
+
+
+def _corrected_small_sql() -> str:
+    """Corrected profile on the bounded slice: complexity AV (windowed
+    sqrt-sum of squared diffs, min-max rescaled by the UNSHIFTED max —
+    reference transform.py quirk) applied to the brute-force mp:
+    cmp = mp + (1-av)*max(mp)."""
+    w = 16
+    return _mp_small_rows_cte(w=w) + f"""
+, dav AS (
+  SELECT doc_id, idx,
+         CAST(lead(tok) OVER (PARTITION BY doc_id ORDER BY idx) - tok
+              AS DOUBLE) AS dd
+  FROM e)
+, avw AS (
+  SELECT doc_id, idx AS i,
+         sqrt(sum(dd * dd) OVER win) AS a,
+         count(dd) OVER win AS cnt
+  FROM dav
+  WINDOW win AS (PARTITION BY doc_id ORDER BY idx
+                 ROWS BETWEEN CURRENT ROW AND {w - 2} FOLLOWING))
+, avf AS (SELECT doc_id, i, a FROM avw WHERE cnt = {w - 1})
+, avn AS (
+  SELECT doc_id, i,
+         CASE WHEN max(a) OVER (PARTITION BY doc_id) = 0 THEN 0
+              ELSE (a - min(a) OVER (PARTITION BY doc_id))
+                   / max(a) OVER (PARTITION BY doc_id)
+         END AS av
+  FROM avf)
+, mx AS (SELECT doc_id, max(mp_raw) AS mmax FROM mp_rows GROUP BY doc_id)
+SELECT m.doc_id, m.idx, round(v.av, 6) AS av,
+       round(m.mp_raw + (1 - v.av) * mx.mmax, 4) AS cmp
+FROM mp_rows m
+JOIN avn v ON v.doc_id = m.doc_id AND v.i = m.idx
+JOIN mx ON mx.doc_id = m.doc_id
+"""
+
+
+def _mpdist_small_sql() -> str:
+    """MPDist between the first 8 bounded-slice docs: full cross-window
+    distance set per pair (diagonal windowed sums), AB/BA profile mins,
+    k-th order statistic with k = ceil(0.05*(na+nb)) - 1 clamped
+    (reference mpdist semantics)."""
+    w = 16
+    return _SEQ_CTE + _win_cte(w) + f"""
+, sel AS (
+  SELECT g.doc_id FROM good g JOIN seq USING (doc_id)
+  WHERE length(seq.text) BETWEEN {2 * w} AND 256)
+, sel8 AS (SELECT doc_id FROM sel ORDER BY doc_id LIMIT 8)
+, e AS (SELECT ex.* FROM ex JOIN sel8 USING (doc_id))
+, dpairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sel8 a JOIN sel8 b ON a.doc_id < b.doc_id)
+, prod AS (
+  SELECT p.da, p.db, b.idx - a.idx AS d, a.idx AS u,
+         CAST(a.tok * b.tok AS DOUBLE) AS pr
+  FROM dpairs p
+  JOIN e a ON a.doc_id = p.da
+  JOIN e b ON b.doc_id = p.db)
+, qt AS (
+  SELECT da, db, d, u AS i,
+         sum(pr) OVER win AS qt, count(*) OVER win AS cnt
+  FROM prod
+  WINDOW win AS (PARTITION BY da, db, d ORDER BY u
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING))
+, dd AS (
+  SELECT q.da, q.db, q.i, q.i + q.d AS j,
+         sqrt(greatest({2 * w} * (1 - least(
+           (q.qt - {w} * wa.mu * wb.mu) / ({w} * wa.sig * wb.sig), 1.0)),
+           0)) AS dist
+  FROM qt q
+  JOIN win wa ON wa.doc_id = q.da AND wa.i = q.i
+  JOIN win wb ON wb.doc_id = q.db AND wb.i = q.i + q.d
+  WHERE q.cnt = {w})
+, mpa AS (SELECT da, db, i, min(dist) AS v FROM dd GROUP BY da, db, i)
+, mpb AS (SELECT da, db, j, min(dist) AS v FROM dd GROUP BY da, db, j)
+, pooled AS (
+  SELECT da, db, v FROM mpa UNION ALL SELECT da, db, v FROM mpb)
+, lens AS (SELECT doc_id, length(text) AS n FROM seq)
+, kk AS (
+  SELECT p.da, p.db,
+         CAST(ceil(0.05 * (la.n + lb.n)) AS BIGINT) - 1 AS k
+  FROM dpairs p
+  JOIN lens la ON la.doc_id = p.da
+  JOIN lens lb ON lb.doc_id = p.db)
+, ranked AS (
+  SELECT da, db, v,
+         row_number() OVER (PARTITION BY da, db ORDER BY v) - 1 AS rn,
+         count(*) OVER (PARTITION BY da, db) AS cnt_all
+  FROM pooled)
+SELECT r.da AS doc_a, r.db AS doc_b, round(r.v, 4) AS mpdist
+FROM ranked r JOIN kk ON kk.da = r.da AND kk.db = r.db
+WHERE r.rn = least(kk.k, r.cnt_all - 1)
+"""
 
 
 def _mp_discords_small_sql() -> str:
@@ -1065,6 +1215,9 @@ ASOF LEFT JOIN events p
 """,
         "mp_profiles_small": _mp_small_sql(),
         "mp_discords_small": _mp_discords_small_sql(),
+        "pmp_small": _pmp_small_sql(),
+        "corrected_profile_small": _corrected_small_sql(),
+        "mpdist_pairs_small": _mpdist_small_sql(),
         "mass_topk": _mass_topk_sql(),
         "ab_join_small": _ab_small_sql(),
         "dedup_minhash_lsh": _minhash_sql(),

@@ -162,6 +162,33 @@ def run_bench() -> dict:
 
     timed("ann_topk", ann_run)
 
+    # 8b. IVF query-side scale point: 10^4 queries against the persisted
+    # partitioned index (probe-set-batched ProbeScan).  The index build is
+    # untimed (one-time corpus pass); reported on its own, excluded from
+    # the headline total (new in round 3 — no round-delta baseline).
+    def ann_ivf_q10k(n_q: int = 10000):
+        import hashlib
+
+        from matrixprofile_1_ray.stages.ann import ivf_topk
+
+        tab = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                            columns=["embedding"])
+        base = np.stack([np.asarray(v, dtype="d")
+                         for v in tab["embedding"].to_pylist()])
+        reps = int(np.ceil(n_q / base.shape[0]))
+        qm = np.tile(base, (reps, 1))[:n_q]
+        st = os.stat(f"{SF_DIR}/embeddings.parquet")
+        ident = f"{SF_DIR}:{st.st_size}:{st.st_mtime_ns}"
+        tag = hashlib.sha1(ident.encode()).hexdigest()[:10]
+        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+        kwargs = dict(index_dir=f"/tmp/ivf_bench_{tag}",
+                      input_fingerprint=ident)
+        ivf_topk(ds, qm[:4], k=10, **kwargs).count()     # untimed build
+        return lambda: ivf_topk(ds, qm, k=10, **kwargs).count()
+
+    timed("ann_ivf_q10k", ann_ivf_q10k())
+
     # throughput counters
     seq_meta = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
     doc_points = sum(len(t) for t in seq_meta["text"].to_pylist())
@@ -179,10 +206,11 @@ def run_bench() -> dict:
     counters["rollup_rows"] = int(n_rollup_rows)
 
     ray.shutdown()
-    # headline total keeps round-1 scope (the 5x point is reported on its
-    # own so adding it doesn't read as a regression in round deltas)
+    # headline total keeps round-1 scope (the 5x and IVF-10k points are
+    # reported on their own so adding them doesn't read as a regression in
+    # round deltas)
     total = round(sum(v for k, v in timings.items()
-                      if k != "synth_mp_rollup_5x"), 3)
+                      if k not in ("synth_mp_rollup_5x", "ann_ivf_q10k")), 3)
     return {
         "metric": "flagship pipelines wall time (rollups, mp, codec, dedup, ann)",
         "value": total,

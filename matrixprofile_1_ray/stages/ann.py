@@ -241,27 +241,43 @@ def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
 
     class ProbeScan:
         """Rows arrive pre-partitioned — the batch's centroid column (hive
-        key, no recompute) routes them to the queries probing that list."""
+        key, no recompute) routes them to the queries probing that list.
+        Queries are GROUPED BY identical probe-set once per actor: each
+        group pays one row mask + one [n_masked, n_group] BLAS matmul per
+        batch, so the per-batch loop runs over the handful of distinct
+        probe-sets (bounded by nprobe-of-n_centroids combinations), not
+        over the queries — at 10^5 queries a per-query loop dominates."""
 
         def __init__(self):
             self.queries = ray.get(queries_ref)
-            self.probe_sets = ray.get(probes_ref)
+            probe_sets = ray.get(probes_ref)
+            by_set: dict = {}
+            for qi, probe in enumerate(probe_sets):
+                by_set.setdefault(frozenset(probe), []).append(qi)
+            self.groups = [
+                (np.fromiter(fs, dtype=np.int64),
+                 np.asarray(qis, dtype=np.int64))
+                for fs, qis in by_set.items()
+            ]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             mat = _normalize(_emb_matrix(batch))
             assign = batch["centroid"].to_numpy(zero_copy_only=False).astype(np.int64)
             vec_ids = batch["vec_id"].to_numpy()
             out_q, out_v, out_s = [], [], []
-            for qi, probe in enumerate(self.probe_sets):
-                mask = np.isin(assign, list(probe))
-                if not mask.any():
+            for probe_arr, qidx in self.groups:
+                mask = np.isin(assign, probe_arr)
+                nm = int(np.count_nonzero(mask))
+                if nm == 0:
                     continue
-                sims = mat[mask] @ self.queries[qi]
-                kk = min(k, sims.shape[0])
-                top = np.argpartition(-sims, kk - 1)[:kk]
-                out_q.append(np.full(kk, qi, dtype=np.int64))
-                out_v.append(vec_ids[mask][top])
-                out_s.append(sims[top])
+                sims = mat[mask] @ self.queries[qidx].T      # [nm, g]
+                kk = min(k, nm)
+                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # [kk, g]
+                rows = top.T.reshape(-1)                      # per-query blocks
+                cols = np.repeat(np.arange(len(qidx)), kk)
+                out_q.append(np.repeat(qidx, kk))
+                out_v.append(vec_ids[mask][rows])
+                out_s.append(sims[rows, cols])
             if not out_q:
                 return pa.table({"query_id": pa.array([], pa.int64()),
                                  "vec_id": pa.array([], pa.int64()),

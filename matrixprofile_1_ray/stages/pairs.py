@@ -207,6 +207,35 @@ def pick_oracle_query_doc(sf_dir: str, w: int = 16, min_n: int = 96,
     raise ValueError("no document satisfies the oracle query-doc rule")
 
 
+def pick_small_slice_docs(sf_dir: str, w: int = 16, lo: int = 32,
+                          hi: int = 256, sig2_floor: float = 1e-3,
+                          limit: int = 8) -> pa.Table:
+    """The first ``limit`` docs (lexicographic doc_id order) of the
+    bounded oracle slice (length in [lo, hi], no near-constant window) as
+    a tokenized sequences table — the fixture rule shared with the DuckDB
+    mpdist oracle."""
+    import pyarrow.parquet as pq
+
+    from ..sources.sequences import tokenize_documents_batch
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    ids = np.array([str(x) for x in docs["doc_id"].to_pylist()])
+    keep = []
+    for i in np.argsort(ids):
+        text = docs["text"][int(i)].as_py()
+        if not (lo <= len(text) <= hi):
+            continue
+        ts = np.array([ord(c) for c in text], dtype="d")
+        _, sig2 = _doc_window_stats(ts, w)
+        if sig2.min() < sig2_floor:
+            continue
+        keep.append(int(i))
+        if len(keep) == limit:
+            break
+    return tokenize_documents_batch(docs.take(pa.array(keep, pa.int64())))
+
+
 def mass_topk_rows_batch(batch: pa.Table, query: np.ndarray, k: int = 2,
                          round_dp: int = 4,
                          sig2_floor: float = 1e-3) -> pa.Table:

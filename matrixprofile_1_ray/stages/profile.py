@@ -144,6 +144,49 @@ def mp_rows_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
     })
 
 
+def corrected_small_rows_batch(batch: pa.Table, w: int = 16,
+                               max_n: int = 256, round_dp: int = 4,
+                               sig2_floor: float = 1e-3) -> pa.Table:
+    """Bounded-slice corrected-profile rows (doc_id, idx, av, cmp) through
+    the real kernels (mpx_self + make_complexity_av, cmp = mp +
+    (1-av)*max(mp)) — oracle-able because the complexity AV is pure
+    integer-derived arithmetic (bit-identical in SQL) and the mp factor
+    rounds away the ~1e-12 engine-vs-SQL drift."""
+    from ..kernels.transform import make_complexity_av
+
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    out_doc, out_idx, out_av, out_cmp = [], [], [], []
+    for i in range(len(batch)):
+        ts = values[offsets[i] : offsets[i + 1]].astype("d")
+        n = ts.shape[0]
+        if n < 2 * w or n > max_n:
+            continue
+        c1 = np.concatenate(([0.0], np.cumsum(ts)))
+        c2 = np.concatenate(([0.0], np.cumsum(ts * ts)))
+        s = c1[w:] - c1[:-w]
+        ss = c2[w:] - c2[:-w]
+        if (ss / w - (s / w) ** 2).min() < sig2_floor:
+            continue
+        mp, _ = mpx_self(ts, w)
+        av = make_complexity_av(ts, w)
+        cmp_ = mp + (1 - av) * np.max(mp)
+        out_doc.append(np.repeat(batch["doc_id"][i].as_py(), mp.shape[0]))
+        out_idx.append(np.arange(mp.shape[0], dtype=np.int64))
+        out_av.append(np.round(av, 6))
+        out_cmp.append(np.round(cmp_, round_dp))
+    if not out_doc:
+        return pa.table({"doc_id": pa.array([], pa.string()),
+                         "idx": pa.array([], pa.int64()),
+                         "av": pa.array([], pa.float64()),
+                         "cmp": pa.array([], pa.float64())})
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(out_doc), pa.string()),
+        "idx": pa.array(np.concatenate(out_idx), pa.int64()),
+        "av": pa.array(np.concatenate(out_av), pa.float64()),
+        "cmp": pa.array(np.concatenate(out_cmp), pa.float64()),
+    })
+
+
 def mp_discord_top1_batch(batch: pa.Table, **small_kwargs) -> pa.Table:
     """Top-1 discord per bounded-slice doc, reduced from the ROUNDED
     profile rows of :func:`mp_rows_small_batch` (tie-break: smallest idx)
