@@ -368,6 +368,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
             corrected_small_rows_batch, batch_format="pyarrow")
 
+    def mp_rollup_small_query(sf_dir: str):
+        from matrixprofile_1_ray.stages.profile import mp_rollup_small_batch
+
+        return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            mp_rollup_small_batch, batch_format="pyarrow")
+
     def mpdist_small_query(sf_dir: str):
         import pyarrow.compute as pc
 
@@ -671,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmp_small": pmp_small_query,
         "corrected_profile_small": corrected_small_query,
         "mpdist_pairs_small": mpdist_small_query,
+        "mp_rollup_small": mp_rollup_small_query,
         # multi-window / pair / summary operators (rows-only)
         "pmp": pmp_query,
         "pick_mp_w32": pick_mp_query,
@@ -1218,6 +1225,17 @@ ASOF LEFT JOIN events p
         "pmp_small": _pmp_small_sql(),
         "corrected_profile_small": _corrected_small_sql(),
         "mpdist_pairs_small": _mpdist_small_sql(),
+        "mp_rollup_small": _mp_small_rows_cte() + """
+, b AS (SELECT doc_id, idx // 60 AS bucket, idx, mp FROM mp_rows)
+, agg AS (
+  SELECT doc_id, bucket, min(mp) AS mp_min, count(*) AS mp_count
+  FROM b GROUP BY doc_id, bucket)
+SELECT a.doc_id, a.bucket, a.mp_min, a.mp_count,
+       min(b.idx) AS mp_argmin
+FROM agg a
+JOIN b ON b.doc_id = a.doc_id AND b.bucket = a.bucket AND b.mp = a.mp_min
+GROUP BY a.doc_id, a.bucket, a.mp_min, a.mp_count
+""",
         "mass_topk": _mass_topk_sql(),
         "ab_join_small": _ab_small_sql(),
         "dedup_minhash_lsh": _minhash_sql(),

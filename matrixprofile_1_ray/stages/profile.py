@@ -144,6 +144,41 @@ def mp_rows_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
     })
 
 
+def mp_rollup_small_batch(batch: pa.Table, bucket: int = 60,
+                          **small_kwargs) -> pa.Table:
+    """North-rule MP tier rollup over the bounded oracle slice, through
+    the real ``bucket_reduce`` kernel (stages/rollup.py): per (doc,
+    bucket) min distance, count, and first-argmin — computed on the
+    ROUNDED profile rows so the DuckDB oracle's argmin decision is
+    identical."""
+    from .rollup import bucket_reduce
+
+    rows = mp_rows_small_batch(batch, **small_kwargs)
+    if len(rows) == 0:
+        return pa.table({"doc_id": pa.array([], pa.string()),
+                         "bucket": pa.array([], pa.int64()),
+                         "mp_min": pa.array([], pa.float64()),
+                         "mp_count": pa.array([], pa.int64()),
+                         "mp_argmin": pa.array([], pa.int64())})
+    doc = np.asarray(rows["doc_id"])
+    # rows are doc-contiguous with ascending idx; segment boundaries are
+    # the first occurrence of each doc
+    _, starts = np.unique(doc, return_index=True)
+    bounds = np.sort(starts)
+    offsets = np.concatenate((bounds, [len(doc)])).astype(np.int64)
+    seg_docs = doc[bounds]
+    values = rows["mp"].to_numpy().astype("d")
+    row_of_bucket, bucket_idx, mins, _maxs, _sums, counts, argmins = \
+        bucket_reduce(values, offsets, bucket)
+    return pa.table({
+        "doc_id": pa.array(seg_docs[row_of_bucket].tolist(), pa.string()),
+        "bucket": pa.array(bucket_idx, pa.int64()),
+        "mp_min": pa.array(mins, pa.float64()),
+        "mp_count": pa.array(counts, pa.int64()),
+        "mp_argmin": pa.array(argmins, pa.int64()),
+    })
+
+
 def corrected_small_rows_batch(batch: pa.Table, w: int = 16,
                                max_n: int = 256, round_dp: int = 4,
                                sig2_floor: float = 1e-3) -> pa.Table:

@@ -120,7 +120,8 @@ def test_small_slice_queries_nonempty(ray_session):
     qs = m.queries()
     for name in ("mp_profiles_small", "mp_discords_small",
                  "mass_topk", "ab_join_small", "pmp_small",
-                 "corrected_profile_small", "mpdist_pairs_small"):
+                 "corrected_profile_small", "mpdist_pairs_small",
+                 "mp_rollup_small"):
         assert len(_df(qs[name](SF))) > 0, name
 
 
