@@ -320,6 +320,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
             mp_discord_top1_batch, batch_format="pyarrow")
 
+    def mp_algo_small_query(algorithm: str):
+        from matrixprofile_1_ray.stages.profile import mp_rows_small_batch
+
+        def run(sf_dir: str):
+            return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+                lambda b: mp_rows_small_batch(b, algorithm=algorithm),
+                batch_format="pyarrow")
+
+        return run
+
     def mass_topk_query(sf_dir: str):
         from matrixprofile_1_ray.stages.pairs import (
             mass_topk_rows_batch,
@@ -671,6 +681,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1m_chunked": chunked_rollup_query,
         # bounded-slice MP family (DuckDB brute-force oracle-checked)
         "mp_profiles_small": mp_small_query,
+        "mp_stomp_small": mp_algo_small_query("stomp"),
+        "mp_scrimp_small": mp_algo_small_query("scrimp++"),
         "mp_discords_small": mp_discords_small_query,
         "mass_topk": mass_topk_query,
         "ab_join_small": ab_small_query,
@@ -792,14 +804,25 @@ def _win_cte(w: int) -> str:
 
 
 def _mp_small_rows_cte(w: int = 16, lo: int | None = None,
-                       hi: int = 256) -> str:
+                       hi: int = 256, excl: int | None = None,
+                       perfect_guard: bool = False) -> str:
     """CTE chain ending in ``mp_rows(doc_id, idx, mp_raw, mp)`` — DuckDB
     brute-force of the z-normalized ED self-join matrix profile on the
-    bounded doc slice (reference mpx semantics: minlag = ceil(w/4),
-    diagonals <= minlag excluded, Pearson clamped at 1).  Dot products are
-    windowed sums of token products along each diagonal."""
-    minlag = -(-w // 4)
+    bounded doc slice (Pearson clamped at 1, dot products as windowed
+    sums of token products along each diagonal).  ``excl`` is the widest
+    EXCLUDED diagonal: reference mpx skips d <= minlag = ceil(w/4)
+    (default); reference STOMP's exclusion zone is ceil(w/2).
+    ``perfect_guard`` drops docs with an in-band corr >= 1 - 1e-9 (the
+    STOMP NaN-at-perfect-match quirk; the engine applies the identical
+    bit-exact guard)."""
+    minlag = -(-w // 4) if excl is None else excl
     lo = 2 * w if lo is None else lo
+    guard = ("""
+, guard AS (
+  SELECT doc_id FROM corr GROUP BY doc_id
+  HAVING max(c) < 0.999999999)
+""" if perfect_guard else "")
+    guard_join = "JOIN guard USING (doc_id)" if perfect_guard else ""
     return _SEQ_CTE + _win_cte(w) + f"""
 , sel AS (
   SELECT g.doc_id FROM good g JOIN seq USING (doc_id)
@@ -827,15 +850,17 @@ def _mp_small_rows_cte(w: int = 16, lo: int | None = None,
   SELECT doc_id, i AS idx, c FROM corr
   UNION ALL
   SELECT doc_id, j AS idx, c FROM corr)
-, mp_rows AS (
+{guard}, mp_rows AS (
   SELECT doc_id, idx,
          sqrt(greatest({2 * w} * (1 - least(max(c), 1.0)), 0)) AS mp_raw,
          round(sqrt(greatest({2 * w} * (1 - least(max(c), 1.0)), 0)), 4) AS mp
-  FROM both_sides GROUP BY doc_id, idx)"""
+  FROM both_sides {guard_join} GROUP BY doc_id, idx)"""
 
 
-def _mp_small_sql(w: int = 16) -> str:
-    return _mp_small_rows_cte(w=w) + "\nSELECT doc_id, idx, mp FROM mp_rows"
+def _mp_small_sql(w: int = 16, excl: int | None = None,
+                  perfect_guard: bool = False) -> str:
+    return (_mp_small_rows_cte(w=w, excl=excl, perfect_guard=perfect_guard)
+            + "\nSELECT doc_id, idx, mp FROM mp_rows")
 
 
 def _pmp_small_sql() -> str:
@@ -1221,6 +1246,11 @@ ASOF LEFT JOIN events p
   ON e.user_id = p.user_id AND p.ts < e.ts
 """,
         "mp_profiles_small": _mp_small_sql(),
+        # STOMP widens the excluded diagonal band to its reference
+        # exclusion zone ceil(w/2); SCRIMP++ at pct=1.0 is exact, so the
+        # mpx brute force is its oracle verbatim
+        "mp_stomp_small": _mp_small_sql(excl=8, perfect_guard=True),
+        "mp_scrimp_small": _mp_small_sql(),
         "mp_discords_small": _mp_discords_small_sql(),
         "pmp_small": _pmp_small_sql(),
         "corrected_profile_small": _corrected_small_sql(),

@@ -101,8 +101,8 @@ def compute_profiles_batch(batch: pa.Table, w: int = 32,
 
 
 def mp_rows_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
-                        round_dp: int = 4,
-                        sig2_floor: float = 1e-3) -> pa.Table:
+                        round_dp: int = 4, sig2_floor: float = 1e-3,
+                        algorithm: str = "mpx") -> pa.Table:
     """Exploded (doc_id, idx, mp) profile rows over a BOUNDED doc slice —
     the driver-visible oracle for the matrix-profile kernel itself: DuckDB
     can brute-force the z-normalized ED self-join on docs with
@@ -114,7 +114,19 @@ def mp_rows_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
     (kernels/mass.py apply semantics) is not SQL-reproducible.  For integer
     token values the non-constant minimum sig^2 is ~0.058, so the 1e-3
     threshold cannot flip between engines.  ``mp`` is rounded so the
-    ~1e-12 engine-vs-SQL float drift cannot move the value hash."""
+    ~1e-12 engine-vs-SQL float drift cannot move the value hash.
+
+    ``algorithm`` picks the kernel under test: mpx (minlag exclusion
+    ceil(w/4)), stomp (reference ez = ceil(w/2) — the oracle widens its
+    diagonal exclusion to match), or scrimp++ at sample_pct=1.0 (exact,
+    same exclusion as mpx).
+
+    STOMP additionally excludes docs containing a NEAR-PERFECT off-band
+    window match (corr >= 1 - 1e-9): the reference's distance_profile
+    takes sqrt of a tiny negative there and yields NaN, which STOMP skips
+    — not SQL-reproducible.  The guard itself IS reproducible: corr from
+    exact-integer window sums is bit-identical in numpy and DuckDB, so
+    both engines make the same keep/drop decision."""
     values, offsets = list_column_to_numpy(batch["tokens"])
     out_doc, out_idx, out_mp = [], [], []
     for i in range(len(batch)):
@@ -129,7 +141,26 @@ def mp_rows_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
         sig2 = ss / w - (s / w) ** 2
         if sig2.min() < sig2_floor:
             continue
-        mp, _ = mpx_self(ts, w)
+        if algorithm == "mpx":
+            mp, _ = mpx_self(ts, w)
+        elif algorithm == "stomp":
+            from ..kernels.stomp import stomp
+
+            if _has_near_perfect_offband_match(
+                    ts, w, s / w, np.sqrt(np.maximum(sig2, 0)),
+                    min_d=int(np.ceil(w / 2.0)) + 1):
+                continue
+            mp = stomp(ts, w)["mp"]
+        elif algorithm == "scrimp++":
+            import zlib
+
+            from ..kernels.scrimp import scrimp_plus_plus
+
+            seed = zlib.crc32(batch["doc_id"][i].as_py().encode()) & 0x7FFFFFFF
+            mp = scrimp_plus_plus(ts, w, sample_pct=1.0,
+                                  random_state=seed)["mp"]
+        else:
+            raise ValueError(f"unknown algorithm: {algorithm}")
         out_doc.append(np.repeat(batch["doc_id"][i].as_py(), mp.shape[0]))
         out_idx.append(np.arange(mp.shape[0], dtype=np.int64))
         out_mp.append(np.round(mp, round_dp))
@@ -142,6 +173,27 @@ def mp_rows_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
         "idx": pa.array(np.concatenate(out_idx), pa.int64()),
         "mp": pa.array(np.concatenate(out_mp), pa.float64()),
     })
+
+
+def _has_near_perfect_offband_match(ts: np.ndarray, w: int,
+                                    mu: np.ndarray, sig: np.ndarray,
+                                    min_d: int,
+                                    threshold: float = 0.999999999) -> bool:
+    """True when some window pair at |i-j| >= min_d has correlation >=
+    threshold.  The arithmetic mirrors the DuckDB oracle exactly — window
+    dot products are exact-integer sums, mu/sig come from the same
+    formula — so the comparison is bit-identical across engines."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wins = np.ascontiguousarray(sliding_window_view(ts, w))
+    qt = wins @ wins.T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = ((qt - (w * mu)[:, None] * mu[None, :])
+             / ((w * sig)[:, None] * sig[None, :]))
+    pl = c.shape[0]
+    i, j = np.indices((pl, pl))
+    band = np.abs(i - j) >= min_d
+    return bool((c[band] >= threshold).any())
 
 
 def mp_rollup_small_batch(batch: pa.Table, bucket: int = 60,

@@ -121,8 +121,22 @@ def test_small_slice_queries_nonempty(ray_session):
     for name in ("mp_profiles_small", "mp_discords_small",
                  "mass_topk", "ab_join_small", "pmp_small",
                  "corrected_profile_small", "mpdist_pairs_small",
-                 "mp_rollup_small"):
+                 "mp_rollup_small", "mp_stomp_small", "mp_scrimp_small"):
         assert len(_df(qs[name](SF))) > 0, name
+
+
+def test_stomp_small_perfect_match_guard():
+    """A doc with an identical window pair outside STOMP's exclusion zone
+    must be dropped (the reference kernel NaN-skips the perfect match, so
+    its value is not oracle-reproducible); mpx keeps the doc."""
+    from matrixprofile_1_ray.stages.profile import mp_rows_small_batch
+
+    rng = np.random.default_rng(9)
+    toks = rng.integers(32, 127, size=100).astype(np.int32)
+    toks[60:80] = toks[10:30]          # exact repeat at distance 50 > ez
+    batch = _seq_batch([toks])
+    assert len(mp_rows_small_batch(batch, algorithm="stomp")) == 0
+    assert len(mp_rows_small_batch(batch, algorithm="mpx")) > 0
 
 
 def test_hash_join_rejects_outer(ray_session):
