@@ -180,6 +180,328 @@ def render_svg_to_dir(profile, out_dir: str, **kwargs) -> list:
     return paths
 
 
+def _runs_to_intervals(indices) -> list:
+    """Merge consecutive index runs into [start, end] intervals (the
+    reference's neighbor-highlight grouping, visualize.py:600-667)."""
+    idx = np.asarray(sorted(set(int(i) for i in np.asarray(indices).ravel())))
+    if idx.size == 0:
+        return []
+    breaks = np.flatnonzero(np.diff(idx) != 1)
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks, [idx.size - 1]))
+    return [[int(idx[s]), int(idx[e])] for s, e in zip(starts, ends)]
+
+
+def _nanpad(arr, total: int) -> np.ndarray:
+    arr = np.asarray(arr, dtype="d")
+    if arr.shape[0] >= total:
+        return arr
+    return np.concatenate([arr, np.full(total - arr.shape[0], np.nan)])
+
+
+def _line(y, color="#1f77b4", x=None, kind="line"):
+    y = np.asarray(y, dtype="d")
+    return {"x": np.arange(y.shape[0]) if x is None else np.asarray(x),
+            "y": y, "color": color, "kind": kind}
+
+
+def figure_specs(profile, ts=None) -> dict:
+    """Reference-parity figure compositions as data (no plotting library):
+    one entry per figure the reference's ``visualize()`` dispatch would
+    draw (reference visualize.py:62-116), each a grid of PANELS carrying
+    the exact series/marker arrays of the corresponding reference figure —
+    plot_mp's stacked Data/Query/MP/LMP/RMP axes, plot_discords_mp's
+    Data / MP-heat-strip / starred-MP triplet (height ratios 25/5/25),
+    plot_motifs_mp's per-pair subsequence grid AND whole-series overlay
+    (red motifs, black neighbors), plot_cmp_mp / plot_av_mp, plot_pmp's
+    depth-256 quantized heat image, plot_stats' two-panel layout, and
+    plot_snippets' run-merged neighbor highlights.
+
+    Shape: {figure_name: {"rows": [[panel, ...], ...]}} where panel =
+    {"ylabel", "title", "height", "series": [{x, y, color, kind}]};
+    series kinds: line, scatter, strip (1-row heat), image (2-D heat)."""
+    figs = {}
+    if _is(profile, "MatrixProfile"):
+        data = profile.get("data") or {}
+        ts = np.asarray(data["ts"], dtype="d") if data.get("ts") is not None \
+            else (np.asarray(ts, dtype="d") if ts is not None else None)
+        query = data.get("query")
+        mp = np.asarray(profile["mp"], dtype="d")
+        w = int(profile["w"])
+        n = (ts.shape[0] if ts is not None else mp.shape[0] + w - 1)
+
+        stacked = []
+        if ts is not None:
+            stacked.append({"ylabel": "Data", "title": None, "height": 1.0,
+                            "series": [_line(ts)]})
+        if query is not None:
+            stacked.append({"ylabel": "Query", "title": None, "height": 1.0,
+                            "series": [_line(np.asarray(query, dtype="d"))]})
+        for key, label in (("mp", "Matrix Profile"),
+                           ("lmp", "Left Matrix Profile"),
+                           ("rmp", "Right Matrix Profile")):
+            if profile.get(key) is None:
+                continue
+            stacked.append({
+                "ylabel": label, "title": f"Window Size {w}", "height": 1.0,
+                "series": [_line(_nanpad(profile[key], n))]})
+        figs["mp"] = {"rows": [[p] for p in stacked]}
+
+        for key, label, name in (("cmp", "Corrected Matrix Profile", "cmp_mp"),
+                                 ("av", "Annotation Vector", "av_mp")):
+            if profile.get(key) is not None and len(profile[key]) > 0:
+                figs[name] = {"rows": [[{
+                    "ylabel": label, "title": f"Window Size {w}",
+                    "height": 1.0,
+                    "series": [_line(_nanpad(profile[key], n))]}]]}
+
+        motifs = profile.get("motifs") or []
+        if motifs and ts is not None:
+            pair_rows, overlay_rows = [], []
+            for k, motif in enumerate(motifs):
+                row = []
+                for idx in motif.get("motifs", []):
+                    idx = int(np.asarray(idx).ravel()[0])
+                    row.append({
+                        "ylabel": f"Motif {k + 1}",
+                        "title": f"Index Start {idx}", "height": 1.0,
+                        "series": [_line(ts[idx : idx + w])]})
+                pair_rows.append(row)
+                series = [_line(ts)]
+                for idx in motif.get("motifs", []):
+                    idx = int(np.asarray(idx).ravel()[0])
+                    series.append(_line(ts[idx : idx + w], color="#d62728",
+                                        x=np.arange(idx, idx + w)))
+                for idx in motif.get("neighbors", []):
+                    idx = int(np.asarray(idx).ravel()[0])
+                    series.append(_line(ts[idx : idx + w], color="#000000",
+                                        x=np.arange(idx, idx + w)))
+                overlay_rows.append([{
+                    "ylabel": f"Motif {k + 1}", "title": None,
+                    "height": 1.0, "series": series}])
+            figs["motifs_mp_pairs"] = {"rows": pair_rows}
+            figs["motifs_mp_overlay"] = {"rows": overlay_rows}
+
+        discords = profile.get("discords")
+        if discords is not None and len(discords) > 0 and ts is not None:
+            mp_adj = _nanpad(mp, mp.shape[0] + w + 1)
+            idxs = np.asarray([int(np.asarray(d).ravel()[0])
+                               for d in discords])
+            figs["discords_mp"] = {"rows": [
+                [{"ylabel": "Data", "title": None, "height": 25.0,
+                  "series": [_line(ts)]}],
+                [{"ylabel": "", "title": None, "height": 5.0,
+                  "series": [{"x": np.arange(mp_adj.shape[0]),
+                              "y": mp_adj, "color": "coolwarm",
+                              "kind": "strip"}]}],
+                [{"ylabel": "Matrix Profile",
+                  "title": f"Window Size {w}", "height": 25.0,
+                  "series": [_line(mp_adj),
+                             {"x": idxs, "y": mp_adj[idxs],
+                              "color": "#d62728", "kind": "scatter"}]}],
+            ]}
+    elif _is(profile, "PMP"):
+        pmp = np.asarray(profile["pmp"], dtype="d")
+        quant = np.ceil(pmp * 256) / 256
+        quant = np.minimum(quant, 1.0)
+        figs["pmp"] = {"rows": [[{
+            "ylabel": "Window Size", "title": "Pan-MatrixProfile",
+            "height": 1.0,
+            "series": [{"x": np.asarray(profile["windows"]), "y": quant,
+                        "color": "viridis", "kind": "image",
+                        "invert_y": True}]}]]}
+        data = profile.get("data") or {}
+        pts = (np.asarray(data["ts"], dtype="d")
+               if data.get("ts") is not None else None)
+        for kind_key, name in (("discords", "discords_pmp"),
+                               ("motifs", "motifs_pmp")):
+            items = profile.get(kind_key) or []
+            for k, item in enumerate(items):
+                if kind_key == "discords":
+                    loc = np.asarray(item).ravel()
+                else:
+                    loc = np.asarray(item["motifs"][0]).ravel()
+                row_i, idx = int(loc[0]), int(loc[1])
+                mp_row = pmp[row_i]
+                w = int(np.asarray(profile["windows"])[row_i])
+                rows = []
+                if pts is not None:
+                    rows.append([{"ylabel": "Data", "title": None,
+                                  "height": 25.0, "series": [_line(pts)]}])
+                rows.append([{"ylabel": "", "title": None, "height": 5.0,
+                              "series": [{"x": np.arange(mp_row.shape[0]),
+                                          "y": mp_row, "color": "coolwarm",
+                                          "kind": "strip"}]}])
+                rows.append([{"ylabel": "Matrix Profile",
+                              "title": f"Window Size = {w}", "height": 25.0,
+                              "series": [_line(mp_row),
+                                         {"x": np.array([idx]),
+                                          "y": mp_row[[idx]],
+                                          "color": "#d62728",
+                                          "kind": "scatter"}]}])
+                figs[f"{name}_{k}"] = {"rows": rows}
+    elif _is(profile, "Statistics"):
+        movers = [{"label": k, "y": np.asarray(v, dtype="d")}
+                  for k, v in profile.items() if k.startswith("moving")]
+        rows = [[{"ylabel": "Time Series", "title": None, "height": 1.0,
+                  "series": [_line(np.asarray(profile.get("ts"), dtype="d"),
+                                   color="#000000")]}],
+                [{"ylabel": "Moving Statistics", "title": None,
+                  "height": 1.0,
+                  "series": [_line(m["y"]) for m in movers]}]]
+        palette = ["#1f77b4", "#ff7f0e", "#2ca02c", "#d62728", "#9467bd"]
+        for i, s in enumerate(rows[1][0]["series"]):
+            s["color"] = palette[i % len(palette)]
+        figs["stats"] = {"rows": rows}
+    elif isinstance(profile, list) and profile and "snippet" in profile[0]:
+        if ts is None:
+            raise ValueError("plot_snippets composition needs the series")
+        ts = np.asarray(ts, dtype="d")
+        for i, snip in enumerate(profile):
+            start = int(snip["index"])
+            y = np.asarray(snip["snippet"], dtype="d")
+            series = [_line(ts)]
+            for a, b in _runs_to_intervals(snip.get("neighbors", [])):
+                series.append(_line(ts[a : b + 1], color="#ff7f0e",
+                                    x=np.arange(a, b + 1)))
+            series.append(_line(y, color="#d62728",
+                                x=np.arange(start, start + y.shape[0])))
+            figs[f"snippet_{i}"] = {"rows": [[{
+                "ylabel": "Data", "title": f"Snippet-{i + 1}",
+                "height": 1.0, "series": series}]]}
+    else:
+        raise ValueError("unsupported structure for figure_specs")
+    return figs
+
+
+def _strip_color(frac: float) -> str:
+    """coolwarm-ish blue->white->red ramp for heat strips."""
+    frac = min(max(frac, 0.0), 1.0)
+    if frac < 0.5:
+        t = frac * 2
+        r, g, b = int(59 + t * 196), int(76 + t * 179), 255
+    else:
+        t = (frac - 0.5) * 2
+        r, g, b = 255, int(255 - t * 179), int(255 - t * 195)
+    return f"rgb({r},{g},{b})"
+
+
+def render_svg_figures(profile, ts=None, width: int = 720,
+                       panel_height: int = 110) -> dict:
+    """Render every :func:`figure_specs` composition to one standalone SVG
+    per figure — stacked/gridded panels, shared horizontal scale per
+    column, heat strips and quantized PMP images included."""
+    figures = {}
+    for name, fig in figure_specs(profile, ts=ts).items():
+        rows = fig["rows"]
+        heights = [max(p["height"] for p in row) for row in rows]
+        total_h = sum(heights) or 1.0
+        canvas_h = panel_height * max(len(rows), 1)
+        body = []
+        y_cursor = 24.0
+        usable_h = canvas_h - 24 - 8
+        for row, h in zip(rows, heights):
+            band_h = usable_h * (h / total_h)
+            ncols = len(row)
+            for ci, panel in enumerate(row):
+                x0 = 40 + ci * ((width - 48) / ncols)
+                x1 = 40 + (ci + 1) * ((width - 48) / ncols) - 8
+                y0, y1 = y_cursor, y_cursor + band_h - 18
+                body.append(
+                    f'<line x1="{x0}" y1="{y1:.1f}" x2="{x1:.1f}" '
+                    f'y2="{y1:.1f}" stroke="#888"/>')
+                if panel.get("title"):
+                    body.append(
+                        f'<text x="{x0}" y="{y0 - 4:.1f}" '
+                        f'font-family="sans-serif" font-size="10">'
+                        f'{panel["title"]}</text>')
+                if panel.get("ylabel"):
+                    body.append(
+                        f'<text x="4" y="{(y0 + y1) / 2:.1f}" '
+                        f'font-family="sans-serif" font-size="9">'
+                        f'{panel["ylabel"][:18]}</text>')
+                finite_x = [np.asarray(s["x"], dtype="d")
+                            for s in panel["series"]
+                            if np.asarray(s["x"]).size]
+                if not finite_x:
+                    continue
+                gx_lo = min(float(np.nanmin(a)) for a in finite_x)
+                gx_hi = max(float(np.nanmax(a)) for a in finite_x)
+                ys = [np.asarray(s["y"], dtype="d") for s in panel["series"]
+                      if s["kind"] in ("line", "scatter")]
+                yvals = (np.concatenate([y[np.isfinite(y)] for y in ys])
+                         if ys else np.array([0.0, 1.0]))
+                if yvals.size == 0:
+                    yvals = np.array([0.0, 1.0])
+                gy_lo, gy_hi = float(yvals.min()), float(yvals.max())
+                for s in panel["series"]:
+                    sx = np.asarray(s["x"], dtype="d")
+                    sy = np.asarray(s["y"], dtype="d")
+                    if s["kind"] == "strip":
+                        keep = np.isfinite(sy)
+                        if not keep.any():
+                            continue
+                        lo, hi = sy[keep].min(), sy[keep].max()
+                        step = max(1, sx.size // 512)
+                        cw = (x1 - x0) / max(sx.size, 1) * step
+                        for c in range(0, sx.size, step):
+                            if not np.isfinite(sy[c]):
+                                continue
+                            frac = (sy[c] - lo) / ((hi - lo) or 1.0)
+                            body.append(
+                                f'<rect x="{x0 + c / max(sx.size, 1) * (x1 - x0):.1f}" '
+                                f'y="{y0:.1f}" width="{cw:.2f}" '
+                                f'height="{y1 - y0:.1f}" '
+                                f'fill="{_strip_color(float(frac))}"/>')
+                    elif s["kind"] == "image":
+                        grid = sy
+                        finite = np.isfinite(grid)
+                        lo = float(grid[finite].min()) if finite.any() else 0
+                        hi = float(grid[finite].max()) if finite.any() else 1
+                        nr, nc = grid.shape
+                        step = max(1, nc // 512)
+                        cw = (x1 - x0) / max(nc, 1)
+                        ch = (y1 - y0) / max(nr, 1)
+                        for r in range(nr):
+                            # invert_y: row 0 (smallest window) at bottom
+                            ry = (y1 - (r + 1) * ch) if s.get("invert_y") \
+                                else (y0 + r * ch)
+                            for c in range(0, nc, step):
+                                v = grid[r, c]
+                                if not np.isfinite(v):
+                                    continue
+                                shade = int(255 * (1 - (v - lo)
+                                                   / ((hi - lo) or 1.0)))
+                                body.append(
+                                    f'<rect x="{x0 + c * cw:.1f}" '
+                                    f'y="{ry:.1f}" width="{cw * step:.2f}" '
+                                    f'height="{ch:.2f}" fill="rgb({shade},'
+                                    f'{shade},{shade})"/>')
+                    else:
+                        keep = np.isfinite(sy)
+                        sx, sy = sx[keep], sy[keep]
+                        if sx.size == 0:
+                            continue
+                        px = _svg_scale(sx, gx_lo, gx_hi, x0, x1)
+                        py = _svg_scale(sy, gy_lo, gy_hi, y1, y0)
+                        if s["kind"] == "line":
+                            step = max(1, sx.size // 2048)
+                            pts = " ".join(
+                                f"{a:.1f},{b:.1f}"
+                                for a, b in zip(px[::step], py[::step]))
+                            body.append(
+                                f'<polyline points="{pts}" fill="none" '
+                                f'stroke="{s["color"]}" stroke-width="1.1"/>')
+                        else:
+                            body.extend(
+                                f'<circle cx="{a:.1f}" cy="{b:.1f}" r="3.5" '
+                                f'fill="{s["color"]}"/>'
+                                for a, b in zip(px, py))
+            y_cursor += band_h
+        figures[name] = _svg_doc("".join(body), width, canvas_h, name)
+    return figures
+
+
 def render(profile):
     """matplotlib figures when available (never in this runtime — the data
     path above is the tested surface)."""

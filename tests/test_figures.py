@@ -1,0 +1,93 @@
+"""Reference-parity figure compositions (figure_specs) and their SVG
+rendering — the reference's visualize() dispatch, panel by panel."""
+
+import numpy as np
+import pytest
+
+import matrixprofile_1_ray.kernels as K
+from matrixprofile_1_ray.visualize import (
+    _runs_to_intervals,
+    figure_specs,
+    render_svg_figures,
+)
+
+
+@pytest.fixture(scope="module")
+def mp_profile(sampledata):
+    prof = K.top_k_motifs(K.top_k_discords(K.mpx(sampledata, 32)))
+    prof = K.apply_av(prof, "complexity")
+    return prof
+
+
+def test_runs_to_intervals():
+    assert _runs_to_intervals([5, 6, 7, 12, 13, 20]) == [[5, 7], [12, 13],
+                                                         [20, 20]]
+    assert _runs_to_intervals([]) == []
+
+
+def test_mp_figure_composition(mp_profile):
+    figs = figure_specs(mp_profile)
+    # plot_mp: stacked shared-x panels: Data + Matrix Profile (nan-padded)
+    mp_fig = figs["mp"]
+    labels = [row[0]["ylabel"] for row in mp_fig["rows"]]
+    assert labels[0] == "Data" and "Matrix Profile" in labels
+    n = len(mp_profile["data"]["ts"])
+    mp_panel = mp_fig["rows"][labels.index("Matrix Profile")][0]
+    assert len(mp_panel["series"][0]["y"]) == n          # nan-padded to n
+    assert np.isnan(mp_panel["series"][0]["y"][-1])
+    # cmp/av single-panel figures exist after apply_av
+    assert "cmp_mp" in figs and "av_mp" in figs
+    # discords figure: 25/5/25 triplet with heat strip + starred profile
+    d = figs["discords_mp"]["rows"]
+    assert [r[0]["height"] for r in d] == [25.0, 5.0, 25.0]
+    assert d[1][0]["series"][0]["kind"] == "strip"
+    kinds = [s["kind"] for s in d[2][0]["series"]]
+    assert kinds == ["line", "scatter"]
+    # motifs: per-pair subsequence grid (2 cols) + whole-series overlay
+    pair_rows = figs["motifs_mp_pairs"]["rows"]
+    assert all(len(r) == 2 for r in pair_rows if r)
+    for r in pair_rows:
+        for p in r:
+            assert len(p["series"][0]["y"]) == mp_profile["w"]
+    overlay = figs["motifs_mp_overlay"]["rows"][0][0]["series"]
+    colors = {s["color"] for s in overlay}
+    assert "#d62728" in colors                           # red motif overlay
+
+
+def test_pmp_and_stats_and_snippets_compositions(sampledata):
+    pmp = {
+        "class": "PMP",
+        "pmp": np.abs(np.random.default_rng(0).normal(size=(3, 100))),
+        "pmpi": np.zeros((3, 100), dtype=int),
+        "windows": np.array([8, 16, 32]),
+        "discords": [(1, 40)],
+        "data": {"ts": np.arange(131, dtype="d")},
+    }
+    figs = figure_specs(pmp)
+    assert figs["pmp"]["rows"][0][0]["series"][0]["kind"] == "image"
+    assert (figs["pmp"]["rows"][0][0]["series"][0]["y"] <= 1.0).all()
+    assert "discords_pmp_0" in figs
+
+    stats = K.statistics(sampledata, 16)
+    sfigs = figure_specs(stats)
+    assert len(sfigs["stats"]["rows"]) == 2
+    assert len(sfigs["stats"]["rows"][1][0]["series"]) >= 4
+
+    snips = [{"snippet": sampledata[:64], "index": 0,
+              "neighbors": [100, 101, 102, 200]}]
+    snfigs = figure_specs(snips, ts=sampledata)
+    series = snfigs["snippet_0"]["rows"][0][0]["series"]
+    # base + 2 merged neighbor intervals + red snippet
+    assert len(series) == 4
+    assert series[-1]["color"] == "#d62728"
+
+
+def test_render_svg_figures(mp_profile, sampledata):
+    svgs = render_svg_figures(mp_profile)
+    assert {"mp", "discords_mp", "motifs_mp_overlay"} <= set(svgs)
+    for name, svg in svgs.items():
+        assert svg.startswith("<svg") and svg.endswith("</svg>"), name
+    assert "<rect" in svgs["discords_mp"]               # heat strip cells
+    assert "<circle" in svgs["discords_mp"]             # discord markers
+    stats_svg = render_svg_figures(K.statistics(sampledata, 16))["stats"]
+    assert stats_svg.count("<polyline") >= 5
