@@ -378,6 +378,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
             corrected_small_rows_batch, batch_format="pyarrow")
 
+    def mpdist_vector_small_query(sf_dir: str):
+        from matrixprofile_1_ray.stages.pairs import mpdist_vector_small_batch
+
+        return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            mpdist_vector_small_batch, batch_format="pyarrow")
+
     def mp_rollup_small_query(sf_dir: str):
         from matrixprofile_1_ray.stages.profile import mp_rollup_small_batch
 
@@ -689,6 +695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmp_small": pmp_small_query,
         "corrected_profile_small": corrected_small_query,
         "mpdist_pairs_small": mpdist_small_query,
+        "mpdist_vector_small": mpdist_vector_small_query,
         "mp_rollup_small": mp_rollup_small_query,
         # multi-window / pair / summary operators (rows-only)
         "pmp": pmp_query,
@@ -1066,6 +1073,64 @@ FROM corr GROUP BY doc_id, i
 """
 
 
+def _mpdist_vector_small_sql() -> str:
+    """Sliding MPDist of each bounded doc against its own first 64 tokens
+    (reference mpdist.py:145-184 semantics): MASS distance matrix from
+    diagonal windowed sums, per-offset pooled profile = 49 moving minima
+    + the right-histogram slice, value at the reference's UNdecremented
+    order statistic ceil(0.05 * 2 * 64) = 7 (0-indexed)."""
+    w, sub, lo, hi = 16, 64, 160, 256
+    rhl = sub - w + 1                    # 49 query windows
+    k_loc = -(-(2 * sub) // 20)          # ceil(0.05 * 2 * sub) = 7
+    return _SEQ_CTE + _win_cte(w) + f"""
+, sel AS (
+  SELECT g.doc_id FROM good g JOIN seq USING (doc_id)
+  WHERE length(seq.text) BETWEEN {lo} AND {hi})
+, e AS (SELECT ex.* FROM ex JOIN sel USING (doc_id))
+, q AS (SELECT doc_id, idx AS t, CAST(tok AS DOUBLE) AS v
+        FROM e WHERE idx < {sub})
+, prod AS (
+  SELECT e.doc_id, q.t - e.idx AS d, e.idx AS u,
+         CAST(e.tok AS DOUBLE) * q.v AS pr
+  FROM e JOIN q ON q.doc_id = e.doc_id)
+, qt AS (
+  SELECT doc_id, d, u AS i,
+         sum(pr) OVER win AS qt, count(*) OVER win AS cnt
+  FROM prod
+  WINDOW win AS (PARTITION BY doc_id, d ORDER BY u
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING))
+, dist AS (
+  SELECT q2.doc_id, q2.i, q2.i + q2.d AS j,
+         sqrt(greatest({2 * w} * (1 -
+           (q2.qt - {w} * wi.mu * wj.mu) / ({w} * wi.sig * wj.sig)),
+           0)) AS dist
+  FROM qt q2
+  JOIN win wi ON wi.doc_id = q2.doc_id AND wi.i = q2.i
+  JOIN win wj ON wj.doc_id = q2.doc_id AND wj.i = q2.i + q2.d
+  WHERE q2.cnt = {w} AND q2.i + q2.d BETWEEN 0 AND {rhl - 1})
+, mm AS (
+  SELECT doc_id, j, i AS o,
+         min(dist) OVER win AS m, count(*) OVER win AS cnt
+  FROM dist
+  WINDOW win AS (PARTITION BY doc_id, j ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND {rhl - 1} FOLLOWING))
+, rh AS (SELECT doc_id, i, min(dist) AS r FROM dist GROUP BY doc_id, i)
+, offs AS (SELECT DISTINCT doc_id, o FROM mm WHERE cnt = {rhl})
+, pooled AS (
+  SELECT doc_id, o, m AS v FROM mm WHERE cnt = {rhl}
+  UNION ALL
+  SELECT rh.doc_id, offs.o, rh.r
+  FROM rh JOIN offs ON offs.doc_id = rh.doc_id
+                   AND rh.i BETWEEN offs.o AND offs.o + {rhl - 1})
+, ranked AS (
+  SELECT doc_id, o, v,
+         row_number() OVER (PARTITION BY doc_id, o ORDER BY v) - 1 AS rn
+  FROM pooled)
+SELECT doc_id, o AS offset, round(v, 4) AS mpdist
+FROM ranked WHERE rn = {k_loc}
+"""
+
+
 def _minhash_perms(num_perm: int = 64, seed: int = 7):
     """EXACTLY the constants functions/dedup.minhash_signatures draws."""
     rng = np.random.default_rng(seed)
@@ -1255,6 +1320,7 @@ ASOF LEFT JOIN events p
         "pmp_small": _pmp_small_sql(),
         "corrected_profile_small": _corrected_small_sql(),
         "mpdist_pairs_small": _mpdist_small_sql(),
+        "mpdist_vector_small": _mpdist_vector_small_sql(),
         "mp_rollup_small": _mp_small_rows_cte() + """
 , b AS (SELECT doc_id, idx // 60 AS bucket, idx, mp FROM mp_rows)
 , agg AS (

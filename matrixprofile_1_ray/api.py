@@ -91,4 +91,11 @@ def analyze(ts, query=None, windows=None, sample_pct: float = 1.0,
 
     profile = top_k_motifs(profile)
     profile = top_k_discords(profile)
-    return profile, [plot_data(profile)]
+    # figures[0] keeps the flat plot_data arrays; the remaining entries are
+    # the reference's per-figure panel compositions (visualize.figure_specs
+    # mirrors reference visualize.py:62-116 dispatch), one dict per figure
+    from .visualize import figure_specs
+
+    compositions = [{"name": name, **spec}
+                    for name, spec in figure_specs(profile).items()]
+    return profile, [plot_data(profile)] + compositions

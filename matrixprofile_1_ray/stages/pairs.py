@@ -236,6 +236,43 @@ def pick_small_slice_docs(sf_dir: str, w: int = 16, lo: int = 32,
     return tokenize_documents_batch(docs.take(pa.array(keep, pa.int64())))
 
 
+def mpdist_vector_small_batch(batch: pa.Table, w: int = 16,
+                              sub_len: int = 64, lo: int = 160,
+                              hi: int = 256, round_dp: int = 4,
+                              sig2_floor: float = 1e-3) -> pa.Table:
+    """Bounded-slice sliding-MPDist rows (doc_id, offset, mpdist) through
+    the real ``mpdist_vector`` kernel (query = each doc's own first
+    ``sub_len`` tokens) — oracle-able: the DuckDB side rebuilds the MASS
+    distance matrix from diagonal windowed sums, the per-offset pooled
+    profile (moving minima + right histogram slice), and the reference's
+    UNdecremented order statistic ceil(0.05*2*sub_len)."""
+    from ..kernels.mpdist import mpdist_vector
+
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    out_doc, out_off, out_v = [], [], []
+    for i in range(len(batch)):
+        ts = values[offsets[i] : offsets[i + 1]].astype("d")
+        n = ts.shape[0]
+        if not (lo <= n <= hi):
+            continue
+        _, sig2 = _doc_window_stats(ts, w)
+        if sig2.min() < sig2_floor:
+            continue
+        vec = np.round(mpdist_vector(ts, ts[:sub_len], w), round_dp)
+        out_doc.append(np.repeat(batch["doc_id"][i].as_py(), vec.shape[0]))
+        out_off.append(np.arange(vec.shape[0], dtype=np.int64))
+        out_v.append(vec)
+    if not out_doc:
+        return pa.table({"doc_id": pa.array([], pa.string()),
+                         "offset": pa.array([], pa.int64()),
+                         "mpdist": pa.array([], pa.float64())})
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(out_doc), pa.string()),
+        "offset": pa.array(np.concatenate(out_off), pa.int64()),
+        "mpdist": pa.array(np.concatenate(out_v), pa.float64()),
+    })
+
+
 def mass_topk_rows_batch(batch: pa.Table, query: np.ndarray, k: int = 2,
                          round_dp: int = 4,
                          sig2_floor: float = 1e-3) -> pa.Table:

@@ -255,7 +255,8 @@ def figure_specs(profile, ts=None) -> dict:
                     "height": 1.0,
                     "series": [_line(_nanpad(profile[key], n))]}]]}
 
-        motifs = profile.get("motifs") or []
+        motifs = profile.get("motifs")
+        motifs = [] if motifs is None else list(motifs)
         if motifs and ts is not None:
             pair_rows, overlay_rows = [], []
             for k, motif in enumerate(motifs):
@@ -315,7 +316,8 @@ def figure_specs(profile, ts=None) -> dict:
                if data.get("ts") is not None else None)
         for kind_key, name in (("discords", "discords_pmp"),
                                ("motifs", "motifs_pmp")):
-            items = profile.get(kind_key) or []
+            items = profile.get(kind_key)
+            items = [] if items is None else list(items)
             for k, item in enumerate(items):
                 if kind_key == "discords":
                     loc = np.asarray(item).ravel()
