@@ -378,6 +378,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
             corrected_small_rows_batch, batch_format="pyarrow")
 
+    def regimes_small_query(sf_dir: str):
+        from matrixprofile_1_ray.stages.profile import regimes_small_batch
+
+        return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            regimes_small_batch, batch_format="pyarrow")
+
     def mpdist_vector_small_query(sf_dir: str):
         from matrixprofile_1_ray.stages.pairs import mpdist_vector_small_batch
 
@@ -696,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corrected_profile_small": corrected_small_query,
         "mpdist_pairs_small": mpdist_small_query,
         "mpdist_vector_small": mpdist_vector_small_query,
+        "regimes_small": regimes_small_query,
         "mp_rollup_small": mp_rollup_small_query,
         # multi-window / pair / summary operators (rows-only)
         "pmp": pmp_query,
@@ -1073,6 +1080,88 @@ FROM corr GROUP BY doc_id, i
 """
 
 
+def _regimes_small_sql() -> str:
+    """FLUSS regime extraction on the bounded slice — all-integer output:
+    the margin guard (best in-band corr beats the runner-up by > 1e-6,
+    exact-integer arithmetic, bit-identical across engines) pins the
+    profile index, arc counts are exact integers, the CAC floats derive
+    from them with identical IEEE ops, and the three argmins (ez = 5w
+    suppression, reference regimes semantics incl. the all-suppressed ->
+    index-0 degenerate case) reproduce as iterative filtered top-1s."""
+    w, ez = 16, 80
+    return _mp_small_rows_cte(w=w) + f"""
+, cand AS (
+  SELECT doc_id, i AS idx, j AS pj, c FROM corr
+  UNION ALL
+  SELECT doc_id, j AS idx, i AS pj, c FROM corr)
+, rk AS MATERIALIZED (
+  SELECT doc_id, idx, pj, c,
+         row_number() OVER (PARTITION BY doc_id, idx
+                            ORDER BY c DESC, pj ASC) AS rn
+  FROM cand)
+, margin AS (
+  SELECT doc_id, idx,
+         max(CASE WHEN rn = 1 THEN c END)
+         - max(CASE WHEN rn = 2 THEN c END) AS m
+  FROM rk WHERE rn <= 2 GROUP BY doc_id, idx)
+, mguard AS (
+  SELECT doc_id FROM margin GROUP BY doc_id HAVING min(m) > 1e-6)
+, mpi AS MATERIALIZED (
+  SELECT rk.doc_id, rk.idx, rk.pj AS nn
+  FROM rk JOIN mguard USING (doc_id) WHERE rk.rn = 1)
+, pln AS (SELECT doc_id, count(*) AS n FROM mpi GROUP BY doc_id)
+, arcs AS (
+  SELECT doc_id, least(idx, nn) AS s, greatest(idx, nn) AS l FROM mpi)
+, cc AS (
+  SELECT m.doc_id, m.idx, count(a.s) AS cnt
+  FROM mpi m LEFT JOIN arcs a
+    ON a.doc_id = m.doc_id AND a.s < m.idx AND a.l > m.idx
+  GROUP BY m.doc_id, m.idx)
+, cac AS MATERIALIZED (
+  SELECT c2.doc_id, c2.idx,
+         CASE WHEN c2.idx < {w} OR c2.idx >= p.n - {w} THEN 1.0
+              ELSE least(CAST(c2.cnt AS DOUBLE) /
+                (-(((p.n / 2.0) / ((p.n / 2.0) * (p.n / 2.0)))
+                   * ((c2.idx - p.n / 2.0) * (c2.idx - p.n / 2.0)))
+                 + p.n / 2.0), 1.0)
+         END AS v
+  FROM cc c2 JOIN pln p USING (doc_id))
+, docs AS (SELECT doc_id FROM mguard)
+, r0 AS (
+  SELECT doc_id, idx FROM (
+    SELECT cac.*, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY v ASC, idx ASC) AS rn
+    FROM cac) WHERE rn = 1)
+, cs1 AS MATERIALIZED (
+  SELECT cac.* FROM cac JOIN r0 USING (doc_id)
+  WHERE cac.idx NOT BETWEEN r0.idx - {ez} AND r0.idx + {ez - 1})
+, r1 AS (
+  SELECT doc_id, idx FROM (
+    SELECT cs1.*, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY v ASC, idx ASC) AS rn
+    FROM cs1) WHERE rn = 1)
+, r1f AS (
+  SELECT d.doc_id, coalesce(r1.idx, 0) AS idx
+  FROM docs d LEFT JOIN r1 ON r1.doc_id = d.doc_id)
+, cs2 AS MATERIALIZED (
+  SELECT cs1.* FROM cs1 JOIN r1f USING (doc_id)
+  WHERE cs1.idx NOT BETWEEN r1f.idx - {ez} AND r1f.idx + {ez - 1})
+, r2 AS (
+  SELECT doc_id, idx FROM (
+    SELECT cs2.*, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY v ASC, idx ASC) AS rn
+    FROM cs2) WHERE rn = 1)
+, r2f AS (
+  SELECT d.doc_id, coalesce(r2.idx, 0) AS idx
+  FROM docs d LEFT JOIN r2 ON r2.doc_id = d.doc_id)
+SELECT doc_id, CAST(0 AS BIGINT) AS rank, idx AS regime_idx FROM r0
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT) AS rank, idx AS regime_idx FROM r1f
+UNION ALL
+SELECT doc_id, CAST(2 AS BIGINT) AS rank, idx AS regime_idx FROM r2f
+"""
+
+
 def _mpdist_vector_small_sql() -> str:
     """Sliding MPDist of each bounded doc against its own first 64 tokens
     (reference mpdist.py:145-184 semantics): MASS distance matrix from
@@ -1321,6 +1410,7 @@ ASOF LEFT JOIN events p
         "corrected_profile_small": _corrected_small_sql(),
         "mpdist_pairs_small": _mpdist_small_sql(),
         "mpdist_vector_small": _mpdist_vector_small_sql(),
+        "regimes_small": _regimes_small_sql(),
         "mp_rollup_small": _mp_small_rows_cte() + """
 , b AS (SELECT doc_id, idx // 60 AS bucket, idx, mp FROM mp_rows)
 , agg AS (

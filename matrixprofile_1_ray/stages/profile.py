@@ -175,6 +175,64 @@ def mp_rows_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
     })
 
 
+def regimes_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
+                        num_regimes: int = 3, sig2_floor: float = 1e-3,
+                        margin_floor: float = 1e-6) -> pa.Table:
+    """Bounded-slice FLUSS regimes (doc_id, rank, regime_idx) through the
+    REAL fluss + extract_regimes kernels — fully oracle-able because the
+    output is all-integer: a margin guard keeps only docs where every
+    window's best match beats its runner-up by > margin_floor (computed
+    with the SQL-identical exact-integer corr, so the keep/drop decision
+    AND the argmax profile index are bit-identical across engines), after
+    which arc counts are exact integers and the CAC floats derive from
+    them with the same IEEE ops on both sides."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from ..kernels.discover import extract_regimes
+
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    minlag = int(np.ceil(w / 4.0))
+    out_doc, out_rank, out_idx = [], [], []
+    for i in range(len(batch)):
+        ts = values[offsets[i] : offsets[i + 1]].astype("d")
+        n = ts.shape[0]
+        if n < 2 * w or n > max_n:
+            continue
+        c1 = np.concatenate(([0.0], np.cumsum(ts)))
+        c2 = np.concatenate(([0.0], np.cumsum(ts * ts)))
+        s = c1[w:] - c1[:-w]
+        ss = c2[w:] - c2[:-w]
+        mu = s / w
+        sig2 = ss / w - mu * mu
+        if sig2.min() < sig2_floor:
+            continue
+        sig = np.sqrt(np.maximum(sig2, 0))
+        wins = np.ascontiguousarray(sliding_window_view(ts, w))
+        qt = wins @ wins.T
+        c = ((qt - (w * mu)[:, None] * mu[None, :])
+             / ((w * sig)[:, None] * sig[None, :]))
+        pl = c.shape[0]
+        ii, jj = np.indices((pl, pl))
+        cb = np.where(np.abs(ii - jj) >= minlag + 1, c, -np.inf)
+        two = np.partition(cb, pl - 2, axis=1)[:, -2:]
+        if (two[:, 1] - two[:, 0]).min() <= margin_floor:
+            continue
+        mp, pi = mpx_self(ts, w)
+        prof = extract_regimes({"class": "MatrixProfile", "mp": mp,
+                                "pi": pi, "w": w},
+                               num_regimes=num_regimes)
+        doc = batch["doc_id"][i].as_py()
+        for r, idx in enumerate(prof["regimes"]):
+            out_doc.append(doc)
+            out_rank.append(r)
+            out_idx.append(int(idx))
+    return pa.table({
+        "doc_id": pa.array(out_doc, pa.string()),
+        "rank": pa.array(np.asarray(out_rank, np.int64), pa.int64()),
+        "regime_idx": pa.array(np.asarray(out_idx, np.int64), pa.int64()),
+    })
+
+
 def _has_near_perfect_offband_match(ts: np.ndarray, w: int,
                                     mu: np.ndarray, sig: np.ndarray,
                                     min_d: int,

@@ -122,8 +122,27 @@ def test_small_slice_queries_nonempty(ray_session):
                  "mass_topk", "ab_join_small", "pmp_small",
                  "corrected_profile_small", "mpdist_pairs_small",
                  "mp_rollup_small", "mp_stomp_small", "mp_scrimp_small",
-                 "mpdist_vector_small"):
+                 "mpdist_vector_small", "regimes_small"):
         assert len(_df(qs[name](SF))) > 0, name
+
+
+def test_regimes_small_matches_kernel_directly():
+    """The gate variant's regimes equal extract_regimes on the same doc
+    (the margin guard only filters docs, never changes kernel output)."""
+    from matrixprofile_1_ray.kernels.discover import extract_regimes
+    from matrixprofile_1_ray.kernels.mpx import mpx_self
+    from matrixprofile_1_ray.stages.profile import regimes_small_batch
+
+    rng = np.random.default_rng(11)
+    toks = rng.integers(32, 127, size=200).astype(np.int32)
+    out = regimes_small_batch(_seq_batch([toks])).to_pandas()
+    if len(out) == 0:
+        pytest.skip("doc filtered by margin guard")
+    mp, pi = mpx_self(toks.astype("d"), 16)
+    prof = extract_regimes({"class": "MatrixProfile", "mp": mp, "pi": pi,
+                            "w": 16})
+    assert list(out.sort_values("rank").regime_idx) == \
+        [int(x) for x in prof["regimes"]]
 
 
 def test_stomp_small_perfect_match_guard():
