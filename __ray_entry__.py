@@ -378,6 +378,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
             corrected_small_rows_batch, batch_format="pyarrow")
 
+    def snippets_small_query(sf_dir: str):
+        from matrixprofile_1_ray.stages.summarize import snippets_small_batch
+
+        return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            snippets_small_batch, batch_format="pyarrow")
+
     def regimes_small_query(sf_dir: str):
         from matrixprofile_1_ray.stages.profile import regimes_small_batch
 
@@ -703,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mpdist_pairs_small": mpdist_small_query,
         "mpdist_vector_small": mpdist_vector_small_query,
         "regimes_small": regimes_small_query,
+        "snippets_small": snippets_small_query,
         "mp_rollup_small": mp_rollup_small_query,
         # multi-window / pair / summary operators (rows-only)
         "pmp": pmp_query,
@@ -1220,6 +1227,92 @@ FROM ranked WHERE rn = {k_loc}
 """
 
 
+def _snippets_small_sql() -> str:
+    """Greedy snippet selection on the no-padding slice (doc length an
+    exact multiple of snippet_size, every w-window non-constant): one
+    sliding-MPDist matrix per candidate (query = ts[c : c+size-1], the
+    reference's own off-by-one), then two greedy coverage argmins with
+    the strict-> lowest-candidate tie-break.  All-integer output."""
+    size, w = 64, 32
+    qlen = size - 1                       # reference passes ts[i:i+size-1]
+    rhl = qlen - w + 1                    # 32 query windows
+    k_loc = -(-(2 * qlen) // 20)          # ceil(0.05 * 2 * 63) = 7
+    return _SEQ_CTE + _win_cte(w) + f"""
+, sel AS (
+  SELECT g.doc_id, length(seq.text) AS n
+  FROM good g JOIN seq USING (doc_id)
+  WHERE length(seq.text) IN ({2 * size}, {3 * size}, {4 * size}))
+, e AS (SELECT ex.* FROM ex JOIN sel USING (doc_id))
+, cands AS (
+  SELECT sel.doc_id, CAST({size} * k.k AS BIGINT) AS c
+  FROM sel, range(4) k(k)
+  WHERE {size} * k.k <= sel.n - {size + 1})
+, q AS (
+  SELECT cd.doc_id, cd.c, ex2.idx AS gt, CAST(ex2.tok AS DOUBLE) AS v
+  FROM cands cd JOIN e ex2 ON ex2.doc_id = cd.doc_id
+   AND ex2.idx BETWEEN cd.c AND cd.c + {qlen - 1})
+, prod AS (
+  SELECT q.doc_id, q.c, q.gt - e2.idx AS d, e2.idx AS u,
+         CAST(e2.tok AS DOUBLE) * q.v AS pr
+  FROM q JOIN e e2 ON e2.doc_id = q.doc_id)
+, qt AS (
+  SELECT doc_id, c, d, u AS i,
+         sum(pr) OVER win AS qt, count(*) OVER win AS cnt
+  FROM prod
+  WINDOW win AS (PARTITION BY doc_id, c, d ORDER BY u
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING))
+, dist AS MATERIALIZED (
+  SELECT t.doc_id, t.c, t.i, t.i + t.d AS jg,
+         sqrt(greatest({2 * w} * (1 -
+           (t.qt - {w} * wi.mu * wj.mu) / ({w} * wi.sig * wj.sig)),
+           0)) AS dist
+  FROM qt t
+  JOIN win wi ON wi.doc_id = t.doc_id AND wi.i = t.i
+  JOIN win wj ON wj.doc_id = t.doc_id AND wj.i = t.i + t.d
+  WHERE t.cnt = {w} AND t.i + t.d BETWEEN t.c AND t.c + {rhl - 1})
+, mm AS (
+  SELECT doc_id, c, jg, i AS o,
+         min(dist) OVER win AS m, count(*) OVER win AS cnt
+  FROM dist
+  WINDOW win AS (PARTITION BY doc_id, c, jg ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND {rhl - 1} FOLLOWING))
+, rhist AS (
+  SELECT doc_id, c, i, min(dist) AS r FROM dist GROUP BY doc_id, c, i)
+, offs AS (SELECT DISTINCT doc_id, c, o FROM mm WHERE cnt = {rhl})
+, pooled AS (
+  SELECT doc_id, c, o, m AS v FROM mm WHERE cnt = {rhl}
+  UNION ALL
+  SELECT rhist.doc_id, rhist.c, offs.o, rhist.r
+  FROM rhist JOIN offs ON offs.doc_id = rhist.doc_id AND offs.c = rhist.c
+   AND rhist.i BETWEEN offs.o AND offs.o + {rhl - 1})
+, dmat AS MATERIALIZED (
+  SELECT doc_id, c, o, v FROM (
+    SELECT pooled.*, row_number() OVER (PARTITION BY doc_id, c, o
+                                        ORDER BY v) - 1 AS rn
+    FROM pooled) WHERE rn = {k_loc})
+, s1 AS (SELECT doc_id, c, sum(v) AS s FROM dmat GROUP BY doc_id, c)
+, pick1 AS MATERIALIZED (
+  SELECT doc_id, c FROM (
+    SELECT s1.*, row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY s ASC, c ASC) AS rn
+    FROM s1) WHERE rn = 1)
+, s2 AS (
+  SELECT d2.doc_id, d2.c, sum(least(d2.v, d1.v)) AS s
+  FROM dmat d2
+  JOIN pick1 p ON p.doc_id = d2.doc_id
+  JOIN dmat d1 ON d1.doc_id = d2.doc_id AND d1.c = p.c AND d1.o = d2.o
+  GROUP BY d2.doc_id, d2.c)
+, pick2 AS (
+  SELECT doc_id, c FROM (
+    SELECT s2.*, row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY s ASC, c ASC) AS rn
+    FROM s2) WHERE rn = 1)
+SELECT doc_id, CAST(0 AS BIGINT) AS rank, c AS snippet_index FROM pick1
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT) AS rank, c AS snippet_index FROM pick2
+"""
+
+
 def _minhash_perms(num_perm: int = 64, seed: int = 7):
     """EXACTLY the constants functions/dedup.minhash_signatures draws."""
     rng = np.random.default_rng(seed)
@@ -1411,6 +1504,7 @@ ASOF LEFT JOIN events p
         "mpdist_pairs_small": _mpdist_small_sql(),
         "mpdist_vector_small": _mpdist_vector_small_sql(),
         "regimes_small": _regimes_small_sql(),
+        "snippets_small": _snippets_small_sql(),
         "mp_rollup_small": _mp_small_rows_cte() + """
 , b AS (SELECT doc_id, idx // 60 AS bucket, idx, mp FROM mp_rows)
 , agg AS (

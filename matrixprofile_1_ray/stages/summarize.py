@@ -22,6 +22,43 @@ _AV_MAKERS = {
 }
 
 
+def snippets_small_batch(batch: pa.Table, snippet_size: int = 64,
+                         num_snippets: int = 2,
+                         sig2_floor: float = 1e-3) -> pa.Table:
+    """Oracle-able snippets slice: docs whose length is an exact multiple
+    of ``snippet_size`` in [2*size, 4*size] (so the reference's zero-pad
+    and its constant-window MASS conventions never trigger) and whose
+    every w=size/2 window is non-constant.  Runs the REAL snippets kernel;
+    emits the all-integer greedy picks (doc_id, rank, snippet_index) that
+    the DuckDB oracle reproduces end-to-end (per-candidate sliding-MPDist
+    matrix -> greedy coverage argmin with lowest-index tie-break)."""
+    import numpy as np
+
+    from .pairs import _doc_window_stats
+
+    w = snippet_size // 2
+    allowed = {2 * snippet_size, 3 * snippet_size, 4 * snippet_size}
+    doc_ids, ranks, idxs = [], [], []
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    for i in range(len(batch)):
+        ts = values[offsets[i] : offsets[i + 1]].astype("d")
+        if ts.shape[0] not in allowed:
+            continue
+        _, sig2 = _doc_window_stats(ts, w)
+        if sig2.min() < sig2_floor:
+            continue
+        out = snippets(ts, snippet_size, num_snippets=num_snippets)
+        for rank, snip in enumerate(out):
+            doc_ids.append(batch["doc_id"][i].as_py())
+            ranks.append(rank)
+            idxs.append(int(snip["index"]))
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "rank": pa.array(np.asarray(ranks, np.int64), pa.int64()),
+        "snippet_index": pa.array(np.asarray(idxs, np.int64), pa.int64()),
+    })
+
+
 def snippets_batch(batch: pa.Table, snippet_size: int = 64,
                    num_snippets: int = 2, window_size=None) -> pa.Table:
     """Per-doc representative snippets (reference snippets.py:17-126)
