@@ -378,6 +378,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
             corrected_small_rows_batch, batch_format="pyarrow")
 
+    def motifs_small_query(sf_dir: str):
+        from matrixprofile_1_ray.stages.profile import motifs_small_batch
+
+        return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            motifs_small_batch, batch_format="pyarrow")
+
     def snippets_small_query(sf_dir: str):
         from matrixprofile_1_ray.stages.summarize import snippets_small_batch
 
@@ -710,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mpdist_vector_small": mpdist_vector_small_query,
         "regimes_small": regimes_small_query,
         "snippets_small": snippets_small_query,
+        "motifs_small": motifs_small_query,
         "mp_rollup_small": mp_rollup_small_query,
         # multi-window / pair / summary operators (rows-only)
         "pmp": pmp_query,
@@ -1227,6 +1234,60 @@ FROM ranked WHERE rn = {k_loc}
 """
 
 
+def _motifs_small_sql() -> str:
+    """Top-1 motif pair on the bounded slice — all-integer output under
+    two bit-identical margin guards: per-window argmax margin pins the
+    profile index; global profile-min margin pins the argmin pick."""
+    w = 16
+    return _mp_small_rows_cte(w=w) + f"""
+, cand AS (
+  SELECT doc_id, i AS idx, j AS pj, c FROM corr
+  UNION ALL
+  SELECT doc_id, j AS idx, i AS pj, c FROM corr)
+, rk AS MATERIALIZED (
+  SELECT doc_id, idx, pj, c,
+         row_number() OVER (PARTITION BY doc_id, idx
+                            ORDER BY c DESC, pj ASC) AS rn
+  FROM cand)
+, margin AS (
+  SELECT doc_id, idx,
+         max(CASE WHEN rn = 1 THEN c END)
+         - max(CASE WHEN rn = 2 THEN c END) AS m
+  FROM rk WHERE rn <= 2 GROUP BY doc_id, idx)
+, mguard AS (
+  SELECT doc_id FROM margin GROUP BY doc_id HAVING min(m) > 1e-6)
+, mpr AS MATERIALIZED (
+  SELECT mp_rows.doc_id, mp_rows.idx, mp_rows.mp_raw
+  FROM mp_rows JOIN mguard USING (doc_id))
+, m1 AS (SELECT doc_id, min(mp_raw) AS v FROM mpr GROUP BY doc_id)
+, grp AS (
+  SELECT mpr.doc_id, mpr.idx
+  FROM mpr JOIN m1 USING (doc_id) WHERE mpr.mp_raw = m1.v)
+, gap AS (
+  SELECT mpr.doc_id,
+         min(CASE WHEN mpr.mp_raw > m1.v THEN mpr.mp_raw END) - m1.v AS g
+  FROM mpr JOIN m1 USING (doc_id) GROUP BY mpr.doc_id, m1.v)
+, gsz AS (
+  SELECT doc_id, count(*) AS k, min(idx) AS a, max(idx) AS b
+  FROM grp GROUP BY doc_id)
+, mpidx AS (SELECT doc_id, idx, pj AS nn FROM rk WHERE rn = 1)
+, okdocs AS (
+  SELECT g.doc_id, g.k, g.a, g.b
+  FROM gsz g
+  JOIN gap ON gap.doc_id = g.doc_id AND gap.g > 1e-6
+  LEFT JOIN mpidx na ON na.doc_id = g.doc_id AND na.idx = g.a
+  LEFT JOIN mpidx nb ON nb.doc_id = g.doc_id AND nb.idx = g.b
+  WHERE g.k = 1 OR (g.k = 2 AND na.nn = g.b AND nb.nn = g.a))
+SELECT o.doc_id,
+       CASE WHEN o.k = 2 THEN o.a
+            ELSE least(o.a, na2.nn) END AS first_idx,
+       CASE WHEN o.k = 2 THEN o.b
+            ELSE greatest(o.a, na2.nn) END AS second_idx
+FROM okdocs o
+JOIN mpidx na2 ON na2.doc_id = o.doc_id AND na2.idx = o.a
+"""
+
+
 def _snippets_small_sql() -> str:
     """Greedy snippet selection on the no-padding slice (doc length an
     exact multiple of snippet_size, every w-window non-constant): one
@@ -1505,6 +1566,7 @@ ASOF LEFT JOIN events p
         "mpdist_vector_small": _mpdist_vector_small_sql(),
         "regimes_small": _regimes_small_sql(),
         "snippets_small": _snippets_small_sql(),
+        "motifs_small": _motifs_small_sql(),
         "mp_rollup_small": _mp_small_rows_cte() + """
 , b AS (SELECT doc_id, idx // 60 AS bucket, idx, mp FROM mp_rows)
 , agg AS (

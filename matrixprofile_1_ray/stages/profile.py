@@ -233,6 +233,84 @@ def regimes_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
     })
 
 
+def motifs_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
+                       sig2_floor: float = 1e-3,
+                       margin_floor: float = 1e-6) -> pa.Table:
+    """Bounded-slice top-1 motif pair (doc_id, first_idx, second_idx)
+    through the REAL mp_top_k_motifs kernel (k=1, no neighbor re-query) —
+    all-integer output, oracle-able under two bit-identical guards
+    computed with the SQL's exact-integer arithmetic: (a) every window's
+    best in-band match beats its runner-up by > margin_floor (pins the
+    profile index), (b) the global profile minimum beats the second
+    smallest by > margin_floor (pins the argmin pick)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from ..kernels.discover import mp_top_k_motifs
+
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    minlag = int(np.ceil(w / 4.0))
+    out_doc, out_first, out_second = [], [], []
+    for i in range(len(batch)):
+        ts = values[offsets[i] : offsets[i + 1]].astype("d")
+        n = ts.shape[0]
+        if n < 2 * w or n > max_n:
+            continue
+        c1 = np.concatenate(([0.0], np.cumsum(ts)))
+        c2 = np.concatenate(([0.0], np.cumsum(ts * ts)))
+        s = c1[w:] - c1[:-w]
+        ss = c2[w:] - c2[:-w]
+        mu = s / w
+        sig2 = ss / w - mu * mu
+        if sig2.min() < sig2_floor:
+            continue
+        sig = np.sqrt(np.maximum(sig2, 0))
+        wins = np.ascontiguousarray(sliding_window_view(ts, w))
+        qt = wins @ wins.T
+        c = ((qt - (w * mu)[:, None] * mu[None, :])
+             / ((w * sig)[:, None] * sig[None, :]))
+        pl = c.shape[0]
+        ii, jj = np.indices((pl, pl))
+        cb = np.where(np.abs(ii - jj) >= minlag + 1, c, -np.inf)
+        two = np.partition(cb, pl - 2, axis=1)[:, -2:]
+        if (two[:, 1] - two[:, 0]).min() <= margin_floor:      # guard (a)
+            continue
+        # guard (b): the two global minima are usually the motif pair
+        # itself with EXACTLY equal distances (mutual nearest neighbors),
+        # so the tie-group rule is: the exact-tie group at the minimum is
+        # either a single window or a mutual pair, and the next distinct
+        # value is > margin_floor away — then EITHER argmin pick yields
+        # the same sorted (first, second) pair in both engines
+        cmax = cb.max(axis=1)
+        mp_sql = np.sqrt(np.maximum(2.0 * w * (1.0 - np.minimum(cmax, 1.0)),
+                                    0.0))
+        m1 = mp_sql.min()
+        tie = np.flatnonzero(mp_sql == m1)
+        others = mp_sql[mp_sql > m1]
+        if others.size == 0 or others.min() - m1 <= margin_floor:
+            continue
+        nn_sql = np.argmax(cb, axis=1)           # unique under guard (a)
+        if tie.size == 2:
+            a, b = int(tie[0]), int(tie[1])
+            if not (nn_sql[a] == b and nn_sql[b] == a):
+                continue
+        elif tie.size != 1:
+            continue
+        mp, pi = mpx_self(ts, w)
+        prof = mp_top_k_motifs(
+            {"class": "MatrixProfile", "mp": mp, "pi": pi, "w": w,
+             "ez": int(np.ceil(w / 2.0)), "data": {"ts": ts}},
+            k=1, max_neighbors=0)
+        pair = prof["motifs"][0]["motifs"]
+        out_doc.append(batch["doc_id"][i].as_py())
+        out_first.append(int(pair[0]))
+        out_second.append(int(pair[1]))
+    return pa.table({
+        "doc_id": pa.array(out_doc, pa.string()),
+        "first_idx": pa.array(np.asarray(out_first, np.int64), pa.int64()),
+        "second_idx": pa.array(np.asarray(out_second, np.int64), pa.int64()),
+    })
+
+
 def _has_near_perfect_offband_match(ts: np.ndarray, w: int,
                                     mu: np.ndarray, sig: np.ndarray,
                                     min_d: int,

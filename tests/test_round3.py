@@ -122,7 +122,8 @@ def test_small_slice_queries_nonempty(ray_session):
                  "mass_topk", "ab_join_small", "pmp_small",
                  "corrected_profile_small", "mpdist_pairs_small",
                  "mp_rollup_small", "mp_stomp_small", "mp_scrimp_small",
-                 "mpdist_vector_small", "regimes_small", "snippets_small"):
+                 "mpdist_vector_small", "regimes_small", "snippets_small",
+                 "motifs_small"):
         assert len(_df(qs[name](SF))) > 0, name
 
 
