@@ -170,6 +170,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         index_dir=f"/tmp/ivf_index_{tag}",
                         input_fingerprint=ident)
 
+    def ann_ivf_full_probe_query(sf_dir: str):
+        """IVF with nprobe = n_centroids: every partition is probed, so
+        the persisted-index scan + rerank + refine path must reproduce the
+        brute-force answer exactly — which DuckDB can check.  (Partial
+        probing stays rows-only: centroid assignment is k-means-derived.)"""
+        import hashlib
+        import os as _os
+
+        import pyarrow.parquet as pq
+        import ray.data
+
+        head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 4)
+        queries_mat = np.stack([np.asarray(v, dtype="d")
+                                for v in head["embedding"].to_pylist()])
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+        st = _os.stat(f"{sf_dir}/embeddings.parquet")
+        ident = f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}"
+        tag = hashlib.sha1(ident.encode()).hexdigest()[:10]
+        out = ivf_topk(ds, queries_mat, k=5, n_centroids=16, nprobe=16,
+                       index_dir=f"/tmp/ivf_index_{tag}",
+                       input_fingerprint=ident)
+        return out.map_batches(_round_score, batch_format="pandas")
+
     def dedup_query(sf_dir: str):
         return exact_dedup(sequences_pipeline(sf_dir, verify_codec=False))
 
@@ -407,6 +431,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
             mp_rollup_small_batch, batch_format="pyarrow")
+
+    def corpus_discords_small_query(sf_dir: str):
+        """Corpus-level top-10 discords over the bounded slice: the same
+        distributed sort().limit() pattern as corpus_top_discords, on the
+        rounded per-doc discords so the global ordering is oracle-exact."""
+        from matrixprofile_1_ray.stages.profile import mp_discord_top1_batch
+
+        ds = sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            mp_discord_top1_batch, batch_format="pyarrow")
+        return (ds.sort(["discord_dist", "doc_id"], descending=[True, False])
+                .limit(10))
 
     def mpdist_small_query(sf_dir: str):
         import pyarrow.compute as pc
@@ -718,6 +753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets_small": snippets_small_query,
         "motifs_small": motifs_small_query,
         "mp_rollup_small": mp_rollup_small_query,
+        "corpus_discords_small": corpus_discords_small_query,
+        "ann_ivf_full_probe": ann_ivf_full_probe_query,
         # multi-window / pair / summary operators (rows-only)
         "pmp": pmp_query,
         "pick_mp_w32": pick_mp_query,
@@ -1567,6 +1604,34 @@ ASOF LEFT JOIN events p
         "regimes_small": _regimes_small_sql(),
         "snippets_small": _snippets_small_sql(),
         "motifs_small": _motifs_small_sql(),
+        "corpus_discords_small": _mp_small_rows_cte() + """
+, r AS (
+  SELECT doc_id, idx, mp,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY mp DESC, idx ASC) AS rn
+  FROM mp_rows)
+SELECT doc_id, idx AS discord_idx, mp AS discord_dist
+FROM r WHERE rn = 1
+ORDER BY discord_dist DESC, doc_id ASC LIMIT 10
+""",
+        "ann_ivf_full_probe": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings WHERE vec_id < 4
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS raw
+  FROM q CROSS JOIN embeddings e
+), r AS (
+  SELECT query_id, vec_id, raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw DESC, vec_id ASC) - 1 AS rank
+  FROM s
+)
+SELECT query_id, vec_id, round(raw, 6) AS score, rank
+FROM r WHERE rank < 5
+""",
         "mp_rollup_small": _mp_small_rows_cte() + """
 , b AS (SELECT doc_id, idx // 60 AS bucket, idx, mp FROM mp_rows)
 , agg AS (

@@ -123,7 +123,7 @@ def test_small_slice_queries_nonempty(ray_session):
                  "corrected_profile_small", "mpdist_pairs_small",
                  "mp_rollup_small", "mp_stomp_small", "mp_scrimp_small",
                  "mpdist_vector_small", "regimes_small", "snippets_small",
-                 "motifs_small"):
+                 "motifs_small", "corpus_discords_small"):
         assert len(_df(qs[name](SF))) > 0, name
 
 
