@@ -199,34 +199,50 @@ def verify_jaccard_bucketed(pairs_ds, sequences_ds, k: int = 5,
     non-candidate docs never shuffle."""
     import ray
 
+    from .ann import auto_concurrency
+
+    # the pair table is orders of magnitude smaller than the corpus, and
+    # it is consumed twice below (candidate-id collection + pair halves) —
+    # materialize so a lazy pairs pipeline (e.g. the full LSH candidate
+    # chain) is never re-executed
+    pairs_ds = pairs_ds.materialize()
+
     cand_ids: set = set()
     for b in pairs_ds.map_batches(
             lambda df: pd.DataFrame({"doc_id": pd.unique(
                 pd.concat([df["doc_a"], df["doc_b"]], ignore_index=True))}),
             batch_format="pandas").iter_batches(batch_format="pandas"):
         cand_ids.update(b["doc_id"])
-    ids_ref = ray.put(np.array(sorted(cand_ids), dtype=object))
+    ids_ref = ray.put(sorted(cand_ids))
 
     cols = ["pair_id", "doc_a", "doc_b", "slot", "doc_id", "shingles"]
 
-    def shingle_side(batch: pa.Table) -> pd.DataFrame:
-        keep = ray.get(ids_ref)
-        ids = np.array(batch["doc_id"].to_pylist(), dtype=object)
-        mask = np.isin(ids, keep)
-        sub = batch.filter(pa.array(mask))
-        values, offsets = list_column_to_numpy(sub["tokens"])
-        flat, sh_off = shingle_hashes(values, offsets, k=k)
-        # shingle sets travel as BYTES, not ndarrays: Ray's pandas tensor
-        # extension rejects object columns of ndarrays during sort-shuffle
-        # block merges
-        df = pd.DataFrame({
-            "doc_id": sub["doc_id"].to_pylist(),
-            "shingles": [flat[sh_off[i] : sh_off[i + 1]].tobytes()
-                         for i in range(len(sub))],
-        }).reindex(columns=cols)
-        df["_part"] = _hash_part(df["doc_id"], num_partitions)
-        df["_side"] = "s"
-        return df
+    class ShingleSide:
+        """Actor-pool stage: the candidate-id set deserializes ONCE per
+        actor (not per batch) into an Arrow value set; per batch the
+        filter is one vectorized ``pc.is_in`` on the Arrow column."""
+
+        def __init__(self):
+            self.keep = pa.array(ray.get(ids_ref), pa.string())
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            import pyarrow.compute as pc
+
+            mask = pc.is_in(batch["doc_id"], value_set=self.keep)
+            sub = batch.filter(mask)
+            values, offsets = list_column_to_numpy(sub["tokens"])
+            flat, sh_off = shingle_hashes(values, offsets, k=k)
+            # shingle sets travel as BYTES, not ndarrays: Ray's pandas
+            # tensor extension rejects object columns of ndarrays during
+            # sort-shuffle block merges
+            df = pd.DataFrame({
+                "doc_id": sub["doc_id"].to_pylist(),
+                "shingles": [flat[sh_off[i] : sh_off[i + 1]].tobytes()
+                             for i in range(len(sub))],
+            }).reindex(columns=cols)
+            df["_part"] = _hash_part(df["doc_id"], num_partitions)
+            df["_side"] = "s"
+            return df
 
     def pair_halves(df: pd.DataFrame) -> pd.DataFrame:
         pid = df["doc_a"] + "\x00" + df["doc_b"]
@@ -242,7 +258,8 @@ def verify_jaccard_bucketed(pairs_ds, sequences_ds, k: int = 5,
         halves["_side"] = "h"
         return halves
 
-    both = (sequences_ds.map_batches(shingle_side, batch_format="pyarrow")
+    both = (sequences_ds.map_batches(ShingleSide, batch_format="pyarrow",
+                                     concurrency=auto_concurrency())
             .union(pairs_ds.map_batches(pair_halves, batch_format="pandas")))
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:

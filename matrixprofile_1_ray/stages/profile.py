@@ -20,6 +20,42 @@ import pyarrow as pa
 
 from ..functions.tokenize import list_column_to_numpy
 from ..kernels.mpx import mpx_self
+
+
+def _doc_window_stats(ts, w):
+    """Shared with stages/pairs (single definition there): window
+    (mu, sig2) in the SQL oracles' exact arithmetic shape."""
+    from .pairs import _doc_window_stats as impl
+
+    return impl(ts, w)
+
+
+def _banded_corr(ts, w, mu, sig, min_d):
+    """Correlation matrix from exact-integer window sums —
+    bit-identical to the SQL oracles' corr CTE (same op order:
+    (w*mu_i)*mu_j, (w*sig_i)*sig_j) — with diagonals |i-j| < min_d
+    masked to -inf.  Single definition for every margin/perfect-match
+    guard so the cross-engine bit-parity contract lives in ONE
+    place."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wins = np.ascontiguousarray(sliding_window_view(ts, w))
+    qt = wins @ wins.T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = ((qt - (w * mu)[:, None] * mu[None, :])
+             / ((w * sig)[:, None] * sig[None, :]))
+    pl = c.shape[0]
+    ii, jj = np.indices((pl, pl))
+    return np.where(np.abs(ii - jj) >= min_d, c, -np.inf)
+
+
+def _min_top2_margin(cb) -> float:
+    """Smallest per-row gap between the best and second-best banded
+    correlation (the argmax-pinning margin)."""
+    pl = cb.shape[0]
+    two = np.partition(cb, pl - 2, axis=1)[:, -2:]
+    return float((two[:, 1] - two[:, 0]).min())
+
 from ..kernels.scrimp import scrimp_plus_plus
 from ..kernels.stomp import stomp
 
@@ -134,11 +170,7 @@ def mp_rows_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
         n = ts.shape[0]
         if n < 2 * w or n > max_n:
             continue
-        c1 = np.concatenate(([0.0], np.cumsum(ts)))
-        c2 = np.concatenate(([0.0], np.cumsum(ts * ts)))
-        s = c1[w:] - c1[:-w]
-        ss = c2[w:] - c2[:-w]
-        sig2 = ss / w - (s / w) ** 2
+        mu, sig2 = _doc_window_stats(ts, w)
         if sig2.min() < sig2_floor:
             continue
         if algorithm == "mpx":
@@ -147,7 +179,7 @@ def mp_rows_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
             from ..kernels.stomp import stomp
 
             if _has_near_perfect_offband_match(
-                    ts, w, s / w, np.sqrt(np.maximum(sig2, 0)),
+                    ts, w, mu, np.sqrt(np.maximum(sig2, 0)),
                     min_d=int(np.ceil(w / 2.0)) + 1):
                 continue
             mp = stomp(ts, w)["mp"]
@@ -186,8 +218,6 @@ def regimes_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
     AND the argmax profile index are bit-identical across engines), after
     which arc counts are exact integers and the CAC floats derive from
     them with the same IEEE ops on both sides."""
-    from numpy.lib.stride_tricks import sliding_window_view
-
     from ..kernels.discover import extract_regimes
 
     values, offsets = list_column_to_numpy(batch["tokens"])
@@ -198,24 +228,12 @@ def regimes_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
         n = ts.shape[0]
         if n < 2 * w or n > max_n:
             continue
-        c1 = np.concatenate(([0.0], np.cumsum(ts)))
-        c2 = np.concatenate(([0.0], np.cumsum(ts * ts)))
-        s = c1[w:] - c1[:-w]
-        ss = c2[w:] - c2[:-w]
-        mu = s / w
-        sig2 = ss / w - mu * mu
+        mu, sig2 = _doc_window_stats(ts, w)
         if sig2.min() < sig2_floor:
             continue
-        sig = np.sqrt(np.maximum(sig2, 0))
-        wins = np.ascontiguousarray(sliding_window_view(ts, w))
-        qt = wins @ wins.T
-        c = ((qt - (w * mu)[:, None] * mu[None, :])
-             / ((w * sig)[:, None] * sig[None, :]))
-        pl = c.shape[0]
-        ii, jj = np.indices((pl, pl))
-        cb = np.where(np.abs(ii - jj) >= minlag + 1, c, -np.inf)
-        two = np.partition(cb, pl - 2, axis=1)[:, -2:]
-        if (two[:, 1] - two[:, 0]).min() <= margin_floor:
+        cb = _banded_corr(ts, w, mu, np.sqrt(np.maximum(sig2, 0)),
+                          minlag + 1)
+        if _min_top2_margin(cb) <= margin_floor:
             continue
         mp, pi = mpx_self(ts, w)
         prof = extract_regimes({"class": "MatrixProfile", "mp": mp,
@@ -243,8 +261,6 @@ def motifs_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
     best in-band match beats its runner-up by > margin_floor (pins the
     profile index), (b) the global profile minimum beats the second
     smallest by > margin_floor (pins the argmin pick)."""
-    from numpy.lib.stride_tricks import sliding_window_view
-
     from ..kernels.discover import mp_top_k_motifs
 
     values, offsets = list_column_to_numpy(batch["tokens"])
@@ -255,24 +271,12 @@ def motifs_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
         n = ts.shape[0]
         if n < 2 * w or n > max_n:
             continue
-        c1 = np.concatenate(([0.0], np.cumsum(ts)))
-        c2 = np.concatenate(([0.0], np.cumsum(ts * ts)))
-        s = c1[w:] - c1[:-w]
-        ss = c2[w:] - c2[:-w]
-        mu = s / w
-        sig2 = ss / w - mu * mu
+        mu, sig2 = _doc_window_stats(ts, w)
         if sig2.min() < sig2_floor:
             continue
-        sig = np.sqrt(np.maximum(sig2, 0))
-        wins = np.ascontiguousarray(sliding_window_view(ts, w))
-        qt = wins @ wins.T
-        c = ((qt - (w * mu)[:, None] * mu[None, :])
-             / ((w * sig)[:, None] * sig[None, :]))
-        pl = c.shape[0]
-        ii, jj = np.indices((pl, pl))
-        cb = np.where(np.abs(ii - jj) >= minlag + 1, c, -np.inf)
-        two = np.partition(cb, pl - 2, axis=1)[:, -2:]
-        if (two[:, 1] - two[:, 0]).min() <= margin_floor:      # guard (a)
+        cb = _banded_corr(ts, w, mu, np.sqrt(np.maximum(sig2, 0)),
+                          minlag + 1)
+        if _min_top2_margin(cb) <= margin_floor:               # guard (a)
             continue
         # guard (b): the two global minima are usually the motif pair
         # itself with EXACTLY equal distances (mutual nearest neighbors),
@@ -316,20 +320,9 @@ def _has_near_perfect_offband_match(ts: np.ndarray, w: int,
                                     min_d: int,
                                     threshold: float = 0.999999999) -> bool:
     """True when some window pair at |i-j| >= min_d has correlation >=
-    threshold.  The arithmetic mirrors the DuckDB oracle exactly — window
-    dot products are exact-integer sums, mu/sig come from the same
-    formula — so the comparison is bit-identical across engines."""
-    from numpy.lib.stride_tricks import sliding_window_view
-
-    wins = np.ascontiguousarray(sliding_window_view(ts, w))
-    qt = wins @ wins.T
-    with np.errstate(divide="ignore", invalid="ignore"):
-        c = ((qt - (w * mu)[:, None] * mu[None, :])
-             / ((w * sig)[:, None] * sig[None, :]))
-    pl = c.shape[0]
-    i, j = np.indices((pl, pl))
-    band = np.abs(i - j) >= min_d
-    return bool((c[band] >= threshold).any())
+    threshold (bit-identical across engines via :func:`_banded_corr`)."""
+    cb = _banded_corr(ts, w, mu, sig, min_d)
+    return bool((cb >= threshold).any())
 
 
 def mp_rollup_small_batch(batch: pa.Table, bucket: int = 60,
@@ -384,11 +377,8 @@ def corrected_small_rows_batch(batch: pa.Table, w: int = 16,
         n = ts.shape[0]
         if n < 2 * w or n > max_n:
             continue
-        c1 = np.concatenate(([0.0], np.cumsum(ts)))
-        c2 = np.concatenate(([0.0], np.cumsum(ts * ts)))
-        s = c1[w:] - c1[:-w]
-        ss = c2[w:] - c2[:-w]
-        if (ss / w - (s / w) ** 2).min() < sig2_floor:
+        _mu, sig2 = _doc_window_stats(ts, w)
+        if sig2.min() < sig2_floor:
             continue
         mp, _ = mpx_self(ts, w)
         av = make_complexity_av(ts, w)
