@@ -458,6 +458,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    "mpdist", pc.round(t["mpdist"], 4)),
             batch_format="pyarrow")
 
+    def pick_mp_small_query(sf_dir: str):
+        """Bounded-slice pick_mp: the REAL reference pick_mp kernel
+        (PMP row selection + trim) over a per-doc two-window PMP; the
+        oracle is the w=32 half of the pmp_small brute force."""
+        from matrixprofile_1_ray.stages.profile import pick_mp_small_batch
+
+        return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            pick_mp_small_batch, batch_format="pyarrow")
+
+    def hclust_small_query(sf_dir: str):
+        """Single-linkage MPDist clustering on the 8-doc oracle slice,
+        distance cut t=0.6 (sits in a >=0.01-wide gap of the rounded
+        distance set at both gate SFs).  Runs the REAL
+        hierarchical_clusters kernel (linkage + fcluster) on the rounded
+        distances, then relabels each cluster by its lexicographic-min
+        member — for single linkage a distance cut equals connected
+        components of the mpdist<=t graph, which DuckDB reproduces with
+        a recursive min-label closure."""
+        import pandas as pd
+
+        from matrixprofile_1_ray.kernels.hierarchical import (
+            hierarchical_clusters,
+        )
+
+        pairs = mpdist_small_query(sf_dir).to_pandas()
+        ids = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
+        pos = {d: k for k, d in enumerate(ids)}
+        m = len(ids)
+        Y = np.zeros(m * (m - 1) // 2)
+        for a, b, v in zip(pairs["doc_a"], pairs["doc_b"],
+                           pairs["mpdist"]):
+            i, j = sorted((pos[a], pos[b]))
+            Y[m * i - i * (i + 1) // 2 + (j - i - 1)] = v
+        out = hierarchical_clusters(None, 16, t=0.6, method="single",
+                                    criterion="distance",
+                                    precomputed_distances=Y)
+        lab = out["assignments"]
+        rep = {}
+        for d, l in zip(ids, lab):
+            rep.setdefault(l, d)  # ids sorted -> first seen is the min
+        return pd.DataFrame({"doc_id": ids,
+                             "cluster": [rep[l] for l in lab]})
+
     def chunked_rollup_query(sf_dir: str):
         ds = sequences_pipeline(sf_dir, verify_codec=False).map_batches(
             lambda b: chunk_sequences_batch(b, chunk_tokens=97),
@@ -754,6 +797,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "motifs_small": motifs_small_query,
         "mp_rollup_small": mp_rollup_small_query,
         "corpus_discords_small": corpus_discords_small_query,
+        "pick_mp_small": pick_mp_small_query,
+        "hclust_small": hclust_small_query,
         "ann_ivf_full_probe": ann_ivf_full_probe_query,
         # multi-window / pair / summary operators (rows-only)
         "pmp": pmp_query,
@@ -1029,6 +1074,35 @@ def _mpdist_small_sql() -> str:
 SELECT r.da AS doc_a, r.db AS doc_b, round(r.v, 4) AS mpdist
 FROM ranked r JOIN kk ON kk.da = r.da AND kk.db = r.db
 WHERE r.rn = least(kk.k, r.cnt_all - 1)
+"""
+
+
+def _hclust_small_sql() -> str:
+    """Single-linkage distance-cut clusters over the 8-doc mpdist slice:
+    for single linkage, fcluster(criterion='distance', t) equals the
+    connected components of the mpdist<=t graph, so the oracle is the
+    pairwise-mpdist brute force + a recursive min-label closure
+    (component = lexicographic-min member, the engine's relabeling).
+    t=0.6 sits in a >=0.01-wide gap of the rounded distances at both
+    gate SFs, so the identical rounded doubles cannot flip the cut."""
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({_mpdist_small_sql()})
+, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE mpdist <= 0.6
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs WHERE mpdist <= 0.6
+), nodes AS (
+  SELECT DISTINCT doc_a AS doc_id FROM pairs
+  UNION SELECT DISTINCT doc_b FROM pairs
+), reach AS (
+  SELECT a AS node, b AS peer FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON r.peer = e.a
+)
+SELECT n.doc_id,
+       least(n.doc_id, coalesce(min(r.peer), n.doc_id)) AS cluster
+FROM nodes n LEFT JOIN reach r ON r.node = n.doc_id
+GROUP BY n.doc_id
 """
 
 
@@ -1600,6 +1674,9 @@ ASOF LEFT JOIN events p
         "pmp_small": _pmp_small_sql(),
         "corrected_profile_small": _corrected_small_sql(),
         "mpdist_pairs_small": _mpdist_small_sql(),
+        "pick_mp_small": "SELECT doc_id, idx, mp FROM ("
+                         + _mp_small_sql(32) + ")",
+        "hclust_small": _hclust_small_sql(),
         "mpdist_vector_small": _mpdist_vector_small_sql(),
         "regimes_small": _regimes_small_sql(),
         "snippets_small": _snippets_small_sql(),

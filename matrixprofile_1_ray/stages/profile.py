@@ -207,6 +207,59 @@ def mp_rows_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
     })
 
 
+def pick_mp_small_batch(batch: pa.Table, window: int = 32, max_n: int = 256,
+                        round_dp: int = 4,
+                        sig2_floor: float = 1e-3) -> pa.Table:
+    """Bounded-slice ``pick_mp``: assemble the dense two-window PMP per
+    doc (rows inf/nan-padded to len(ts), reference skimp.py:177-213
+    layout) and extract ``window`` through the REAL pick_mp kernel
+    (reference utils.py:45-100 — argwhere row selection + ``[:n-w+1]``
+    trim), emitting exploded (doc_id, idx, mp) rows.  The SQL oracle is
+    the w=``window`` half of the pmp_small brute force; the slice rule
+    (``2*window <= n_tok <= max_n``, no near-constant window at
+    ``window``) matches :func:`mp_rows_small_batch` at that w."""
+    from ..kernels.skimp import pick_mp
+
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    out_doc, out_idx, out_mp = [], [], []
+    for i in range(len(batch)):
+        ts = values[offsets[i] : offsets[i + 1]].astype("d")
+        n = ts.shape[0]
+        if n < 2 * window or n > max_n:
+            continue
+        _, sig2 = _doc_window_stats(ts, window)
+        if sig2.min() < sig2_floor:
+            continue
+        rows_mp, rows_pi = [], []
+        for w in (window // 2, window):
+            mp_w, pi_w = mpx_self(ts, w)
+            rows_mp.append(np.concatenate(
+                (mp_w, np.full(n - mp_w.shape[0], np.inf))))
+            rows_pi.append(np.concatenate(
+                (pi_w.astype("d"), np.full(n - pi_w.shape[0], np.nan))))
+        profile = {
+            "class": "PMP",
+            "windows": np.array([window // 2, window], dtype=np.int64),
+            "pmp": np.vstack(rows_mp),
+            "pmpi": np.vstack(rows_pi),
+            "metric": "euclidean",
+            "data": {"ts": ts},
+        }
+        mp = pick_mp(profile, int(window))["mp"]
+        out_doc.append(np.repeat(batch["doc_id"][i].as_py(), mp.shape[0]))
+        out_idx.append(np.arange(mp.shape[0], dtype=np.int64))
+        out_mp.append(np.round(mp, round_dp))
+    if not out_doc:
+        return pa.table({"doc_id": pa.array([], pa.string()),
+                         "idx": pa.array([], pa.int64()),
+                         "mp": pa.array([], pa.float64())})
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(out_doc), pa.string()),
+        "idx": pa.array(np.concatenate(out_idx), pa.int64()),
+        "mp": pa.array(np.concatenate(out_mp), pa.float64()),
+    })
+
+
 def regimes_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
                         num_regimes: int = 3, sig2_floor: float = 1e-3,
                         margin_floor: float = 1e-6) -> pa.Table:

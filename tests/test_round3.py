@@ -123,7 +123,8 @@ def test_small_slice_queries_nonempty(ray_session):
                  "corrected_profile_small", "mpdist_pairs_small",
                  "mp_rollup_small", "mp_stomp_small", "mp_scrimp_small",
                  "mpdist_vector_small", "regimes_small", "snippets_small",
-                 "motifs_small", "corpus_discords_small"):
+                 "motifs_small", "corpus_discords_small",
+                 "pick_mp_small", "hclust_small"):
         assert len(_df(qs[name](SF))) > 0, name
 
 
@@ -144,6 +145,50 @@ def test_regimes_small_matches_kernel_directly():
                             "w": 16})
     assert list(out.sort_values("rank").regime_idx) == \
         [int(x) for x in prof["regimes"]]
+
+
+def test_pick_mp_small_equals_w32_rows():
+    """pick_mp over the assembled two-window PMP is lossless: its rows
+    equal mp_rows_small_batch at w=32 exactly (the padding/trim round-trip
+    of reference utils.py pick_mp cannot change a value)."""
+    from matrixprofile_1_ray.stages.profile import (
+        mp_rows_small_batch,
+        pick_mp_small_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    toks = rng.integers(32, 127, size=180).astype(np.int32)
+    got = pick_mp_small_batch(_seq_batch([toks])).to_pandas()
+    want = mp_rows_small_batch(_seq_batch([toks]), w=32).to_pandas()
+    assert len(got) == len(want) > 0
+    np.testing.assert_array_equal(got.mp.to_numpy(), want.mp.to_numpy())
+
+
+def test_hclust_small_is_connected_components(ray_session):
+    """Single-linkage distance-cut assignments equal the connected
+    components of the mpdist<=t graph (computed independently in numpy),
+    and the cut is non-trivial at the test SF."""
+    import __ray_entry__ as m
+
+    out = _df(m.queries()["hclust_small"](SF)).sort_values("doc_id")
+    pairs = _df(m.queries()["mpdist_pairs_small"](SF))
+    ids = sorted(out.doc_id)
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, v in zip(pairs.doc_a, pairs.doc_b, pairs.mpdist):
+        if v <= 0.6:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = [find(d) for d in ids]
+    assert list(out.cluster) == want
+    assert len(set(want)) < len(ids)  # at least one real merge
 
 
 def test_stomp_small_perfect_match_guard():
