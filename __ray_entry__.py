@@ -501,6 +501,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame({"doc_id": ids,
                              "cluster": [rep[l] for l in lab]})
 
+    def maxsubseq_small_query(sf_dir: str):
+        """Bounded-slice maximum_subsequence through the real kernel;
+        guards pin the adaptive walk so DuckDB can replay it from five
+        corr-max probes."""
+        from matrixprofile_1_ray.stages.pmp import maxsubseq_small_batch
+
+        return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            maxsubseq_small_batch, batch_format="pyarrow")
+
     def chunked_rollup_query(sf_dir: str):
         ds = sequences_pipeline(sf_dir, verify_codec=False).map_batches(
             lambda b: chunk_sequences_batch(b, chunk_tokens=97),
@@ -799,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_discords_small": corpus_discords_small_query,
         "pick_mp_small": pick_mp_small_query,
         "hclust_small": hclust_small_query,
+        "maximum_subsequence_small": maxsubseq_small_query,
         "ann_ivf_full_probe": ann_ivf_full_probe_query,
         # multi-window / pair / summary operators (rows-only)
         "pmp": pmp_query,
@@ -1075,6 +1085,75 @@ SELECT r.da AS doc_a, r.db AS doc_b, round(r.v, 4) AS mpdist
 FROM ranked r JOIN kk ON kk.da = r.da AND kk.db = r.db
 WHERE r.rn = least(kk.k, r.cnt_all - 1)
 """
+
+
+def _maxsubseq_small_sql(thr: float = 0.985) -> str:
+    """Five brute-force corr-max probes (w in 8,10,12,14,16) reproduce
+    the guarded maximum_subsequence walk: the guards pin the doubling at
+    u=8 (corr(8) > thr, corr(16) < thr, every probe > 1e-6 clear of thr
+    in the shared exact-integer arithmetic), so the refine grid is the
+    fixed evened set {10,12,14,16} and upper_window = min w in that set
+    with corr_max(w) < thr.  One shared pairwise-product CTE feeds all
+    five windowed sums."""
+    probes = (8, 10, 12, 14, 16)
+
+    def per_w(w: int) -> str:
+        minlag = -(-w // 4)
+        return f"""
+, stats{w} AS (
+  SELECT doc_id, idx AS i,
+         sum(tok) OVER win AS s,
+         sum(tok * tok) OVER win AS ss,
+         count(*) OVER win AS cnt
+  FROM exs
+  WINDOW win AS (PARTITION BY doc_id ORDER BY idx
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING))
+, win{w} AS (
+  SELECT doc_id, i, s / {w}.0 AS mu,
+         sqrt(greatest(ss / {w}.0 - (s / {w}.0) * (s / {w}.0), 0)) AS sig,
+         ss / {w}.0 - (s / {w}.0) * (s / {w}.0) AS sig2
+  FROM stats{w} WHERE cnt = {w})
+, good{w} AS (
+  SELECT doc_id FROM win{w} GROUP BY doc_id HAVING min(sig2) >= 0.001)
+, cm{w} AS (
+  SELECT q.doc_id, {w} AS w, max(
+           (q.qt - {w} * wi.mu * wj.mu) / ({w} * wi.sig * wj.sig)) AS cm
+  FROM (SELECT doc_id, d, u AS i,
+               sum(p) OVER win AS qt, count(*) OVER win AS cnt
+        FROM prod WHERE d >= {minlag + 1}
+        WINDOW win AS (PARTITION BY doc_id, d ORDER BY u
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)) q
+  JOIN win{w} wi ON wi.doc_id = q.doc_id AND wi.i = q.i
+  JOIN win{w} wj ON wj.doc_id = q.doc_id AND wj.i = q.i + q.d
+  WHERE q.cnt = {w}
+  GROUP BY q.doc_id)"""
+
+    return (_SEQ_CTE + """
+, lensel AS (
+  SELECT doc_id FROM seq WHERE length(text) BETWEEN 32 AND 256)
+, exs AS (SELECT ex.* FROM ex JOIN lensel USING (doc_id))
+, prod AS MATERIALIZED (
+  SELECT a.doc_id, b.idx - a.idx AS d, a.idx AS u,
+         CAST(a.tok * b.tok AS DOUBLE) AS p
+  FROM exs a JOIN exs b
+    ON a.doc_id = b.doc_id AND b.idx - a.idx >= 3)"""
+            + "".join(per_w(w) for w in probes) + f"""
+, allgood AS (
+  SELECT doc_id FROM good8
+  {" ".join(f"INTERSECT SELECT doc_id FROM good{w}" for w in probes[1:])})
+, cmx AS (
+  {" UNION ALL ".join(f"SELECT c.* FROM cm{w} c JOIN allgood USING (doc_id)"
+                      for w in probes)})
+, guard AS (
+  SELECT doc_id FROM cmx GROUP BY doc_id
+  HAVING min(abs(cm - {thr})) > 1e-6
+     AND max(CASE WHEN w = 8 THEN cm END) > {thr}
+     AND max(CASE WHEN w = 16 THEN cm END) < {thr})
+SELECT c.doc_id, CAST(min(c.w) AS BIGINT) AS upper_window
+FROM cmx c JOIN guard USING (doc_id)
+WHERE c.w > 8 AND c.cm < {thr}
+GROUP BY c.doc_id
+""")
 
 
 def _hclust_small_sql() -> str:
@@ -1677,6 +1756,7 @@ ASOF LEFT JOIN events p
         "pick_mp_small": "SELECT doc_id, idx, mp FROM ("
                          + _mp_small_sql(32) + ")",
         "hclust_small": _hclust_small_sql(),
+        "maximum_subsequence_small": _maxsubseq_small_sql(),
         "mpdist_vector_small": _mpdist_vector_small_sql(),
         "regimes_small": _regimes_small_sql(),
         "snippets_small": _snippets_small_sql(),

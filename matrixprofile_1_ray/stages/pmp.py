@@ -125,3 +125,56 @@ def maximum_subsequence_batch(batch: pa.Table, threshold: float = 0.95) -> pa.Ta
         "doc_id": pa.array(doc_ids, pa.string()),
         "upper_window": pa.array(uppers, pa.int64()),
     })
+
+
+def maxsubseq_small_batch(batch: pa.Table, threshold: float = 0.985,
+                          max_n: int = 256, sig2_floor: float = 1e-3,
+                          margin: float = 1e-6) -> pa.Table:
+    """Bounded-slice ``maximum_subsequence`` through the REAL kernel,
+    guarded so the adaptive doubling+refine walk is SQL-reproducible.
+
+    In the SQL-identical exact-integer corr arithmetic
+    (:func:`~matrixprofile_1_ray.stages.profile._banded_corr`), keep only
+    docs where corr_max(8) > threshold, corr_max(16) < threshold, and
+    every probe window's corr_max clears threshold by > ``margin`` (the
+    kernel's ~1e-12 float drift cannot flip a branch).  The doubling then
+    always stops at u=8 (visits 8 then fails at 16) and the refine grid
+    is the fixed evened set {10,12,14,16}, so
+    ``upper_window = min w in {10,12,14,16} with corr_max(w) < threshold``
+    — which DuckDB computes from five brute-force probes.  Output
+    (doc_id, upper_window) is all-integer, so no rounding is needed."""
+    import warnings
+
+    from .profile import _banded_corr, _doc_window_stats
+
+    probes = (8, 10, 12, 14, 16)
+    values, offsets = list_column_to_numpy(batch["tokens"])
+    doc_ids, uppers = [], []
+    for i in range(len(batch)):
+        ts = values[offsets[i] : offsets[i + 1]].astype("d")
+        n = ts.shape[0]
+        if n < 32 or n > max_n:
+            continue
+        cms, ok = {}, True
+        for w in probes:
+            mu, sig2 = _doc_window_stats(ts, w)
+            if sig2.min() < sig2_floor:
+                ok = False
+                break
+            minlag = -(-w // 4)
+            cb = _banded_corr(ts, w, mu, np.sqrt(np.maximum(sig2, 0)),
+                              minlag + 1)
+            cms[w] = float(np.max(cb))
+        if not ok or any(abs(cms[w] - threshold) <= margin for w in probes):
+            continue
+        if not (cms[8] > threshold and cms[16] < threshold):
+            continue
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            upper = maximum_subsequence(ts, threshold=threshold)
+        doc_ids.append(batch["doc_id"][i].as_py())
+        uppers.append(int(upper))
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.string()),
+        "upper_window": pa.array(uppers, pa.int64()),
+    })

@@ -124,7 +124,8 @@ def test_small_slice_queries_nonempty(ray_session):
                  "mp_rollup_small", "mp_stomp_small", "mp_scrimp_small",
                  "mpdist_vector_small", "regimes_small", "snippets_small",
                  "motifs_small", "corpus_discords_small",
-                 "pick_mp_small", "hclust_small"):
+                 "pick_mp_small", "hclust_small",
+                 "maximum_subsequence_small"):
         assert len(_df(qs[name](SF))) > 0, name
 
 
@@ -189,6 +190,33 @@ def test_hclust_small_is_connected_components(ray_session):
     want = [find(d) for d in ids]
     assert list(out.cluster) == want
     assert len(set(want)) < len(ids)  # at least one real merge
+
+
+def test_maxsubseq_small_matches_probe_rule():
+    """The guarded kernel walk lands exactly on min{w in refine grid:
+    corr_max(w) < thr} — the rule the SQL oracle replays."""
+    from matrixprofile_1_ray.stages.pairs import _doc_window_stats
+    from matrixprofile_1_ray.stages.pmp import maxsubseq_small_batch
+    from matrixprofile_1_ray.stages.profile import _banded_corr
+
+    rng = np.random.default_rng(5)
+    # planted repeats make corr(8) high; noise keeps corr(16) lower
+    toks = rng.integers(32, 127, size=200).astype(np.int32)
+    toks[50:58] = toks[100:108]  # exact 8-token repeat -> corr(8) = 1
+    out = maxsubseq_small_batch(_seq_batch([toks])).to_pandas()
+    if len(out) == 0:
+        pytest.skip("doc filtered by walk guards")
+    thr = 0.985
+    ts = toks.astype("d")
+    expect = None
+    for w in (10, 12, 14, 16):
+        mu, sig2 = _doc_window_stats(ts, w)
+        cb = _banded_corr(ts, w, mu, np.sqrt(np.maximum(sig2, 0)),
+                          -(-w // 4) + 1)
+        if np.max(cb) < thr:
+            expect = w
+            break
+    assert out.upper_window.iloc[0] == expect
 
 
 def test_stomp_small_perfect_match_guard():
