@@ -39,3 +39,45 @@ def load(root: str, name: str):
         if entry["name"] == name:
             return ray.data.read_parquet(entry["path"])
     raise ValueError(f"dataset {name!r} not found under {root}")
+
+
+def get_csv_indices(fp: str, is_gzip: bool = False):
+    """Header sniff for series CSVs (reference datasets/datasets.py:95-129
+    semantics): -> (dt_index, real_indices) where the datetime column is
+    the LAST header label containing 'date' or 'time' (case-insensitive)
+    and every other column is treated as real-valued."""
+    import gzip
+
+    opener = (lambda p: gzip.open(p, "rt")) if is_gzip else open
+    with opener(fp) as fh:
+        header = fh.readline()
+    dt_index, real_indices = None, []
+    for index, label in enumerate(header.rstrip("\n").split(",")):
+        if "date" in label.lower() or "time" in label.lower():
+            dt_index = index
+        else:
+            real_indices.append(index)
+    return dt_index, real_indices
+
+
+def load_csv(fp: str, is_gzip: bool | None = None):
+    """CSV/CSV.gz -> lazy Ray Dataset with the datetime column (when the
+    header declares one) renamed to ``datetime`` and every real-valued
+    column kept — the streaming engine analog of the reference's
+    eager csv-to-numpy loader.  Column roles come from
+    :func:`get_csv_indices`; Arrow infers the value types."""
+    import ray.data
+
+    if is_gzip is None:
+        is_gzip = fp.endswith(".gz")
+    dt_index, real_indices = get_csv_indices(fp, is_gzip=is_gzip)
+    ds = ray.data.read_csv(fp)
+    cols = ds.schema().names
+    keep = [cols[i] for i in real_indices if i < len(cols)]
+    if dt_index is not None and dt_index < len(cols):
+        dt_col = cols[dt_index]
+        ds = ds.select_columns([dt_col] + keep)
+        if dt_col != "datetime":
+            ds = ds.rename_columns({dt_col: "datetime"})
+        return ds
+    return ds.select_columns(keep)

@@ -63,6 +63,32 @@ def test_catalog():
         load(SF, "nope")
 
 
+def test_get_csv_indices_and_load_csv(ray_session, tmp_path):
+    """Header sniff matches reference semantics (last date/time label
+    wins, others real-valued) and the Ray CSV path applies the roles."""
+    import gzip
+
+    from matrixprofile_1_ray.sources.catalog import get_csv_indices, load_csv
+
+    csv = tmp_path / "series.csv"
+    csv.write_text("value_a,Timestamp,value_b\n1.5,2020-01-01,2.5\n"
+                   "3.0,2020-01-02,4.0\n")
+    dt, real = get_csv_indices(str(csv))
+    assert dt == 1 and real == [0, 2]
+
+    gz = tmp_path / "series.csv.gz"
+    with gzip.open(gz, "wt") as fh:
+        fh.write("date,v\n2020-01-01,7\n")
+    assert get_csv_indices(str(gz), is_gzip=True) == (0, [1])
+
+    df = load_csv(str(csv)).to_pandas().sort_values("datetime")
+    assert list(df.columns) == ["datetime", "value_a", "value_b"]
+    assert df.value_b.tolist() == [2.5, 4.0]
+
+    headerless_roles = load_csv(str(gz)).to_pandas()
+    assert list(headerless_roles.columns) == ["datetime", "v"]
+
+
 def test_compute_dispatch(ray_session):
     import ray.data
 
