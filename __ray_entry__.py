@@ -934,9 +934,15 @@ def _mp_small_rows_cte(w: int = 16, lo: int | None = None,
     (default); reference STOMP's exclusion zone is ceil(w/2).
     ``perfect_guard`` drops docs with an in-band corr >= 1 - 1e-9 (the
     STOMP NaN-at-perfect-match quirk; the engine applies the identical
-    bit-exact guard)."""
+    bit-exact guard).
+
+    Default ``lo`` is ``max(2*w, w + 2*excl + 1)``: shorter docs have a
+    center window with no admissible partner, which the engine kernels
+    report as an ``inf`` profile row but this brute force cannot emit
+    (GROUP BY produces no row) — the engine slice applies the same
+    floor (stages/profile.py:mp_rows_small_batch)."""
     minlag = -(-w // 4) if excl is None else excl
-    lo = 2 * w if lo is None else lo
+    lo = max(2 * w, w + 2 * minlag + 1) if lo is None else lo
     guard = ("""
 , guard AS (
   SELECT doc_id FROM corr GROUP BY doc_id
@@ -1483,7 +1489,13 @@ def _snippets_small_sql() -> str:
     exact multiple of snippet_size, every w-window non-constant): one
     sliding-MPDist matrix per candidate (query = ts[c : c+size-1], the
     reference's own off-by-one), then two greedy coverage argmins with
-    the strict-> lowest-candidate tie-break.  All-integer output."""
+    the strict-> lowest-candidate tie-break.  All-integer output.
+
+    Float parity: the per-candidate MPDist values are rounded to 4 dp
+    before summing (round commutes with the k-th order statistic, so
+    this equals the engine's rounded kernel output) and docs whose
+    greedy pick is not decided by a >= 0.05 gap at both steps are
+    dropped on both sides — see snippets_small_batch for the bound."""
     size, w = 64, 32
     qlen = size - 1                       # reference passes ts[i:i+size-1]
     rhl = qlen - w + 1                    # 32 query windows
@@ -1537,30 +1549,47 @@ def _snippets_small_sql() -> str:
   FROM rhist JOIN offs ON offs.doc_id = rhist.doc_id AND offs.c = rhist.c
    AND rhist.i BETWEEN offs.o AND offs.o + {rhl - 1})
 , dmat AS MATERIALIZED (
-  SELECT doc_id, c, o, v FROM (
+  SELECT doc_id, c, o, round(v, 4) AS v FROM (
     SELECT pooled.*, row_number() OVER (PARTITION BY doc_id, c, o
                                         ORDER BY v) - 1 AS rn
     FROM pooled) WHERE rn = {k_loc})
-, s1 AS (SELECT doc_id, c, sum(v) AS s FROM dmat GROUP BY doc_id, c)
-, pick1 AS MATERIALIZED (
-  SELECT doc_id, c FROM (
-    SELECT s1.*, row_number() OVER (PARTITION BY doc_id
-                                    ORDER BY s ASC, c ASC) AS rn
-    FROM s1) WHERE rn = 1)
-, s2 AS (
-  SELECT d2.doc_id, d2.c, sum(least(d2.v, d1.v)) AS s
-  FROM dmat d2
-  JOIN pick1 p ON p.doc_id = d2.doc_id
-  JOIN dmat d1 ON d1.doc_id = d2.doc_id AND d1.c = p.c AND d1.o = d2.o
-  GROUP BY d2.doc_id, d2.c)
-, pick2 AS (
-  SELECT doc_id, c FROM (
-    SELECT s2.*, row_number() OVER (PARTITION BY doc_id
-                                    ORDER BY s ASC, c ASC) AS rn
-    FROM s2) WHERE rn = 1)
-SELECT doc_id, CAST(0 AS BIGINT) AS rank, c AS snippet_index FROM pick1
+, s1r AS MATERIALIZED (
+  SELECT doc_id, c, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s ASC, c ASC) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS nc
+  FROM (SELECT doc_id, c, sum(v) AS s FROM dmat GROUP BY doc_id, c))
+, pick1 AS MATERIALIZED (SELECT doc_id, c FROM s1r WHERE rn = 1)
+, s2r AS MATERIALIZED (
+  SELECT doc_id, c, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s ASC, c ASC) AS rn
+  FROM (
+    SELECT d2.doc_id, d2.c, sum(least(d2.v, d1.v)) AS s
+    FROM dmat d2
+    JOIN pick1 p ON p.doc_id = d2.doc_id
+    JOIN dmat d1 ON d1.doc_id = d2.doc_id AND d1.c = p.c AND d1.o = d2.o
+    GROUP BY d2.doc_id, d2.c))
+, pick2 AS (SELECT doc_id, c FROM s2r WHERE rn = 1)
+, keep AS (
+  -- margin guard (mirrors snippets_small_batch): single-candidate docs
+  -- are trivially pinned; otherwise both greedy steps must be decided by
+  -- a >= 0.05 gap on the rounded sums, which pins the engine's unrounded
+  -- kernel argmin too (rounding shifts a sum by < 0.01)
+  SELECT s1r.doc_id FROM s1r
+  JOIN s2r ON s2r.doc_id = s1r.doc_id AND s2r.rn = 2
+  WHERE s1r.rn = 2
+    AND s1r.s - (SELECT min(s) FROM s1r b WHERE b.doc_id = s1r.doc_id)
+        >= 0.05
+    AND s2r.s - (SELECT min(s) FROM s2r b WHERE b.doc_id = s2r.doc_id)
+        >= 0.05
+  UNION ALL
+  SELECT doc_id FROM s1r WHERE rn = 1 AND nc = 1)
+SELECT doc_id, CAST(0 AS BIGINT) AS rank, c AS snippet_index
+FROM pick1 JOIN keep USING (doc_id)
 UNION ALL
-SELECT doc_id, CAST(1 AS BIGINT) AS rank, c AS snippet_index FROM pick2
+SELECT doc_id, CAST(1 AS BIGINT) AS rank, c AS snippet_index
+FROM pick2 JOIN keep USING (doc_id)
 """
 
 

@@ -162,13 +162,22 @@ def mp_rows_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
     takes sqrt of a tiny negative there and yields NaN, which STOMP skips
     — not SQL-reproducible.  The guard itself IS reproducible: corr from
     exact-integer window sums is bit-identical in numpy and DuckDB, so
-    both engines make the same keep/drop decision."""
+    both engines make the same keep/drop decision.
+
+    The slice floor is ``max(2*w, w + 2*excl + 1)`` where ``excl`` is the
+    kernel's widest excluded offset: any shorter doc has a center window
+    with NO admissible partner, for which the kernel emits ``inf`` but
+    the SQL brute force emits no row at all (GROUP BY over zero corr
+    rows).  Only STOMP's wide zone (ez = ceil(w/2)) makes this bind —
+    exactly n_tok == 2*w == 32 at the default w."""
     values, offsets = list_column_to_numpy(batch["tokens"])
+    excl = -(-w // 2) if algorithm == "stomp" else -(-w // 4)
+    min_n = max(2 * w, w + 2 * excl + 1)
     out_doc, out_idx, out_mp = [], [], []
     for i in range(len(batch)):
         ts = values[offsets[i] : offsets[i + 1]].astype("d")
         n = ts.shape[0]
-        if n < 2 * w or n > max_n:
+        if n < min_n or n > max_n:
             continue
         mu, sig2 = _doc_window_stats(ts, w)
         if sig2.min() < sig2_floor:

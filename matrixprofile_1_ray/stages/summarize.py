@@ -24,16 +24,31 @@ _AV_MAKERS = {
 
 def snippets_small_batch(batch: pa.Table, snippet_size: int = 64,
                          num_snippets: int = 2,
-                         sig2_floor: float = 1e-3) -> pa.Table:
+                         sig2_floor: float = 1e-3,
+                         margin_floor: float = 0.05) -> pa.Table:
     """Oracle-able snippets slice: docs whose length is an exact multiple
     of ``snippet_size`` in [2*size, 4*size] (so the reference's zero-pad
     and its constant-window MASS conventions never trigger) and whose
     every w=size/2 window is non-constant.  Runs the REAL snippets kernel;
     emits the all-integer greedy picks (doc_id, rank, snippet_index) that
     the DuckDB oracle reproduces end-to-end (per-candidate sliding-MPDist
-    matrix -> greedy coverage argmin with lowest-index tie-break)."""
+    matrix -> greedy coverage argmin with lowest-index tie-break).
+
+    Margin guard (pins the argmin picks across engines): the engine and
+    the SQL brute force compute the coverage sums in different IEEE op
+    orders, so — like the motifs/regimes/maxsubseq oracles — docs where
+    the greedy pick is not decided by a healthy margin are dropped on
+    BOTH sides.  The guard greedy runs on per-candidate MPDist vectors
+    rounded to 4 dp (the oracle rounds identically, so its sums differ
+    only by summation-order ulps) and requires a winner-vs-runner-up gap
+    >= ``margin_floor`` at each step.  Rounding shifts any coverage sum
+    by at most N*5e-5 <= 194*5e-5 ~= 0.0097, so a 0.05 rounded-sum
+    margin also pins the real kernel's unrounded argmin (shift < 2*0.0097
+    < 0.05) — the emitted kernel picks provably equal the guard greedy's
+    and the oracle's."""
     import numpy as np
 
+    from ..kernels.mpdist import mpdist_vector
     from .pairs import _doc_window_stats
 
     w = snippet_size // 2
@@ -47,6 +62,19 @@ def snippets_small_batch(batch: pa.Table, snippet_size: int = 64,
         _, sig2 = _doc_window_stats(ts, w)
         if sig2.min() < sig2_floor:
             continue
+        cands = np.arange(0, ts.shape[0] - snippet_size, snippet_size)
+        if cands.shape[0] > 1:
+            dmat = np.stack([
+                np.round(mpdist_vector(ts, ts[c : c + snippet_size - 1], w), 4)
+                for c in cands])
+            s1 = dmat.sum(axis=1)
+            o1 = np.sort(s1)
+            if o1[1] - o1[0] < margin_floor:
+                continue
+            s2 = np.minimum(dmat, dmat[int(np.argmin(s1))]).sum(axis=1)
+            o2 = np.sort(s2)
+            if o2[1] - o2[0] < margin_floor:
+                continue
         out = snippets(ts, snippet_size, num_snippets=num_snippets)
         for rank, snip in enumerate(out):
             doc_ids.append(batch["doc_id"][i].as_py())

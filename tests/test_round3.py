@@ -233,6 +233,47 @@ def test_stomp_small_perfect_match_guard():
     assert len(mp_rows_small_batch(batch, algorithm="mpx")) > 0
 
 
+def test_stomp_small_drops_partnerless_center_window():
+    """n_tok == 2*w exactly: STOMP's ez = ceil(w/2) leaves the center
+    window with NO admissible partner, so the kernel reports mp[8] = inf
+    while the SQL brute force emits no row for it (GROUP BY over zero
+    corr rows).  Both engines must therefore drop the doc entirely —
+    the slice floor is w + 2*ez + 1 = 33 for stomp; mpx (minlag 4) keeps
+    it and emits only finite values."""
+    from matrixprofile_1_ray.stages.profile import mp_rows_small_batch
+
+    rng = np.random.default_rng(11)
+    batch = _seq_batch([rng.integers(32, 127, size=32).astype(np.int32),
+                        rng.integers(32, 127, size=33).astype(np.int32)])
+    stomp_rows = mp_rows_small_batch(batch, algorithm="stomp").to_pandas()
+    assert set(stomp_rows.doc_id) == {"d1"}
+    assert np.isfinite(stomp_rows.mp).all()
+    mpx_rows = mp_rows_small_batch(batch, algorithm="mpx").to_pandas()
+    assert set(mpx_rows.doc_id) == {"d0", "d1"}
+    assert np.isfinite(mpx_rows.mp).all()
+
+
+def test_snippets_small_margin_guard_drops_ambiguous_docs():
+    """Docs whose greedy snippet pick is decided by a sub-margin gap (two
+    identical snippet_size blocks -> tied coverage sums) must be dropped:
+    engine and SQL sum the coverage in different IEEE op orders, so only
+    margin-pinned picks are oracle-comparable.  Healthy docs keep emitting
+    the real kernel's picks."""
+    import pyarrow as pa
+
+    from matrixprofile_1_ray.stages.summarize import snippets_small_batch
+
+    rng = np.random.default_rng(21)
+    block = rng.integers(32, 127, size=64).astype(np.int32)
+    amb = np.concatenate([block, block, block,
+                          rng.integers(32, 127, size=64)]).astype(np.int32)
+    ok = rng.integers(32, 127, size=192).astype(np.int32)
+    batch = _seq_batch([amb, ok])
+    out = snippets_small_batch(batch).to_pandas()
+    assert set(out.doc_id) == {"d1"}
+    assert set(out["rank"]) == {0, 1}
+
+
 def test_hash_join_rejects_outer(ray_session):
     import pandas as pd
     import ray.data
