@@ -45,14 +45,20 @@ def get_csv_indices(fp: str, is_gzip: bool = False):
     """Header sniff for series CSVs (reference datasets/datasets.py:95-129
     semantics): -> (dt_index, real_indices) where the datetime column is
     the LAST header label containing 'date' or 'time' (case-insensitive)
-    and every other column is treated as real-valued."""
+    and every other column is treated as real-valued.
+
+    The header is parsed with the csv module (not a raw split) so a
+    quoted label containing a comma stays one column — load_csv applies
+    these indices to Arrow's properly-parsed schema, and the two must
+    agree on column positions."""
+    import csv
     import gzip
 
     opener = (lambda p: gzip.open(p, "rt")) if is_gzip else open
     with opener(fp) as fh:
-        header = fh.readline()
+        labels = next(csv.reader(fh), [])
     dt_index, real_indices = None, []
-    for index, label in enumerate(header.rstrip("\n").split(",")):
+    for index, label in enumerate(labels):
         if "date" in label.lower() or "time" in label.lower():
             dt_index = index
         else:

@@ -88,6 +88,15 @@ def test_get_csv_indices_and_load_csv(ray_session, tmp_path):
     headerless_roles = load_csv(str(gz)).to_pandas()
     assert list(headerless_roles.columns) == ["datetime", "v"]
 
+    # a quoted label containing a comma is ONE column — the sniff must
+    # agree with Arrow's parsed schema or every role misaligns
+    quoted = tmp_path / "quoted.csv"
+    quoted.write_text('"a,b",date,v\n1.0,2020-01-01,9.0\n')
+    assert get_csv_indices(str(quoted)) == (1, [0, 2])
+    qdf = load_csv(str(quoted)).to_pandas()
+    assert list(qdf.columns) == ["datetime", "a,b", "v"]
+    assert qdf.v.tolist() == [9.0]
+
 
 def test_compute_dispatch(ray_session):
     import ray.data

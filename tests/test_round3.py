@@ -336,3 +336,13 @@ def test_flagship_rollup_single_pass(ray_session, tmp_path):
     cols = set(tok2.schema().names)
     assert {"doc_id", "tier", "bucket", "t_min", "t_mean"} <= cols
     assert "mp_min" not in cols
+    # a re-run into the same out_dir must rebuild, not append duplicates
+    tok3, _ = flagship_rollup(SF, tiers={"1m": 60}, out_dir=str(out))
+    assert tok3.count() == t_n
+    # but a directory that is not a flagship layout must be refused
+    alien = tmp_path / "alien"
+    alien.mkdir()
+    (alien / "precious.txt").write_text("keep me")
+    with pytest.raises(ValueError, match="refusing"):
+        flagship_rollup(SF, tiers={"1m": 60}, out_dir=str(alien))
+    assert (alien / "precious.txt").read_text() == "keep me"
