@@ -1494,8 +1494,9 @@ def _snippets_small_sql() -> str:
     Float parity: the per-candidate MPDist values are rounded to 4 dp
     before summing (round commutes with the k-th order statistic, so
     this equals the engine's rounded kernel output) and docs whose
-    greedy pick is not decided by a >= 0.05 gap at both steps are
-    dropped on both sides — see snippets_small_batch for the bound."""
+    greedy pick is not decided by a >= 0.05005 gap at both steps are
+    dropped on both sides (the floor sits off the 1e-4 rounding lattice
+    so the comparison cannot flip) — see snippets_small_batch."""
     size, w = 64, 32
     qlen = size - 1                       # reference passes ts[i:i+size-1]
     rhl = qlen - w + 1                    # 32 query windows
@@ -1574,15 +1575,17 @@ def _snippets_small_sql() -> str:
 , keep AS (
   -- margin guard (mirrors snippets_small_batch): single-candidate docs
   -- are trivially pinned; otherwise both greedy steps must be decided by
-  -- a >= 0.05 gap on the rounded sums, which pins the engine's unrounded
-  -- kernel argmin too (rounding shifts a sum by < 0.01)
+  -- a >= 0.05005 gap on the rounded sums, which pins the engine's
+  -- unrounded kernel argmin too (rounding shifts a sum by < 0.01).  The
+  -- floor sits OFF the 1e-4 rounding lattice so the comparison itself
+  -- cannot flip between engines' summation orders.
   SELECT s1r.doc_id FROM s1r
   JOIN s2r ON s2r.doc_id = s1r.doc_id AND s2r.rn = 2
   WHERE s1r.rn = 2
     AND s1r.s - (SELECT min(s) FROM s1r b WHERE b.doc_id = s1r.doc_id)
-        >= 0.05
+        >= 0.05005
     AND s2r.s - (SELECT min(s) FROM s2r b WHERE b.doc_id = s2r.doc_id)
-        >= 0.05
+        >= 0.05005
   UNION ALL
   SELECT doc_id FROM s1r WHERE rn = 1 AND nc = 1)
 SELECT doc_id, CAST(0 AS BIGINT) AS rank, c AS snippet_index

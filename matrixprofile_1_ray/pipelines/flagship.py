@@ -118,27 +118,18 @@ def flagship_rollup(sf_dir: str, w: int = 32, tiers=None, out_dir=None,
     unified = ds.map_batches(lambda b: flagship_batch(b, w=w, tiers=tiers),
                              batch_format="pyarrow", batch_size=64)
     if out_dir:
-        import os
-        import shutil
-
         import ray.data
 
+        from ..io.fsutil import guarded_clean_dir
+
         # write_parquet APPENDS uniquely-named files, so a re-run into the
-        # same out_dir would double every rollup row in the returned reads.
-        # Rebuild from clean when the directory is a prior flagship layout
-        # (kind=* hive partitions only); refuse anything else — a typo'd
-        # out_dir must raise, not get deleted (same policy as
-        # stages/ann.py build_ivf_index).
-        if os.path.isdir(out_dir):
-            entries = os.listdir(out_dir)
-            is_ours = all(e.startswith("kind=") for e in entries)
-            if not is_ours:
-                raise ValueError(
-                    f"refusing to write into {out_dir!r}: directory exists "
-                    "and does not look like a flagship rollup layout (only "
-                    "kind=* partitions expected); delete it explicitly or "
-                    "point out_dir elsewhere")
-            shutil.rmtree(out_dir)
+        # same out_dir would double every rollup row in the returned reads:
+        # rebuild from clean when the target is a prior flagship layout
+        # (kind=* hive partitions only), refuse anything else.  Resolved
+        # via pyarrow.fs so URI targets are guarded too.
+        guarded_clean_dir(
+            out_dir, lambda names: all(n.startswith("kind=") for n in names),
+            "a flagship rollup layout (only kind=* partitions expected)")
         unified.write_parquet(out_dir, partition_cols=["kind", "tier"])
         token = ray.data.read_parquet(f"{out_dir}/kind=token")
         mp = ray.data.read_parquet(f"{out_dir}/kind=mp")

@@ -142,9 +142,9 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
 
     At 100 TB this is the only full-corpus pass ANN ever makes; every query
     afterwards touches ``nprobe/n_centroids`` of the bytes."""
-    import shutil
-
     import ray
+
+    from ..io.fsutil import guarded_clean_dir
 
     # a partial dir from a crashed build would get appended to — rebuild
     # from clean (the centroids file is written LAST, so its presence is
@@ -152,18 +152,12 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
     # directory that is not recognizably an index (marker or hive
     # centroid=* layout): --index-dir pointed at the wrong place must
     # raise, not silently delete an unrelated tree.
-    if os.path.isdir(index_dir):
-        entries = os.listdir(index_dir)
-        is_index = (not entries
-                    or "_centroids.parquet" in entries
-                    or any(e.startswith("centroid=") for e in entries))
-        if not is_index:
-            raise ValueError(
-                f"refusing to rebuild into {index_dir!r}: directory exists "
-                "and does not look like an IVF index (no _centroids.parquet "
-                "marker, no centroid=* partitions); delete it explicitly or "
-                "point --index-dir elsewhere")
-        shutil.rmtree(index_dir)
+    guarded_clean_dir(
+        index_dir,
+        lambda names: ("_centroids.parquet" in names
+                       or any(n.startswith("centroid=") for n in names)),
+        "an IVF index (no _centroids.parquet marker, no centroid=* "
+        "partitions)")
 
     sample_rows = ds.limit(sample_size).take_all()
     sample = np.stack([np.asarray(r["embedding"], dtype="d")

@@ -25,7 +25,7 @@ _AV_MAKERS = {
 def snippets_small_batch(batch: pa.Table, snippet_size: int = 64,
                          num_snippets: int = 2,
                          sig2_floor: float = 1e-3,
-                         margin_floor: float = 0.05) -> pa.Table:
+                         margin_floor: float = 0.05005) -> pa.Table:
     """Oracle-able snippets slice: docs whose length is an exact multiple
     of ``snippet_size`` in [2*size, 4*size] (so the reference's zero-pad
     and its constant-window MASS conventions never trigger) and whose
@@ -37,17 +37,24 @@ def snippets_small_batch(batch: pa.Table, snippet_size: int = 64,
     Margin guard (pins the argmin picks across engines): the engine and
     the SQL brute force compute the coverage sums in different IEEE op
     orders, so — like the motifs/regimes/maxsubseq oracles — docs where
-    the greedy pick is not decided by a healthy margin are dropped on
-    BOTH sides.  The guard greedy runs on per-candidate MPDist vectors
-    rounded to 4 dp (the oracle rounds identically, so its sums differ
-    only by summation-order ulps) and requires a winner-vs-runner-up gap
-    >= ``margin_floor`` at each step.  Rounding shifts any coverage sum
-    by at most N*5e-5 <= 194*5e-5 ~= 0.0097, so a 0.05 rounded-sum
-    margin also pins the real kernel's unrounded argmin (shift < 2*0.0097
-    < 0.05) — the emitted kernel picks provably equal the guard greedy's
-    and the oracle's."""
-    import numpy as np
+    any of the ``num_snippets`` greedy picks is not decided by a healthy
+    margin are dropped on BOTH sides.  The guard greedy runs on
+    per-candidate MPDist vectors rounded to 4 dp (the oracle rounds
+    identically, so its sums differ only by summation-order ulps) and
+    requires a winner-vs-runner-up gap >= ``margin_floor`` at each step.
+    Rounding shifts any coverage sum by at most N*5e-5 <= 194*5e-5 ~=
+    0.0097, so the margin also pins the real kernel's unrounded argmin
+    (shift < 2*0.0097 < margin_floor) — the emitted kernel picks provably
+    equal the guard greedy's and the oracle's.  The default floor sits
+    OFF the 1e-4 rounding lattice (0.05005): every attainable gap is a
+    near-multiple of 1e-4 (within ~1e-13 summation noise), so the
+    threshold comparison itself can never flip between engines — a gap
+    of exactly 0.05 would be >= on one side and < on the other.
 
+    The guard recomputes the distance matrix the kernel then rebuilds
+    internally — deliberate: the gate's value is that the emitted picks
+    come from the REAL unmodified kernel, and the bounded slice is tiny,
+    so the doubled MASS work is noise."""
     from ..kernels.mpdist import mpdist_vector
     from .pairs import _doc_window_stats
 
@@ -67,13 +74,16 @@ def snippets_small_batch(batch: pa.Table, snippet_size: int = 64,
             dmat = np.stack([
                 np.round(mpdist_vector(ts, ts[c : c + snippet_size - 1], w), 4)
                 for c in cands])
-            s1 = dmat.sum(axis=1)
-            o1 = np.sort(s1)
-            if o1[1] - o1[0] < margin_floor:
-                continue
-            s2 = np.minimum(dmat, dmat[int(np.argmin(s1))]).sum(axis=1)
-            o2 = np.sort(s2)
-            if o2[1] - o2[0] < margin_floor:
+            minis = np.full(dmat.shape[1], np.inf)
+            pinned = True
+            for _ in range(num_snippets):
+                sums = np.minimum(dmat, minis).sum(axis=1)
+                order = np.sort(sums)
+                if order[1] - order[0] < margin_floor:
+                    pinned = False
+                    break
+                minis = np.minimum(dmat[int(np.argmin(sums))], minis)
+            if not pinned:
                 continue
         out = snippets(ts, snippet_size, num_snippets=num_snippets)
         for rank, snip in enumerate(out):
