@@ -1,0 +1,157 @@
+"""Differential fuzz: the bounded-slice MP-family batch fns vs the DuckDB
+oracle SQL on RANDOM boundary-stressing corpora (no Ray needed — the gate
+queries are thin map_batches wrappers over these same pure functions).
+
+The fixed-testdata gate can only exercise the doc shapes that happen to
+exist at sf0.001/sf0.01; this test generates corpora that force the edge
+cases the guards exist for: slice-floor lengths (n_tok == 2*w and ±1),
+repeated blocks (greedy/argmin ties), constant runs (sig2 floor), exact
+window repeats beyond the exclusion zone (STOMP NaN-skip guard), and
+periodic series.  A divergence here is an engine-vs-oracle gate failure
+waiting for the right production doc — e.g. the stomp partnerless-center
+bug bound to n_tok == 32 that motivated this file.
+"""
+
+import string
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SEEDS = [3, 11, 29, 47, 101]
+_BOUNDARY_LENGTHS = [31, 32, 33, 47, 48, 49, 63, 64, 65,
+                     127, 128, 129, 191, 192, 255, 256, 257]
+_ALPHABET = np.array(list(string.ascii_letters + string.digits + " .,!?"))
+
+
+def _random_corpus(seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    texts = []
+
+    def rand_text(n):
+        return "".join(rng.choice(_ALPHABET, n))
+
+    for n in _BOUNDARY_LENGTHS:
+        texts.append(rand_text(n))
+    for n in rng.integers(28, 300, size=6):
+        texts.append(rand_text(int(n)))
+    # tie stress: identical snippet_size blocks
+    block = rand_text(64)
+    texts.append(block + block + rand_text(64))
+    texts.append(block + block + block)
+    # sig2 floor stress: long constant run
+    texts.append(rand_text(40) + "A" * 24 + rand_text(40))
+    # STOMP perfect-match guard: exact 20-char repeat at distance > ez
+    base = rand_text(100)
+    texts.append(base[:10] + base[20:40] + base[40:70] + base[20:40]
+                 + base[70:90])
+    # periodicity stress (near-perfect correlations at the period)
+    texts.append(rand_text(16) * 8)
+    per = rand_text(16)
+    texts.append("".join(per[:-1] + c for c in rand_text(8)))
+    return pd.DataFrame({
+        "doc_id": [f"doc{i:03d}" for i in range(len(texts))],
+        "source": [f"s{i % 3}" for i in range(len(texts))],
+        "text": texts,
+    })
+
+
+def _sequences_batch(df: pd.DataFrame) -> pa.Table:
+    """documents -> the exact batch the gate pipelines feed the small
+    stages (tokenize + gap-fill, codec verify skipped as in the gate)."""
+    from matrixprofile_1_ray.sources.sequences import tokenize_documents_batch
+    from matrixprofile_1_ray.stages.gapfill import gapfill_batch
+
+    docs = pa.table({"doc_id": df.doc_id, "text": df.text,
+                     "source": df.source})
+    return gapfill_batch(tokenize_documents_batch(docs), mode="forward_fill")
+
+
+def _engine_fns():
+    from matrixprofile_1_ray.stages.pairs import mpdist_vector_small_batch
+    from matrixprofile_1_ray.stages.pmp import maxsubseq_small_batch
+    from matrixprofile_1_ray.stages.profile import (
+        corrected_small_rows_batch,
+        motifs_small_batch,
+        mp_discord_top1_batch,
+        mp_rollup_small_batch,
+        mp_rows_small_batch,
+        pick_mp_small_batch,
+        regimes_small_batch,
+    )
+    from matrixprofile_1_ray.stages.summarize import snippets_small_batch
+
+    def pmp_both(b):
+        parts = []
+        for w in (16, 32):
+            t = mp_rows_small_batch(b, w=w)
+            parts.append(t.add_column(
+                1, "w", pa.array(np.full(len(t), w, np.int64))))
+        return pa.concat_tables(parts)
+
+    return {
+        "mp_profiles_small": mp_rows_small_batch,
+        "mp_stomp_small": lambda b: mp_rows_small_batch(b, algorithm="stomp"),
+        "mp_scrimp_small": lambda b: mp_rows_small_batch(
+            b, algorithm="scrimp++"),
+        "mp_discords_small": mp_discord_top1_batch,
+        "pmp_small": pmp_both,
+        "corrected_profile_small": corrected_small_rows_batch,
+        "motifs_small": motifs_small_batch,
+        "snippets_small": snippets_small_batch,
+        "regimes_small": regimes_small_batch,
+        "mpdist_vector_small": mpdist_vector_small_batch,
+        "mp_rollup_small": mp_rollup_small_batch,
+        "pick_mp_small": pick_mp_small_batch,
+        "maximum_subsequence_small": maxsubseq_small_batch,
+    }
+
+
+@pytest.fixture(scope="module")
+def oracle_sqls():
+    import __ray_entry__
+
+    return __ray_entry__.oracle_sql()
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_small_family_differential(oracle_sqls, seed):
+    df = _random_corpus(seed)
+    seq = _sequences_batch(df)
+    con = duckdb.connect()
+    con.register("documents", df)
+    mismatches = []
+    for name, fn in _engine_fns().items():
+        eng = fn(seq).to_pandas()
+        ora = con.execute(oracle_sqls[name]).df()
+        cols = sorted(eng.columns)
+        assert cols == sorted(ora.columns), (name, eng.columns, ora.columns)
+        a = eng[cols].sort_values(cols).reset_index(drop=True)
+        b = ora[cols].sort_values(cols).reset_index(drop=True)
+        if len(a) != len(b):
+            mismatches.append(f"{name}: rows {len(a)} vs {len(b)}")
+            continue
+        for c in cols:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                if not np.array_equal(av.astype("d"), bv.astype("d")):
+                    mismatches.append(f"{name}: column {c} values differ")
+                    break
+            elif not (av == bv).all():
+                mismatches.append(f"{name}: column {c} values differ")
+                break
+    assert not mismatches, mismatches
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_small_family_slices_nonempty(oracle_sqls, seed):
+    """The guards must not drop everything — a silently-empty slice would
+    make the differential (and the driver gate) vacuously green."""
+    df = _random_corpus(seed)
+    seq = _sequences_batch(df)
+    fns = _engine_fns()
+    for name in ("mp_profiles_small", "mp_stomp_small", "snippets_small",
+                 "regimes_small", "pick_mp_small"):
+        assert len(fns[name](seq)) > 0, name
