@@ -24,7 +24,10 @@ WITH seq AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          source,
          text,
-         list_transform(split(text, ''), x -> ascii(x)) AS toks
+         -- nullif: DuckDB split('', '') yields [''] and ascii('') = 0,
+         -- which would invent a phantom token for empty docs; NULL makes
+         -- unnest emit zero rows, matching the engine's zero-token docs
+         list_transform(split(nullif(text, ''), ''), x -> ascii(x)) AS toks
   FROM documents
 ), ex AS (
   SELECT doc_id, source,
@@ -1927,12 +1930,23 @@ SELECT source,
 FROM ex GROUP BY source
 """,
         "per_source_stats": _SEQ_CTE + """
-SELECT source,
-       count(DISTINCT doc_id) AS n_docs,
-       count(*) AS n_tokens,
-       CAST(sum(tok) AS BIGINT) AS tok_sum,
-       CAST(min(tok) AS DOUBLE) AS tok_min,
-       CAST(max(tok) AS DOUBLE) AS tok_max
-FROM ex GROUP BY source
+, tok_stats AS (
+  SELECT source,
+         count(*) AS n_tokens,
+         CAST(sum(tok) AS BIGINT) AS tok_sum,
+         CAST(min(tok) AS DOUBLE) AS tok_min,
+         CAST(max(tok) AS DOUBLE) AS tok_max
+  FROM ex GROUP BY source)
+-- n_docs counts EVERY document of the source (the engine combiner emits
+-- one partial per doc, empty or not); token stats come from ex, which
+-- zero-token docs contribute no rows to
+SELECT seq.source,
+       count(*) AS n_docs,
+       coalesce(any_value(t.n_tokens), 0) AS n_tokens,
+       coalesce(any_value(t.tok_sum), 0) AS tok_sum,
+       coalesce(any_value(t.tok_min), CAST('infinity' AS DOUBLE)) AS tok_min,
+       coalesce(any_value(t.tok_max), CAST('-infinity' AS DOUBLE)) AS tok_max
+FROM seq LEFT JOIN tok_stats t USING (source)
+GROUP BY seq.source
 """,
     }

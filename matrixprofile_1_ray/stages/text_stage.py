@@ -23,8 +23,15 @@ def sequences_meta_batch(batch: pa.Table) -> pa.Table:
     Exact-integer arithmetic -> bitwise-stable against the DuckDB oracle."""
     values, offsets = list_column_to_numpy(batch["tokens"])
     lengths = np.diff(offsets)
-    first = np.where(lengths > 0, values[np.minimum(offsets[:-1], len(values) - 1)], -1)
-    last = np.where(lengths > 0, values[np.maximum(offsets[1:] - 1, 0)], -1)
+    if values.size:
+        first = np.where(lengths > 0,
+                         values[np.minimum(offsets[:-1], values.size - 1)], -1)
+        last = np.where(lengths > 0, values[np.maximum(offsets[1:] - 1, 0)], -1)
+    else:
+        # a block of only zero-token docs: any fancy-index into the empty
+        # values array would raise, even with clamped indices
+        first = np.full(len(lengths), -1, dtype=np.int64)
+        last = first
     return pa.table({
         "doc_id": batch["doc_id"],
         "source": batch["source"],

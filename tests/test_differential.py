@@ -145,6 +145,75 @@ def test_small_family_differential(oracle_sqls, seed):
     assert not mismatches, mismatches
 
 
+TEXT_FAMILY = ["langid", "quality", "word_counts", "fingerprints", "simhash",
+               "dedup_exact", "dedup_minhash_lsh", "dedup_groups",
+               "doc_stats", "ngram_top50", "per_source_stats",
+               "per_source_distinct_tokens", "per_source_token_quantiles",
+               "sequences_meta", "rollup_1m", "moving_stats_w8"]
+
+
+def _edge_corpus() -> pd.DataFrame:
+    """Degenerate docs the fixed testdata never contains: empty text (a
+    DuckDB split('','') -> [''] phantom-token trap and an engine
+    empty-values fancy-index trap), single chars, whitespace-only,
+    punctuation runs, exact repeats."""
+    rng = np.random.default_rng(5)
+    texts = ["", "a", " ", "   ", ".", "!!!", "the the the", "aaaaaaaaaa",
+             "The quick brown fox jumps over the lazy dog",
+             "le la les et un une des il elle",
+             "der die das und ist nicht ein eine",
+             "\t\n x", '"quoted, text"', "semi;colon"]
+    texts += ["".join(rng.choice(_ALPHABET, int(n)))
+              for n in rng.integers(0, 200, 12)]
+    return pd.DataFrame({
+        "doc_id": [f"e{i:02d}" for i in range(len(texts))],
+        "source": [f"s{i % 3}" for i in range(len(texts))],
+        "text": texts,
+    })
+
+
+def test_text_family_differential_on_edge_corpus(ray_session, oracle_sqls,
+                                                 tmp_path):
+    """The text/dedup/rollup oracle family must stay exact on degenerate
+    docs — zero-token docs crashed sequences_meta (empty-array
+    fancy-index) and made the oracle invent a phantom token 0 until
+    _SEQ_CTE gained nullif(text, '')."""
+    import __ray_entry__
+
+    df = _edge_corpus()
+    sf = tmp_path / "edge_sf"
+    sf.mkdir()
+    df.to_parquet(sf / "documents.parquet", index=False)
+    con = duckdb.connect()
+    con.register("documents", df)
+    qs = __ray_entry__.queries()
+    mismatches = []
+    for name in TEXT_FAMILY:
+        eng = qs[name](str(sf))
+        eng = (eng.to_pandas() if hasattr(eng, "to_pandas")
+               else eng).reset_index(drop=True)
+        ora = con.execute(oracle_sqls[name]).df()
+        cols = sorted(eng.columns)
+        assert cols == sorted(ora.columns), (name, eng.columns, ora.columns)
+        a = eng[cols].sort_values(cols).reset_index(drop=True)
+        b = ora[cols].sort_values(cols).reset_index(drop=True)
+        if len(a) != len(b):
+            mismatches.append(f"{name}: rows {len(a)} vs {len(b)}")
+            continue
+        for c in cols:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                if not np.array_equal(av.astype("d"), bv.astype("d"),
+                                      equal_nan=True):
+                    mismatches.append(f"{name}: column {c} differs")
+                    break
+            elif not (pd.Series(av).fillna("<N>")
+                      == pd.Series(bv).fillna("<N>")).all():
+                mismatches.append(f"{name}: column {c} differs")
+                break
+    assert not mismatches, mismatches
+
+
 @pytest.mark.parametrize("seed", SEEDS)
 def test_small_family_slices_nonempty(oracle_sqls, seed):
     """The guards must not drop everything — a silently-empty slice would
