@@ -300,6 +300,17 @@ def dedup_groups(pairs_ds, driver_threshold: int = 1_000_000):
     if n_pairs <= driver_threshold:
         import pandas as pd_
 
+        if n_pairs == 0:
+            # Ray's to_pandas on an all-empty dataset drops the columns,
+            # so a dup-free corpus would KeyError on df["doc_a"] below;
+            # short-circuit with a Dataset whose SCHEMA is the contract
+            # (to_pandas on any empty Dataset is column-less in Ray 2.49)
+            import ray.data
+
+            return ray.data.from_arrow(pa.table({
+                "doc_id": pa.array([], pa.string()),
+                "component": pa.array([], pa.string()),
+            }))
         df = pairs_ds.to_pandas()
         parent: dict = {}
 

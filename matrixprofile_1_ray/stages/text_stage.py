@@ -302,15 +302,28 @@ def ngram_top_k(ds, n: int = 3, k: int = 50):
         if values.size < n:
             return pa.table({"gram": pa.array([], pa.string()),
                              "partial": pa.array([], pa.int64())})
-        grams = np.ascontiguousarray(
-            sliding_window_view(values.astype(np.uint8), n)).view(f"S{n}").ravel()
-        keep = np.zeros(grams.shape[0], dtype=bool)
+        keep = np.zeros(values.size - n + 1, dtype=bool)
         for i in range(len(lengths)):
             if lengths[i] >= n:
                 keep[offsets[i] : offsets[i] + lengths[i] - n + 1] = True
-        uniq, counts = np.unique(grams[keep], return_counts=True)
+        if 0 < values.min() and values.max() < 128:
+            # ASCII fast path: n-gram = n raw bytes, unique on fixed-width
+            # bytestrings (no 0x00 so the S-dtype trailing-null strip
+            # cannot bite)
+            grams = np.ascontiguousarray(
+                sliding_window_view(values.astype(np.uint8), n)
+            ).view(f"S{n}").ravel()
+            uniq, counts = np.unique(grams[keep], return_counts=True)
+            gram_strs = [g.decode("ascii") for g in uniq]
+        else:
+            # general codepoint path: a uint8 view would truncate
+            # codepoints >= 256 (wrong grams) and emit bytes that are not
+            # valid UTF-8 (decode crash); unique whole codepoint rows
+            wins = sliding_window_view(values, n)[keep]
+            uniq_rows, counts = np.unique(wins, axis=0, return_counts=True)
+            gram_strs = ["".join(map(chr, row)) for row in uniq_rows]
         return pa.table({
-            "gram": pa.array([g.decode() for g in uniq], pa.string()),
+            "gram": pa.array(gram_strs, pa.string()),
             "partial": pa.array(counts.astype(np.int64), pa.int64()),
         })
 

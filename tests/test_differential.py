@@ -162,7 +162,11 @@ def _edge_corpus() -> pd.DataFrame:
              "The quick brown fox jumps over the lazy dog",
              "le la les et un une des il elle",
              "der die das und ist nicht ein eine",
-             "\t\n x", '"quoted, text"', "semi;colon"]
+             "\t\n x", '"quoted, text"', "semi;colon",
+             # non-ASCII: DuckDB ascii()/split('') are codepoint-based like
+             # ord(); a uint8 n-gram view truncates these (caught a bug)
+             "héllo wörld", "日本語のテキストです", "emoji 🎉🎊 mix",
+             "Ελληνικά και русский", "café né à Zürich", "ü" * 40]
     texts += ["".join(rng.choice(_ALPHABET, int(n)))
               for n in rng.integers(0, 200, 12)]
     return pd.DataFrame({
@@ -212,6 +216,35 @@ def test_text_family_differential_on_edge_corpus(ray_session, oracle_sqls,
                 mismatches.append(f"{name}: column {c} differs")
                 break
     assert not mismatches, mismatches
+
+
+def test_dedup_groups_on_dup_free_corpus(ray_session):
+    """Zero candidate pairs must yield a schema-stable empty grouping, not
+    a KeyError: Ray's to_pandas drops columns on an all-empty dataset."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.dedup import (
+        dedup_groups,
+        minhash_candidates,
+    )
+
+    rng = np.random.default_rng(8)
+    docs = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(6)],
+        "text": ["".join(rng.choice(_ALPHABET, 80)) for _ in range(6)],
+        "source": ["s"] * 6,
+    })
+    from matrixprofile_1_ray.sources.sequences import tokenize_documents_batch
+
+    seq = ray.data.from_pandas(docs).map_batches(tokenize_documents_batch,
+                                                 batch_format="pyarrow")
+    cands = minhash_candidates(seq)
+    assert cands.count() == 0
+    out = dedup_groups(cands)
+    # Dataset schema is the contract: to_pandas on ANY all-empty Dataset
+    # is column-less in Ray 2.49, so assert on the schema + row count
+    assert out.schema().names == ["doc_id", "component"]
+    assert out.count() == 0
 
 
 @pytest.mark.parametrize("seed", SEEDS)
