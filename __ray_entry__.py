@@ -486,6 +486,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         pairs = mpdist_small_query(sf_dir).to_pandas()
+        if pairs.empty:
+            # <2 docs in the slice -> no pairs (and a column-less frame:
+            # Ray 2.49 to_pandas on empty); the SQL oracle is empty too
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
+                                 "cluster": pd.Series([], dtype=object)})
         ids = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
         pos = {d: k for k, d in enumerate(ids)}
         m = len(ids)

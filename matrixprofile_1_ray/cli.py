@@ -113,7 +113,9 @@ def cmd_dedup(args):
         "candidates": cand.count(),
         "verified_pairs": verified.count(),
         "grouped_docs": len(out),
-        "components": int(out["component"].nunique()),
+        # empty Dataset -> column-less to_pandas (Ray 2.49); dup-free
+        # corpora must not crash the summary
+        "components": int(out["component"].nunique()) if len(out) else 0,
         "path": args.output,
     }))
 

@@ -119,6 +119,10 @@ def pairwise_dist_distributed(sequences: pa.Table, w: int,
     index = {d: i for i, d in enumerate(ids)}
     m = len(ids)
     dm = np.empty((m * (m - 1)) // 2, dtype="d")
+    if m < 2:
+        # no pairs: the empty Dataset's to_pandas is column-less (Ray
+        # 2.49), so indexing doc_a below would KeyError
+        return dm
     out = mpdist_pairs(sequences, w, threshold=threshold).to_pandas()
     i = out["doc_a"].map(index).to_numpy(dtype=np.int64)
     j = out["doc_b"].map(index).to_numpy(dtype=np.int64)
