@@ -211,6 +211,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup_groups(
             minhash_candidates(sequences_pipeline(sf_dir, verify_codec=False)))
 
+    def jaccard_verified_query(sf_dir: str):
+        """LSH candidates -> exact n-gram Jaccard >= 0.8, the full verify
+        path (stages/dedup.verify_jaccard_bucketed: candidate-id broadcast,
+        shingle sets of candidate docs only, two keyed shuffles).  The
+        jaccard value is an exact integer ratio, so the DuckDB oracle's
+        division is bitwise-identical — no rounding needed."""
+        from matrixprofile_1_ray.stages.dedup import (
+            minhash_candidates,
+            verify_jaccard_bucketed,
+        )
+
+        seqs = sequences_pipeline(sf_dir, verify_codec=False)
+        return verify_jaccard_bucketed(minhash_candidates(seqs), seqs,
+                                       k=5, threshold=0.8)
+
+    def embedding_near_dup_query(sf_dir: str):
+        """Embedding-cosine near-dup over the embeddings table with
+        deterministically planted near-dups (each vector re-appears as
+        vec_id+100000 scaled by exactly 2 — a power-of-two scale is exact
+        in IEEE, so the copy's hyperplane signs match the original's
+        bitwise and LSH recall on the planted pairs is provably 1.0; the
+        organic background tops out at cosine ~0.51, giving a >=0.05
+        margin to the 0.95 threshold on both engines).  Exercises the real
+        LSH-bucketed stage (stages/dedup.embedding_near_dup), not a
+        brute-force stand-in."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from matrixprofile_1_ray.functions.tokenize import list_column_to_numpy
+        from matrixprofile_1_ray.stages.dedup import embedding_near_dup
+
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+
+        def plant(batch: pa.Table) -> pa.Table:
+            values, offsets = list_column_to_numpy(batch["embedding"])
+            scaled = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(values * np.float32(2), pa.float32()))
+            aug = pa.table({
+                "vec_id": pc.add(batch["vec_id"], pa.scalar(100000)),
+                "embedding": scaled,
+            })
+            return pa.concat_tables(
+                [batch.select(["vec_id", "embedding"]), aug])
+
+        pairs = embedding_near_dup(ds.map_batches(plant,
+                                                  batch_format="pyarrow"),
+                                   threshold=0.95)
+
+        def normalize(df: pd.DataFrame) -> pd.DataFrame:
+            a = df[["vec_a", "vec_b"]].min(axis=1)
+            b = df[["vec_a", "vec_b"]].max(axis=1)
+            return pd.DataFrame({"vec_a": a.astype(np.int64),
+                                 "vec_b": b.astype(np.int64),
+                                 "cosine": df["cosine"].round(4)})
+
+        return pairs.map_batches(normalize, batch_format="pandas")
+
     def events_rollup(sf_dir: str):
         import pandas as pd
         import ray.data
@@ -794,6 +855,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": seq_stage(simhash_batch),
         "dedup_minhash_lsh": minhash_query,
         "dedup_groups": dedup_groups_query,
+        "dedup_jaccard_verified": jaccard_verified_query,
+        "embedding_near_dup": embedding_near_dup_query,
         "ann_topk": ann_query,
         "ann_ivf_topk": ann_ivf_query,
         # chunked scale path (oracle-checked: must equal the plain rollup)
@@ -1679,6 +1742,61 @@ FROM reach GROUP BY node
 """)
 
 
+def _jaccard_verified_sql() -> str:
+    """Exact n-gram Jaccard over the LSH candidate pairs: distinct shingle
+    hashes per doc (same Mersenne-31 polynomial as the engine), pairwise
+    intersection via an equi-join, |A or B| = |A| + |B| - |A and B|.  Both
+    engines divide the same exact integers, so the double is bitwise
+    identical and the >= 0.8 cut decides identically.  Docs below the
+    shingle length (|A| = |B| = 0) take the engine's jaccard([],[]) = 1.0
+    convention."""
+    return "WITH " + _minhash_pairs_cte() + """
+, shd AS (SELECT DISTINCT doc_id, h FROM sh)
+, card AS (
+  SELECT s.doc_id, count(shd.h) AS c
+  FROM (SELECT doc_id FROM seq) s LEFT JOIN shd USING (doc_id)
+  GROUP BY s.doc_id)
+, inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p
+  JOIN shd a ON a.doc_id = p.doc_a
+  JOIN shd b ON b.doc_id = p.doc_b AND b.h = a.h
+  GROUP BY p.doc_a, p.doc_b)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT p.doc_a, p.doc_b,
+         CASE WHEN ca.c + cb.c = 0 THEN 1.0
+              ELSE CAST(coalesce(i.i, 0) AS DOUBLE)
+                   / (ca.c + cb.c - coalesce(i.i, 0)) END AS jaccard
+  FROM pairs p
+  JOIN card ca ON ca.doc_id = p.doc_a
+  JOIN card cb ON cb.doc_id = p.doc_b
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b)
+WHERE jaccard >= 0.8
+"""
+
+
+def _embedding_near_dup_sql() -> str:
+    """Brute-force cosine near-dup over the planted-dup embeddings table
+    (original vectors plus exact x2 copies at vec_id+100000).  Planted
+    pairs sit at cosine ~1.0 and the organic background below ~0.52, so
+    the 0.95 cut and the 4-decimal rounding agree across engines with a
+    >= 0.05 margin (pinned by a test)."""
+    return """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS emb
+  FROM embeddings
+), aug AS (
+  SELECT vec_id, emb FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(emb, e -> e * 2) FROM base
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95
+"""
+
+
 def _media_features_sql() -> str:
     """SQL recomputation of the deterministic fake decode
     (stages/multimodal.DecodeStub): feature d = first 32 bits of
@@ -1844,6 +1962,8 @@ GROUP BY a.doc_id, a.bucket, a.mp_min, a.mp_count
         "ab_join_small": _ab_small_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_groups": _dedup_groups_sql(),
+        "dedup_jaccard_verified": _jaccard_verified_sql(),
+        "embedding_near_dup": _embedding_near_dup_sql(),
         "media_features": _media_features_sql(),
         "order_lines_by_status": """
 SELECT o.o_orderstatus,

@@ -346,3 +346,69 @@ def test_flagship_rollup_single_pass(ray_session, tmp_path):
     with pytest.raises(ValueError, match="refusing"):
         flagship_rollup(SF, tiers={"1m": 60}, out_dir=str(alien))
     assert (alien / "precious.txt").read_text() == "keep me"
+
+
+def _oracle_con(sf):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    return con
+
+
+def _hash_compare(engine_df, oracle_df):
+    assert sorted(engine_df.columns) == sorted(oracle_df.columns)
+    cols = sorted(engine_df.columns)
+    a = engine_df[cols].sort_values(cols).reset_index(drop=True)
+    b = oracle_df[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b), (len(a), len(b))
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            np.testing.assert_array_equal(av.astype("d"), bv.astype("d"),
+                                          err_msg=c)
+        else:
+            assert (av == bv).all(), c
+
+
+def test_jaccard_verified_oracle_parity(ray_session):
+    """verify_jaccard_bucketed (candidate broadcast + two keyed shuffles)
+    hash-matches the DuckDB exact-Jaccard recomputation; the jaccard value
+    is an exact integer ratio so no rounding is involved."""
+    import __ray_entry__ as m
+
+    out = _df(m.queries()["dedup_jaccard_verified"](SF))
+    assert len(out) > 0  # non-hollow at test scale
+    ora = _oracle_con(SF).execute(
+        m.oracle_sql()["dedup_jaccard_verified"]).df()
+    _hash_compare(out, ora)
+
+
+def test_embedding_near_dup_oracle_parity_and_margins(ray_session):
+    """The planted x2 copies are found with provably exact LSH recall
+    (power-of-two scaling preserves hyperplane signs bitwise); output
+    hash-matches brute-force SQL, every planted pair is present, and the
+    decision margins around the 0.95 cut are wide on both sides."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as m
+
+    out = _df(m.queries()["embedding_near_dup"](SF))
+    n_vec = pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    assert len(out) == n_vec  # exactly the planted pairs, nothing organic
+    assert (out.vec_b - out.vec_a == 100000).all()
+    assert (out.cosine == 1.0).all()
+    ora = _oracle_con(SF).execute(m.oracle_sql()["embedding_near_dup"]).df()
+    _hash_compare(out, ora)
+    # margin guard: organic background far below the cut, planted far above
+    emb = np.asarray(
+        pq.read_table(f"{SF}/embeddings.parquet")["embedding"].to_pylist(),
+        dtype="d")
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    u = emb / norms
+    sims = u @ u.T
+    background = sims[np.triu_indices(len(u), 1)]
+    assert background.max() < 0.90  # >= 0.05 below the 0.95 threshold
