@@ -38,6 +38,33 @@ WITH seq AS (
 """
 
 
+def _list_col_min(col):
+    """Per-row min of an Arrow list column without any per-row ``.as_py()``:
+    flat values + ``np.minimum.reduceat`` over the nonempty rows' offsets.
+    Returns ``(mins, nonempty_mask)``; ``mins`` is NaN where the row is
+    empty (callers mask those to null)."""
+    from matrixprofile_1_ray.functions.tokenize import list_column_to_numpy
+
+    values, offsets = list_column_to_numpy(col)
+    nz = np.diff(offsets) > 0
+    mins = np.full(len(nz), np.nan)
+    if nz.any():
+        mins[nz] = np.minimum.reduceat(values.astype("d"), offsets[:-1][nz])
+    return mins, nz
+
+
+def _query_head_embeddings(sf_dir: str, n: int) -> np.ndarray:
+    """First ``n`` query vectors without materializing the embeddings
+    table on the driver: stream only the ``embedding`` column and stop at
+    the first batch (the gate files are written vec_id-ordered)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    head = next(pf.iter_batches(batch_size=n, columns=["embedding"]))
+    return np.stack([np.asarray(v, dtype="d")
+                     for v in head["embedding"].to_pylist()])
+
+
 def _rollup_sql(tier: str, bucket: int) -> str:
     return _SEQ_CTE + f"""
 SELECT doc_id, source, '{tier}' AS tier, idx // {bucket} AS bucket,
@@ -109,21 +136,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def profiles_scalar(sf_dir: str):
         import pyarrow.compute as pc
 
-        from matrixprofile_1_ray.functions.tokenize import list_column_to_numpy
-
         ds = profiles_pipeline(sf_dir, w=32)
 
         def scalars(batch):
             import pyarrow as pa
 
-            # flat values + reduceat over the nonempty rows' offsets — no
-            # per-row .as_py() (rows with empty profiles come out null)
-            values, offsets = list_column_to_numpy(batch["mp"])
-            nz = np.diff(offsets) > 0
-            mins = np.full(len(batch), np.nan)
-            if nz.any():
-                mins[nz] = np.minimum.reduceat(values.astype("d"),
-                                               offsets[:-1][nz])
+            # rows with empty profiles come out null (shared reduceat min)
+            mins, nz = _list_col_min(batch["mp"])
             return pa.table({
                 "doc_id": batch["doc_id"],
                 "w": batch["w"],
@@ -135,11 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(scalars, batch_format="pyarrow")
 
     def ann_query(sf_dir: str):
-        import pyarrow.parquet as pq
-
-        head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 8)
-        queries_mat = np.stack([np.asarray(v, dtype="d")
-                                for v in head["embedding"].to_pylist()])
+        queries_mat = _query_head_embeddings(sf_dir, 8)
         import ray.data
 
         ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -151,12 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ann_ivf_query(sf_dir: str):
         import hashlib
 
-        import pyarrow.parquet as pq
         import ray.data
 
-        head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 4)
-        queries_mat = np.stack([np.asarray(v, dtype="d")
-                                for v in head["embedding"].to_pylist()])
+        queries_mat = _query_head_embeddings(sf_dir, 4)
         ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                    columns=["vec_id", "embedding"])
         # persisted index with a recorded input fingerprint (path + size +
@@ -181,12 +193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import hashlib
         import os as _os
 
-        import pyarrow.parquet as pq
         import ray.data
 
-        head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 4)
-        queries_mat = np.stack([np.asarray(v, dtype="d")
-                                for v in head["embedding"].to_pylist()])
+        queries_mat = _query_head_embeddings(sf_dir, 4)
         ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                    columns=["vec_id", "embedding"])
         st = _os.stat(f"{sf_dir}/embeddings.parquet")
@@ -350,16 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
 
         def scalars(batch):
-            from matrixprofile_1_ray.functions.tokenize import (
-                list_column_to_numpy,
-            )
-
-            values, offsets = list_column_to_numpy(batch["cmp"])
-            nz = np.diff(offsets) > 0
-            mins = np.full(len(batch), np.nan)
-            if nz.any():
-                mins[nz] = np.minimum.reduceat(values.astype("d"),
-                                               offsets[:-1][nz])
+            mins, nz = _list_col_min(batch["cmp"])
             return pa.table({
                 "doc_id": batch["doc_id"],
                 "av_type": batch["av_type"],
@@ -1919,16 +1919,10 @@ ASOF LEFT JOIN events p
         "regimes_small": _regimes_small_sql(),
         "snippets_small": _snippets_small_sql(),
         "motifs_small": _motifs_small_sql(),
-        "corpus_discords_small": _mp_small_rows_cte() + """
-, r AS (
-  SELECT doc_id, idx, mp,
-         row_number() OVER (PARTITION BY doc_id
-                            ORDER BY mp DESC, idx ASC) AS rn
-  FROM mp_rows)
-SELECT doc_id, idx AS discord_idx, mp AS discord_dist
-FROM r WHERE rn = 1
-ORDER BY discord_dist DESC, doc_id ASC LIMIT 10
-""",
+        # the per-doc discord rule is shared with mp_discords_small — only
+        # the corpus-level ordering/limit differs
+        "corpus_discords_small": _mp_discords_small_sql()
+        + "ORDER BY discord_dist DESC, doc_id ASC LIMIT 10\n",
         "ann_ivf_full_probe": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe

@@ -107,6 +107,16 @@ def cmd_dedup(args):
     verified = verify_jaccard_bucketed(
         cand, ds, threshold=args.threshold).materialize()
     groups = dedup_groups(verified).materialize()
+    # write_parquet APPENDS uniquely-named files: a re-run into the same
+    # output dir would double every (doc_id, component) row for downstream
+    # readers — rebuild from clean iff the target is a prior parquet-only
+    # output of ours, refuse anything else
+    from .io.fsutil import guarded_clean_dir
+
+    guarded_clean_dir(
+        args.output,
+        lambda names: all(n.endswith(".parquet") for n in names),
+        "a dedup groups output (only *.parquet files expected)")
     groups.write_parquet(args.output)
     out = groups.to_pandas()
     print(json.dumps({

@@ -20,8 +20,14 @@ def guarded_clean_dir(path: str, is_ours: Callable[[list[str]], bool],
     """Delete ``path`` (file tree) iff it does not exist, is empty, or
     ``is_ours(basenames)`` accepts its top-level entries; raise
     ``ValueError`` otherwise.  ``what`` names the layout in the error."""
+    import os
+
     from pyarrow import fs as pafs
 
+    # from_uri rejects relative local paths ("URI has empty scheme");
+    # anything without a scheme is a local path — absolutize it first
+    if "://" not in path:
+        path = os.path.abspath(path)
     filesystem, rel = pafs.FileSystem.from_uri(path)
     info = filesystem.get_file_info(rel)
     if info.type == pafs.FileType.NotFound:

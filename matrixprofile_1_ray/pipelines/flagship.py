@@ -101,6 +101,37 @@ def _select_kind(ds, kind: str, cols):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# write_parquet(partition_cols=...) creates a kind=<k> directory only when
+# that kind produced rows; a corpus whose docs are all shorter than the
+# profile window yields no mp rollups, so the pruned read must fall back
+# to an empty (typed) dataset rather than FileNotFoundError.
+_ROLLUP_TYPES = {"doc_id": "string", "source": "string", "w": "int32",
+                 "tier": "string", "bucket": "int64", "t_min": "double",
+                 "t_max": "double", "t_sum": "double", "t_count": "int64",
+                 "t_mean": "double", "mp_min": "double", "mp_mean": "double",
+                 "mp_count": "int64", "mp_argmin": "int64"}
+
+
+def _read_kind_dir(out_dir: str, kind: str, cols):
+    import os
+
+    import pyarrow as pa
+    import ray.data
+    from pyarrow import fs as pafs
+
+    sub = f"{out_dir}/kind={kind}"
+    probe = sub if "://" in sub else os.path.abspath(sub)
+    filesystem, rel = pafs.FileSystem.from_uri(probe)
+    if filesystem.get_file_info(rel).type == pafs.FileType.NotFound:
+        empty = pa.table(
+            {c: pa.array([], type=_ROLLUP_TYPES[c]) for c in cols})
+        return ray.data.from_arrow(empty)
+    reorder = lambda b: b.select(  # noqa: E731 — hive read loses order
+        [c for c in cols if c in b.column_names])
+    return ray.data.read_parquet(sub).map_batches(reorder,
+                                                  batch_format="pyarrow")
+
+
 def flagship_rollup(sf_dir: str, w: int = 32, tiers=None, out_dir=None,
                     **seq_kwargs):
     """The end-to-end rollup in ONE corpus pass (``flagship_batch`` fuses
@@ -131,14 +162,9 @@ def flagship_rollup(sf_dir: str, w: int = 32, tiers=None, out_dir=None,
             out_dir, lambda names: all(n.startswith("kind=") for n in names),
             "a flagship rollup layout (only kind=* partitions expected)")
         unified.write_parquet(out_dir, partition_cols=["kind", "tier"])
-        token = ray.data.read_parquet(f"{out_dir}/kind=token")
-        mp = ray.data.read_parquet(f"{out_dir}/kind=mp")
-        reorder_t = lambda b: b.select(  # noqa: E731 — hive read loses order
-            [c for c in TOKEN_ROLLUP_COLS if c in b.column_names])
-        reorder_m = lambda b: b.select(  # noqa: E731
-            [c for c in MP_ROLLUP_COLS if c in b.column_names])
-        return (token.map_batches(reorder_t, batch_format="pyarrow"),
-                mp.map_batches(reorder_m, batch_format="pyarrow"))
+        token = _read_kind_dir(out_dir, "token", TOKEN_ROLLUP_COLS)
+        mp = _read_kind_dir(out_dir, "mp", MP_ROLLUP_COLS)
+        return token, mp
     unified = unified.materialize()
     return (_select_kind(unified, "token", TOKEN_ROLLUP_COLS),
             _select_kind(unified, "mp", MP_ROLLUP_COLS))
