@@ -38,6 +38,22 @@ def cmd_rollup(args):
     _init_ray(args.num_cpus)
 
     files = sorted(f for f in os.listdir(args.input) if f.endswith(".parquet"))
+    if not files:
+        raise SystemExit(f"no .parquet files under {args.input}")
+    # fail fast with a readable error instead of a KeyError deep inside a
+    # Ray task: the job's input contract is PRE-TOKENIZED sequences
+    # (doc_id, tokens, n_tok, source) — e.g. `synth` output — not a raw
+    # documents table
+    import pyarrow.parquet as _pq
+
+    got = set(_pq.read_schema(os.path.join(args.input, files[0])).names)
+    missing = {"doc_id", "tokens", "source"} - got
+    if missing:
+        raise SystemExit(
+            f"{args.input}/{files[0]} is missing column(s) {sorted(missing)}: "
+            f"the rollup job expects pre-tokenized sequence files "
+            f"(doc_id, tokens:list<int32>, n_tok, source) — generate them "
+            f"with the `synth` subcommand or tokenize documents first")
     # group files into coarse partitions: resume granularity trades against
     # per-partition fixed cost (each partition is one Dataset execution) —
     # and each partition must span enough blocks to feed every core

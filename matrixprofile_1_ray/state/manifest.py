@@ -45,7 +45,8 @@ class LineageManifest:
                 and entry["version"] == __version__
                 and os.path.exists(os.path.join(self.out_dir, key)))
 
-    def record(self, key: str, fingerprint: str, rows: int, nbytes: int):
+    def record(self, key: str, fingerprint: str, rows: int, nbytes: int,
+               wall_s: float | None = None):
         entry = {
             "key": key,
             "fingerprint": fingerprint,
@@ -54,6 +55,10 @@ class LineageManifest:
             "bytes": int(nbytes),
             "completed_at": time.time(),
         }
+        if wall_s is not None:
+            # per-partition throughput metric: rows/bytes + wall seconds
+            # lets an operator spot straggler partitions from the manifest
+            entry["wall_s"] = round(float(wall_s), 3)
         with open(self.path, "a") as fh:
             fh.write(json.dumps(entry) + "\n")
 
@@ -99,6 +104,7 @@ def run_partitioned(out_dir: str, partitions: dict[str, str], make_dataset,
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(final, ignore_errors=True)
 
+        t0 = time.monotonic()
         ds = make_dataset(key)
         ds.write_parquet(tmp)
         rows = sum(
@@ -107,7 +113,8 @@ def run_partitioned(out_dir: str, partitions: dict[str, str], make_dataset,
             for f in os.listdir(tmp) if f.endswith(".parquet"))
         os.replace(tmp, final)
         with lock:
-            manifest.record(key, fingerprint, rows, _dir_size(final))
+            manifest.record(key, fingerprint, rows, _dir_size(final),
+                            wall_s=time.monotonic() - t0)
             status[key] = "done"
         if progress:
             progress(key)

@@ -157,6 +157,24 @@ def test_cli_rollup_resume(ray_session, tmp_path):
     cols = set(table.column_names)
     assert {"tier", "bucket", "t_min", "mp_min"} <= cols
 
+    # manifest entries carry per-partition metrics (rows/bytes/wall_s)
+    with open(os.path.join(out_dir, "_manifest.jsonl")) as fh:
+        entries = [json.loads(line) for line in fh]
+    assert all(e["rows"] > 0 and e["bytes"] > 0 and e["wall_s"] > 0
+               for e in entries)
+
+    # wrong-schema input (not pre-tokenized sequences) fails fast with a
+    # readable error, not a KeyError deep inside a Ray task
+    bad_dir = str(tmp_path / "bad")
+    os.makedirs(bad_dir)
+    import pyarrow as pa
+
+    pq.write_table(pa.table({"c_custkey": [1]}),
+                   os.path.join(bad_dir, "customer.parquet"))
+    with pytest.raises(SystemExit, match="pre-tokenized"):
+        main(["rollup", "--input", bad_dir, "--output",
+              str(tmp_path / "bad_out"), "--num-cpus", "4"])
+
 
 def test_cli_dedup_and_ann(ray_session, tmp_path, capsys):
     """End-to-end CLI jobs: near-dup (LSH -> verify -> groups) and the
