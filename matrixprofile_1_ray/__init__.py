@@ -28,3 +28,4 @@ owned by the caller (driver, bench.py, or the pytest fixture).
 __version__ = "0.1.0"
 
 from .api import analyze, compute  # noqa: E402  (reference-shaped entry points)
+from .visualize import is_visualizable, visualize  # noqa: E402

@@ -40,21 +40,50 @@ def from_json(payload: str) -> dict:
     return _decode(json.loads(payload))
 
 
+SUPPORTED_EXTS = {"json", "mpf"}
+
+
+def infer_file_format(file_path: str) -> str:
+    """reference io/__io.py:153-174 — last dot-suffix, lowercased; raises
+    on anything outside the supported set."""
+    extension = file_path.split(".")[-1].lower()
+    if extension not in SUPPORTED_EXTS:
+        raise RuntimeError(
+            f"Unsupported file type with extension {extension}")
+    return extension
+
+
 def to_disk(profile: dict, file_path: str, fmt: str = "json"):
-    """Extension inference like the reference: '.json' appended when
-    missing (parquet-backed formats go through io/profiles.py)."""
-    if fmt != "json":
-        raise ValueError("only the json format is supported here; use "
-                         "io.profiles for the Parquet table format")
-    if not file_path.endswith(".json"):
-        file_path += ".json"
+    """Write json (text) or mpf (binary protobuf archive, io/mpf.py);
+    the matching extension is appended when missing — reference
+    io/__io.py:177-213 (parquet-backed corpus formats go through
+    io/profiles.py)."""
+    if fmt not in SUPPORTED_EXTS:
+        raise ValueError(f"format must be one of {sorted(SUPPORTED_EXTS)}; "
+                         f"use io.profiles for the Parquet table format")
+    if not file_path.endswith(f".{fmt}"):
+        file_path += f".{fmt}"
+    if fmt == "mpf":
+        from .mpf import to_mpf
+
+        with open(file_path, "wb") as fh:
+            fh.write(to_mpf(profile))
+        return file_path
     with open(file_path, "w") as fh:
         fh.write(to_json(profile))
     return file_path
 
 
-def from_disk(file_path: str) -> dict:
+def from_disk(file_path: str, format: str = "infer") -> dict:
+    """Read a profile back; ``format='infer'`` dispatches on the extension
+    like the reference (io/__io.py:216-245)."""
     if not os.path.exists(file_path) and os.path.exists(file_path + ".json"):
         file_path += ".json"
+    fmt = infer_file_format(file_path) if format == "infer" else format
+    if fmt == "mpf":
+        from .mpf import from_mpf
+
+        with open(file_path, "rb") as fh:
+            return from_mpf(fh.read())
     with open(file_path) as fh:
         return from_json(fh.read())

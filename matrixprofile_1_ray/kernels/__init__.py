@@ -54,3 +54,19 @@ from .transform import (
     make_meanstd_av,
     make_clipping_av,
 )
+from .core_helpers import (
+    is_array_like,
+    is_similarity_join,
+    is_one_dimensional,
+    get_profile_length,
+    is_nan_inf,
+    is_not_nan_inf,
+    nan_inf_indices,
+    not_nan_inf_indices,
+    is_pearson_array,
+    is_stats_obj,
+    is_mp_obj,
+    is_pmp_obj,
+    is_mp_or_pmp_obj,
+    compute_dist,
+)

@@ -504,6 +504,26 @@ def render_svg_figures(profile, ts=None, width: int = 720,
     return figures
 
 
+def is_visualizable(obj) -> bool:
+    """reference visualize.py:43-59 — MP, PMP or Statistics structure."""
+    return (_is(obj, "MatrixProfile") or _is(obj, "PMP")
+            or _is(obj, "Statistics"))
+
+
+def visualize(profile) -> list:
+    """Drop-in analog of reference visualize.py:62-116: dispatch on the
+    profile structure and return the full list of figures (matrix profile,
+    discords, motifs, CAC, snippets, stats — whichever the structure
+    carries).  The reference returns matplotlib Figure objects; this
+    runtime has no matplotlib, so each figure is a standalone SVG document
+    string from the same panel compositions (``render`` yields actual
+    matplotlib figures when it is importable)."""
+    if not is_visualizable(profile):
+        raise ValueError("MatrixProfile, Pan-MatrixProfile or Statistics "
+                         "data structure expected!")
+    return list(render_svg_figures(profile).values())
+
+
 def render(profile):
     """matplotlib figures when available (never in this runtime — the data
     path above is the tested surface)."""

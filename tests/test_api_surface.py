@@ -54,6 +54,17 @@ def test_json_disk_extension_inference(tmp_path, sampledata):
     back = from_disk(str(tmp_path / "prof"))
     np.testing.assert_array_equal(back["mp"], profile["mp"])
 
+    # binary mpf via the same entry points (reference io/__io.py:177-245
+    # format dispatch), extension inferred on read
+    from matrixprofile_1_ray.io.json_io import infer_file_format
+
+    mpath = to_disk(profile, str(tmp_path / "prof_bin"), fmt="mpf")
+    assert mpath.endswith(".mpf") and infer_file_format(mpath) == "mpf"
+    mback = from_disk(mpath)
+    np.testing.assert_allclose(mback["mp"], profile["mp"], atol=1e-6)
+    with pytest.raises(RuntimeError):
+        infer_file_format("profile.csv")
+
 
 def test_catalog():
     out = fetch_available(SF)

@@ -60,3 +60,59 @@ def test_pearson_to_euclidean_vectors():
     with_inf[0, 0] = np.inf
     out = pearson_to_euclidean(with_inf, [4, 4])
     assert np.isinf(out[0, 0])
+
+
+def test_structural_predicates_and_indices():
+    """reference tests/test_core.py:238-262 nan/inf index vectors plus the
+    structure predicates the reference dispatches on."""
+    from matrixprofile_1_ray.kernels import (
+        compute_dist,
+        get_profile_length,
+        is_array_like,
+        is_mp_obj,
+        is_mp_or_pmp_obj,
+        is_nan_inf,
+        is_not_nan_inf,
+        is_one_dimensional,
+        is_pearson_array,
+        is_pmp_obj,
+        is_similarity_join,
+        is_stats_obj,
+        nan_inf_indices,
+        not_nan_inf_indices,
+    )
+
+    a = np.array([np.nan, 1.0, np.inf, 2.0])
+    np.testing.assert_array_equal(nan_inf_indices(a),
+                                  [True, False, True, False])
+    np.testing.assert_array_equal(not_nan_inf_indices(a),
+                                  [False, True, False, True])
+    assert is_nan_inf(np.nan) and is_nan_inf(np.inf)
+    assert is_not_nan_inf(1.5) and not is_not_nan_inf(np.nan)
+
+    assert is_array_like([1, 2]) and is_array_like((1,)) \
+        and is_array_like(np.arange(3))
+    assert not is_array_like("xy") and not is_array_like(3)
+    assert is_similarity_join([1.0], [2.0])
+    assert not is_similarity_join([1.0], None)
+    assert is_one_dimensional(np.arange(4))
+    assert not is_one_dimensional(np.ones((2, 2)))
+    assert get_profile_length(np.arange(10), np.arange(6), 4) == 7
+
+    assert is_pearson_array(np.array([0.0, 0.5, 1.0, np.nan]))
+    assert not is_pearson_array(np.array([0.2, 1.8]))
+
+    mp = {"class": "MatrixProfile"}
+    pmp = {"class": "PMP"}
+    stats = {"class": "Statistics"}
+    assert is_mp_obj(mp) and not is_mp_obj(pmp)
+    assert is_pmp_obj(pmp) and not is_pmp_obj(stats)
+    assert is_stats_obj(stats)
+    assert is_mp_or_pmp_obj(mp) and is_mp_or_pmp_obj(pmp) \
+        and not is_mp_or_pmp_obj(stats)
+    assert not is_mp_obj("MatrixProfile") and not is_mp_obj(None)
+
+    # compute_dist: the (k, a, b, w, threshold) pool-worker tuple shape
+    ts = np.sin(np.linspace(0, 8 * np.pi, 200))
+    k, d = compute_dist((3, ts, ts[25:150], 16, 0.05))
+    assert k == 3 and d >= 0

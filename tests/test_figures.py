@@ -91,3 +91,18 @@ def test_render_svg_figures(mp_profile, sampledata):
     assert "<circle" in svgs["discords_mp"]             # discord markers
     stats_svg = render_svg_figures(K.statistics(sampledata, 16))["stats"]
     assert stats_svg.count("<polyline") >= 5
+
+
+def test_visualize_dispatch(mp_profile):
+    """Drop-in visualize(): reference visualize.py:62-116 dispatch — list of
+    figures for MP/PMP/Statistics structures, ValueError otherwise."""
+    from matrixprofile_1_ray import is_visualizable, visualize
+
+    assert is_visualizable(mp_profile)
+    figs = visualize(mp_profile)
+    assert isinstance(figs, list) and len(figs) >= 1
+    assert all(f.lstrip().startswith("<svg") for f in figs)
+
+    with pytest.raises(ValueError):
+        visualize({"class": "Nope"})
+    assert not is_visualizable([1, 2, 3])
