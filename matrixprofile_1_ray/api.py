@@ -89,13 +89,48 @@ def analyze(ts, query=None, windows=None, sample_pct: float = 1.0,
         w = int(windows if isinstance(windows, int) else windows[0])
         profile = scrimp_plus_plus(ts, w, query=query, sample_pct=sample_pct)
 
+    return _discover_and_figures(profile)
+
+
+def _discover_and_figures(profile):
+    """Motifs + discords, then the figure list: figures[0] keeps the flat
+    plot_data arrays; the remaining entries are the reference's per-figure
+    panel compositions (visualize.figure_specs mirrors reference
+    visualize.py:62-116 dispatch), one dict per figure."""
     profile = top_k_motifs(profile)
     profile = top_k_discords(profile)
-    # figures[0] keeps the flat plot_data arrays; the remaining entries are
-    # the reference's per-figure panel compositions (visualize.figure_specs
-    # mirrors reference visualize.py:62-116 dispatch), one dict per figure
     from .visualize import figure_specs
 
     compositions = [{"name": name, **spec}
                     for name, spec in figure_specs(profile).items()]
     return profile, [plot_data(profile)] + compositions
+
+
+def analyze_mp_exact(ts, query, window, n_jobs: int = 1):
+    """Reference analyze.py:87-126: exact MP + top motifs/discords +
+    figures for one window."""
+    ts = np.asarray(ts, dtype="d")
+    return _discover_and_figures(mpx(ts, int(window), query=query))
+
+
+def analyze_mp_approximate(ts, query, window, sample_pct, n_jobs: int = 1):
+    """Reference analyze.py:128-170: SCRIMP++ sampled MP + discovery +
+    figures."""
+    ts = np.asarray(ts, dtype="d")
+    return _discover_and_figures(
+        scrimp_plus_plus(ts, int(window), query=query,
+                         sample_pct=sample_pct))
+
+
+def analyze_pmp(ts, query, sample_pct, threshold, windows=None,
+                n_jobs: int = 1):
+    """Reference analyze.py:25-84: PMP over given windows, or windows
+    derived from the maximum_subsequence upper window when None."""
+    ts = np.asarray(ts, dtype="d")
+    threshold = 0.98 if threshold is None else threshold
+    partial = None
+    if windows is None:
+        partial = maximum_subsequence(ts, threshold, include_pmp=True)
+        windows = range(8, partial["upper_window"] + 1)
+    return _discover_and_figures(
+        skimp(ts, windows=windows, sample_pct=sample_pct, pmp_obj=partial))

@@ -88,3 +88,28 @@ def test_analyze_pmp(sampledata):
     assert profile["class"] == "PMP"
     assert "motifs" in profile and "discords" in profile
     assert "pan_matrix_profile" in figures[0]
+
+
+def test_analyze_named_subentries(sampledata):
+    """reference analyze.py:25-170 named sub-entry points return
+    (profile, figures) with discovery applied."""
+    from matrixprofile_1_ray.api import (
+        analyze_mp_approximate,
+        analyze_mp_exact,
+        analyze_pmp,
+    )
+
+    ts = sampledata[:400]
+    prof, figs = analyze_mp_exact(ts, None, 32)
+    assert prof["class"] == "MatrixProfile"
+    assert "motifs" in prof and "discords" in prof and len(figs) >= 2
+
+    prof, figs = analyze_mp_approximate(ts, None, 32, 0.5)
+    assert prof["class"] == "MatrixProfile" and prof["sample_pct"] <= 1
+
+    prof, figs = analyze_pmp(ts, None, 1.0, 0.98, windows=[16, 32])
+    assert prof["class"] == "PMP" and len(figs) >= 2
+
+    # windows=None derives the range from maximum_subsequence
+    prof, _ = analyze_pmp(ts[:200], None, 1.0, 0.98)
+    assert prof["class"] == "PMP"
