@@ -504,6 +504,71 @@ def render_svg_figures(profile, ts=None, width: int = 720,
     return figures
 
 
+# --- named per-figure entry points (reference visualize.py:119-667) ------
+# The reference exposes one public function per figure; each returns a
+# matplotlib Figure there.  Here each returns the same composition as a
+# panel-spec dict (single figure) or {name: spec} (figure families) —
+# feed them to render_svg_figures-style renderers or external plotting.
+
+
+def _named_figs(profile, prefix: str, ts=None) -> dict:
+    specs = figure_specs(profile, ts=ts)
+    return {k: v for k, v in specs.items()
+            if k == prefix or k.startswith(prefix + "_")}
+
+
+def plot_mp(profile):
+    """reference visualize.py:181-264 — stacked Data/Query/MP/LMP/RMP."""
+    return figure_specs(profile)["mp"]
+
+
+def plot_cmp_mp(profile):
+    """reference visualize.py:267-294."""
+    return figure_specs(profile)["cmp_mp"]
+
+
+def plot_av_mp(profile):
+    """reference visualize.py:297-324."""
+    return figure_specs(profile)["av_mp"]
+
+
+def plot_discords_mp(profile):
+    """reference visualize.py:327-377 — Data / heat-strip / starred MP."""
+    return figure_specs(profile)["discords_mp"]
+
+
+def plot_motifs_mp(profile):
+    """reference visualize.py:440-514 — per-pair grid + series overlay
+    ({name: spec}; the reference returns the same two figure kinds)."""
+    return _named_figs(profile, "motifs_mp")
+
+
+def plot_pmp(profile):
+    """reference visualize.py:148-178 — depth-256 quantized PMP image."""
+    return figure_specs(profile)["pmp"]
+
+
+def plot_discords_pmp(profile):
+    """reference visualize.py:380-437 — one figure per discord."""
+    return _named_figs(profile, "discords_pmp")
+
+
+def plot_motifs_pmp(profile):
+    """reference visualize.py:517-597 — one figure per motif."""
+    return _named_figs(profile, "motifs_pmp")
+
+
+def plot_stats(profile):
+    """reference visualize.py:119-145 — series + moving-stats panels."""
+    return figure_specs(profile)["stats"]
+
+
+def plot_snippets(snippets, ts):
+    """reference visualize.py:600-667 — one figure per snippet with
+    run-merged neighbor highlights over the series."""
+    return _named_figs(list(snippets), "snippet", ts=ts)
+
+
 def is_visualizable(obj) -> bool:
     """reference visualize.py:43-59 — MP, PMP or Statistics structure."""
     return (_is(obj, "MatrixProfile") or _is(obj, "PMP")

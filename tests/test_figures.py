@@ -106,3 +106,46 @@ def test_visualize_dispatch(mp_profile):
     with pytest.raises(ValueError):
         visualize({"class": "Nope"})
     assert not is_visualizable([1, 2, 3])
+
+
+def test_named_plot_functions(sampledata):
+    """Each public reference plot_* name returns its composition."""
+    import importlib
+
+    # the package attribute `visualize` is the FUNCTION (as in the
+    # reference __init__), so fetch the module via importlib
+    V = importlib.import_module("matrixprofile_1_ray.visualize")
+    from matrixprofile_1_ray import kernels as K
+
+    ts = sampledata[:400]
+    prof = K.extract_regimes(K.top_k_motifs(K.top_k_discords(
+        K.mpx(ts, 32))))
+    assert V.plot_mp(prof)["rows"]
+    assert V.plot_discords_mp(prof)["rows"]
+    motif_figs = V.plot_motifs_mp(prof)
+    assert {"motifs_mp_pairs", "motifs_mp_overlay"} <= set(motif_figs)
+
+    from matrixprofile_1_ray.kernels.transform import apply_av
+
+    cav = apply_av(dict(prof), "complexity")
+    assert V.plot_cmp_mp(cav)["rows"] and V.plot_av_mp(cav)["rows"]
+
+    pmp = {
+        "class": "PMP",
+        "pmp": np.abs(np.random.default_rng(0).normal(size=(2, 100))),
+        "pmpi": np.zeros((2, 100), dtype=int),
+        "windows": np.array([16, 32]),
+        "discords": [(1, 40)],
+        "motifs": [{"motifs": [(0, 10)], "neighbors": []}],
+        "data": {"ts": np.arange(131, dtype="d")},
+    }
+    assert V.plot_pmp(pmp)["rows"]
+    assert set(V.plot_discords_pmp(pmp)) == {"discords_pmp_0"}
+    assert set(V.plot_motifs_pmp(pmp)) == {"motifs_pmp_0"}
+
+    stats = K.statistics(ts, 16)
+    assert V.plot_stats(stats)["rows"]
+
+    snips = K.snippets(ts, 64)
+    figs = V.plot_snippets(snips, ts)
+    assert len(figs) == len(snips)
