@@ -113,3 +113,27 @@ def test_analyze_named_subentries(sampledata):
     # windows=None derives the range from maximum_subsequence
     prof, _ = analyze_pmp(ts[:200], None, 1.0, 0.98)
     assert prof["class"] == "PMP"
+
+
+def test_reference_namespace_layout(sampledata):
+    """A reference user's module paths resolve: mp.discover.motifs,
+    mp.utils.pick_mp, mp.transform.apply_av, mp.io.to_disk (reference
+    __init__.py imports the same namespaces)."""
+    import matrixprofile_1_ray as mp
+
+    prof = mp.compute(sampledata[:300], windows=32)
+    prof = mp.discover.discords(mp.discover.motifs(prof))
+    assert "motifs" in prof and "discords" in prof
+    assert mp.discover.regimes(prof)["regimes"] is not None
+
+    pmp = mp.compute(sampledata[:300], windows=[16, 32])
+    picked = mp.utils.pick_mp(pmp, 32)
+    assert picked["class"] == "MatrixProfile" and picked["w"] == 32
+    assert mp.utils.empty_mp()["class"] == "MatrixProfile"
+
+    av = mp.transform.apply_av(dict(prof), "complexity")
+    assert len(av["av"]) == len(prof["mp"])
+
+    assert mp.io.to_json and mp.io.from_mpf and mp.io.infer_file_format
+    snips = mp.discover.snippets(sampledata[:300], 64)
+    assert len(snips) >= 1
