@@ -137,3 +137,28 @@ def test_reference_namespace_layout(sampledata):
     assert mp.io.to_json and mp.io.from_mpf and mp.io.infer_file_format
     snips = mp.discover.snippets(sampledata[:300], 64)
     assert len(snips) >= 1
+
+
+def test_algorithms_namespace(sampledata):
+    """Reference algorithm import paths resolve to the working kernels."""
+    from matrixprofile_1_ray.algorithms.mass2 import mass2
+    from matrixprofile_1_ray.algorithms.mpdist import mpdist
+    from matrixprofile_1_ray.algorithms.mpx import mpx
+    from matrixprofile_1_ray.algorithms.regimes import extract_regimes
+    from matrixprofile_1_ray.algorithms.skimp import skimp
+    from matrixprofile_1_ray.algorithms.stomp import stomp
+    from matrixprofile_1_ray.algorithms.top_k_discords import top_k_discords
+
+    ts = sampledata
+    prof = top_k_discords(mpx(ts, 32))
+    regs = extract_regimes(prof)["regimes"]
+    np.testing.assert_array_equal(regs, [759, 423, 583])
+    assert abs(mpdist(ts, ts[199:300], 32)) < 1e-5
+    assert mass2(ts, ts[:32]).shape[0] == len(ts) - 32 + 1
+    assert stomp(ts[:200], 16)["class"] == "MatrixProfile"
+    assert skimp(ts[:200], windows=[16, 32])["class"] == "PMP"
+
+    import matrixprofile_1_ray as mp
+
+    assert mp.algorithms.snippets.snippets and \
+        mp.algorithms.hierarchical_clustering.hierarchical_clusters
