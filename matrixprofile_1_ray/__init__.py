@@ -30,4 +30,14 @@ __version__ = "0.1.0"
 from .api import analyze, compute  # noqa: E402  (reference-shaped entry points)
 from .visualize import is_visualizable, visualize  # noqa: E402
 # reference-layout namespaces (reference __init__.py imports the same set)
-from . import algorithms, discover, io, transform, utils  # noqa: E402, F401
+from . import (  # noqa: E402, F401
+    algorithms,
+    core,
+    cycore,
+    datasets,
+    discover,
+    io,
+    preprocess,
+    transform,
+    utils,
+)

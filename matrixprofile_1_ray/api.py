@@ -21,7 +21,6 @@ from .kernels.preprocess import validate_preprocess_kwargs
 from .kernels.scrimp import scrimp_plus_plus
 from .kernels.skimp import maximum_subsequence, skimp
 from .kernels.discover import top_k_discords, top_k_motifs
-from .visualize import plot_data
 
 
 def compute(ts, windows=None, query=None, sample_pct: float = 1,
@@ -93,17 +92,19 @@ def analyze(ts, query=None, windows=None, sample_pct: float = 1.0,
 
 
 def _discover_and_figures(profile):
-    """Motifs + discords, then the figure list: figures[0] keeps the flat
-    plot_data arrays; the remaining entries are the reference's per-figure
-    panel compositions (visualize.figure_specs mirrors reference
-    visualize.py:62-116 dispatch), one dict per figure."""
+    """Motifs + discords, then the figure list: one entry per figure the
+    reference's ``visualize()`` would draw, in the same order and count
+    (reference visualize.py:62-116 — MP: profile/[cmp]/[av]/motifs x2/
+    discords = 4 by default; PMP: pmp/motifs x2/discords-per-discord = 6
+    with the default k=3).  Each entry is a panel-composition dict
+    (visualize.figure_specs); ``plot_data(profile)`` remains available for
+    the flat arrays."""
     profile = top_k_motifs(profile)
     profile = top_k_discords(profile)
     from .visualize import figure_specs
 
-    compositions = [{"name": name, **spec}
-                    for name, spec in figure_specs(profile).items()]
-    return profile, [plot_data(profile)] + compositions
+    return profile, [{"name": name, **spec}
+                     for name, spec in figure_specs(profile).items()]
 
 
 def analyze_mp_exact(ts, query, window, n_jobs: int = 1):

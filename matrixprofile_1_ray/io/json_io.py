@@ -53,11 +53,12 @@ def infer_file_format(file_path: str) -> str:
     return extension
 
 
-def to_disk(profile: dict, file_path: str, fmt: str = "json"):
+def to_disk(profile: dict, file_path: str, format: str = "json"):
     """Write json (text) or mpf (binary protobuf archive, io/mpf.py);
     the matching extension is appended when missing — reference
-    io/__io.py:177-213 (parquet-backed corpus formats go through
-    io/profiles.py)."""
+    io/__io.py:177-213 keyword name ``format`` (parquet-backed corpus
+    formats go through io/profiles.py)."""
+    fmt = format
     if fmt not in SUPPORTED_EXTS:
         raise ValueError(f"format must be one of {sorted(SUPPORTED_EXTS)}; "
                          f"use io.profiles for the Parquet table format")

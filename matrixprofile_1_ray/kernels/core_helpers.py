@@ -93,3 +93,22 @@ def compute_dist(args):
 
     k = args[0]
     return (k, mpdist(args[1], args[2], args[3], threshold=args[4]))
+
+
+def generate_batch_jobs(profile_length, n_jobs):
+    """reference core.py:545-570 — yield (start, end) row ranges that
+    split a profile across ``n_jobs`` workers.  Ranges never run past
+    ``profile_length``; one short profile yields a single full range.
+    The Ray engine splits work by Dataset blocks instead, but batch-range
+    generation is part of the public core surface."""
+    import math
+
+    batch_size = int(math.ceil(profile_length / n_jobs))
+    if batch_size == profile_length:
+        yield (0, profile_length)
+        return
+    for i in range(n_jobs):
+        start = i * batch_size
+        end = min((i + 1) * batch_size, profile_length)
+        if start < profile_length:
+            yield (start, end)

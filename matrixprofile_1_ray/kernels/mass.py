@@ -82,7 +82,9 @@ def pearson_to_euclidean(a, windows):
 def clean_nan_inf(ts):
     """Replace NaN/Inf with zeros (reference core.py:170-192) — returns a
     copy rather than mutating the input."""
-    ts = np.array(ts, dtype="d", copy=True)
+    from .preprocess import to_np_array
+
+    ts = np.array(to_np_array(ts), dtype="d", copy=True)
     ts[~np.isfinite(ts)] = 0
     return ts
 

@@ -13,9 +13,12 @@ from .moving_stats import moving_min
 from .mpx import mpx_ab
 
 
-def mpdist(ts, ts_b, w: int, threshold: float = 0.05) -> float:
+def mpdist(ts, ts_b, w: int, threshold: float = 0.05,
+           n_jobs: int = 1) -> float:
     """k-th smallest of the concatenated AB/BA join profiles with
-    k = ceil(threshold*(len(a)+len(b))) - 1 (reference mpdist.py:20-77)."""
+    k = ceil(threshold*(len(a)+len(b))) - 1 (reference mpdist.py:20-77).
+    ``n_jobs`` accepted for reference-signature compatibility, ignored."""
+    del n_jobs
     ts = np.asarray(ts, dtype="d")
     ts_b = np.asarray(ts_b, dtype="d")
     if ts.ndim != 1 or ts_b.ndim != 1:
@@ -98,9 +101,17 @@ def mpdist_vector(ts, ts_b, w: int) -> np.ndarray:
     return out
 
 
-def pairwise_dist(X, window_size: int, threshold: float = 0.05) -> np.ndarray:
+def pairwise_dist(X, window_size: int, threshold: float = 0.05,
+                  n_jobs: int = 1) -> np.ndarray:
     """Condensed all-pairs MPDist matrix (reference pairwise_dist.py:36-101).
-    Serial kernel; see stages/pairs.py for the pairs-table fan-out."""
+    Serial kernel; see stages/pairs.py for the pairs-table fan-out.
+    ``n_jobs`` accepted for reference-signature compatibility, ignored."""
+    del n_jobs
+    if not isinstance(X, (list, tuple, np.ndarray)):
+        raise ValueError("X must be array_like!")
+    if not isinstance(threshold, float) or not (0 < threshold < 1):
+        raise ValueError("threshold must be a float greater than 0 and less"
+                         " than 1")
     m = len(X)
     dm = np.empty((m * (m - 1)) // 2, dtype="d")
     k = 0

@@ -272,6 +272,13 @@ def mpx_ab(ts, query, w: int, cross_correlation: bool = False):
     seed_ba = _seed_products(query, ts[:w]) - w * mub * mua[0]
     _ab_one_side(seed_ba, df_b, dg_b, df_a, dg_a, sigb, siga, mpb, mpib, mp, mpi)
 
+    # Snap correlations within 1e-13 of 1 to exactly 1: the reference's
+    # per-diagonal exact-dot-product seeding rounds identical-window pairs
+    # to corr >= 1 (then clamps, cympx.pyx:250-254 -> distance 0); our
+    # vectorized cumsum biases the same pairs a few ulp BELOW 1.  Without
+    # the snap, mpdist(ts, ts) returns ~2e-7 instead of the reference's 0.
+    mp[mp >= 1.0 - 1e-13] = 1.0
+    mpb[mpb >= 1.0 - 1e-13] = 1.0
     np.minimum(mp, 1.0, out=mp)
     np.minimum(mpb, 1.0, out=mpb)
     if not cross_correlation:
@@ -398,20 +405,25 @@ def tiled_mpx_ab(ts, query, w: int, tile: int):
     return mp, mpi, mpb, mpib
 
 
-def mpx(ts, w: int, query=None, cross_correlation: bool = False):
+def mpx(ts, w: int, query=None, cross_correlation: bool = False,
+        n_jobs: int = 1):
     """Profile-dict wrapper mirroring reference algorithms/mpx.py:20-100
-    (minus the embedded full series — results at scale are keyed externally)."""
+    (minus the embedded full series — results at scale are keyed externally).
+    ``n_jobs`` is accepted for reference-signature compatibility and ignored:
+    parallelism belongs to the Ray layer (state/chunked.py), and results are
+    identical at any value."""
+    del n_jobs
     is_join = query is not None
     if is_join:
-        mp, mpi, mpb, mpib = mpx_ab(ts, query, w, cross_correlation)
+        mp, mpi, _, _ = mpx_ab(ts, query, w, cross_correlation)
     else:
         mp, mpi = mpx_self(ts, w, cross_correlation)
-        mpb = mpib = None
     return {
+        # mpb/mpib of a join are NOT in the reference's profile dict
+        # (reference algorithms/mpx.py:82-100 returns only the A-side) —
+        # call kernels.mpx.mpx_ab directly when the B-side is needed.
         "mp": np.asarray(mp),
         "pi": np.asarray(mpi),
-        "mpb": mpb,
-        "pib": mpib,
         "rmp": None,
         "rpi": None,
         "lmp": None,

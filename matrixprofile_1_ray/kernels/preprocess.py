@@ -81,6 +81,8 @@ def precheck_series_and_query_1d(ts, query):
 
 def is_subsequence_constant(subsequence) -> bool:
     """All-equal test (reference preprocess.py:91-112)."""
+    if not isinstance(subsequence, (list, tuple, range, np.ndarray)):
+        raise ValueError("subsequence is not array like!")
     temp = np.asarray(subsequence)
     return bool(np.all(temp == temp[0]))
 
@@ -88,6 +90,8 @@ def is_subsequence_constant(subsequence) -> bool:
 def add_noise_to_series(series, seed=None):
     """Uniform(0, 9e-7) noise (reference preprocess.py:115-137); ``seed``
     makes the draw deterministic — engine extension."""
+    if not isinstance(series, (list, tuple, range, np.ndarray)):
+        raise ValueError("series is not array like!")
     temp = np.array(series, dtype="d", copy=True)
     if seed is None:
         noise = np.random.uniform(0, 0.0000009, size=len(temp))
@@ -100,6 +104,8 @@ def impute_missing(ts, window: int, method: str = "mean", direction: str = "forw
     """Sliding-window imputation of NaN/Inf (reference preprocess.py:140-222):
     endpoints patched from the first/last valid value, then each window with
     missing points filled with the window statistic over its valid points."""
+    if not isinstance(ts, (list, tuple, range, np.ndarray)):
+        raise ValueError("ts is not array like!")
     method_map = {"mean": np.mean, "median": np.median, "min": np.min, "max": np.max}
     directions = ["forward", "fwd", "f", "backward", "bwd", "b"]
     if method not in method_map:
@@ -163,6 +169,8 @@ def preprocess(ts, window: int, impute_method: str = "mean",
                seed=None):
     """impute_missing + constant-window noise (reference preprocess.py:225-270).
     ``seed`` derives one deterministic stream for all noised windows."""
+    if not isinstance(ts, (list, tuple, range, np.ndarray)):
+        raise ValueError("ts is not array like!")
     temp = np.array(ts, dtype="d", copy=True)
     temp = impute_missing(temp, window, method=impute_method,
                           direction=impute_direction)

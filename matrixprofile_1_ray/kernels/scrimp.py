@@ -43,12 +43,24 @@ def _anchor_distance_profiles(ts, anchors, n, m, mux, sigx, windows=None):
 
 
 def prescrimp(ts, window_size: int, query=None, step_size: float = 0.25,
-              sample_pct: float = 0.1, random_state=None):
+              sample_pct: float = 0.1, random_state=None, n_jobs: int = 1):
     """Approximate MP via anchor sampling + local refinement
-    (reference scrimp.py:211-406)."""
+    (reference scrimp.py:211-406).  ``n_jobs`` accepted for
+    reference-signature compatibility, ignored."""
+    del n_jobs
+    from .preprocess import precheck_series_and_query_1d, to_np_array
+
     is_join = query is not None
-    ts = np.asarray(ts, dtype="d")
-    query_arr = np.asarray(query, dtype="d") if is_join else ts
+    if is_join:
+        ts, query_arr = precheck_series_and_query_1d(ts, query)
+    else:
+        try:
+            ts = to_np_array(ts).astype("d")
+        except ValueError:
+            raise ValueError("Invalid ts value given. Must be array_like!")
+        if ts.ndim != 1:
+            raise ValueError("ts must be one dimensional!")
+        query_arr = ts
 
     if not isinstance(step_size, float) or step_size > 1 or step_size < 0:
         raise ValueError("step_size should be a float between 0 and 1.")
@@ -181,9 +193,12 @@ def prescrimp(ts, window_size: int, query=None, step_size: float = 0.25,
 
 
 def scrimp_plus_plus(ts, window_size: int, query=None, step_size: float = 0.25,
-                     sample_pct: float = 0.1, random_state=None):
+                     sample_pct: float = 0.1, random_state=None,
+                     n_jobs: int = 1):
     """PreSCRIMP followed by SCRIMP diagonal refinement
-    (reference scrimp.py:409-565)."""
+    (reference scrimp.py:409-565).  ``n_jobs`` accepted for
+    reference-signature compatibility, ignored."""
+    del n_jobs
     if random_state is not None:
         try:
             np.random.seed(random_state)

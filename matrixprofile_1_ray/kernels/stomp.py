@@ -142,13 +142,17 @@ def merge_profiles(left, right):
     return out
 
 
-def stomp(ts, window_size: int, query=None, n_ranges: int = 1):
+def stomp(ts, window_size: int, query=None, n_ranges: int = 1,
+          n_jobs: int = 1):
     """Full STOMP profile dict (reference stomp.py:196-377).
 
     ``n_ranges`` splits the query-window range into partials merged by
     ``merge_profiles`` — the same result for any value (partition-count
     invariance), mirroring the reference's multiprocessing batches.
-    """
+    ``n_jobs`` is accepted for reference-signature compatibility and
+    ignored — parallelism belongs to the Ray layer, and the reference's
+    own tests assert results are identical at any value."""
+    del n_jobs
     is_join = query is not None
     ts = np.asarray(ts, dtype="d")
     query_arr = np.asarray(query, dtype="d") if is_join else ts

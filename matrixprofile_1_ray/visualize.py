@@ -314,34 +314,66 @@ def figure_specs(profile, ts=None) -> dict:
         data = profile.get("data") or {}
         pts = (np.asarray(data["ts"], dtype="d")
                if data.get("ts") is not None else None)
-        for kind_key, name in (("discords", "discords_pmp"),
-                               ("motifs", "motifs_pmp")):
-            items = profile.get(kind_key)
-            items = [] if items is None else list(items)
-            for k, item in enumerate(items):
-                if kind_key == "discords":
-                    loc = np.asarray(item).ravel()
-                else:
-                    loc = np.asarray(item["motifs"][0]).ravel()
-                row_i, idx = int(loc[0]), int(loc[1])
-                mp_row = pmp[row_i]
-                w = int(np.asarray(profile["windows"])[row_i])
-                rows = []
-                if pts is not None:
-                    rows.append([{"ylabel": "Data", "title": None,
-                                  "height": 25.0, "series": [_line(pts)]}])
-                rows.append([{"ylabel": "", "title": None, "height": 5.0,
-                              "series": [{"x": np.arange(mp_row.shape[0]),
-                                          "y": mp_row, "color": "coolwarm",
-                                          "kind": "strip"}]}])
-                rows.append([{"ylabel": "Matrix Profile",
-                              "title": f"Window Size = {w}", "height": 25.0,
-                              "series": [_line(mp_row),
-                                         {"x": np.array([idx]),
-                                          "y": mp_row[[idx]],
-                                          "color": "#d62728",
-                                          "kind": "scatter"}]}])
-                figs[f"{name}_{k}"] = {"rows": rows}
+        windows = np.asarray(profile["windows"])
+
+        # motifs: exactly TWO figures — per-pair subsequence grid + whole-
+        # series overlay (reference visualize.py:517-597 appends twice),
+        # matching the MP layout above but with per-location window sizes.
+        motifs = profile.get("motifs")
+        motifs = [] if motifs is None else list(motifs)
+        if motifs and pts is not None:
+            pair_rows, overlay_rows = [], []
+            for k, motif in enumerate(motifs):
+                row = []
+                for loc in motif.get("motifs", []):
+                    loc = np.asarray(loc).ravel()
+                    w, idx = int(windows[int(loc[0])]), int(loc[1])
+                    row.append({
+                        "ylabel": f"Motif {k + 1}",
+                        "title": f"Index Start {idx}, Window Size {w}",
+                        "height": 1.0, "series": [_line(pts[idx : idx + w])]})
+                pair_rows.append(row)
+                series = [_line(pts)]
+                for loc in motif.get("motifs", []):
+                    loc = np.asarray(loc).ravel()
+                    w, idx = int(windows[int(loc[0])]), int(loc[1])
+                    series.append(_line(pts[idx : idx + w], color="#d62728",
+                                        x=np.arange(idx, idx + w)))
+                for loc in motif.get("neighbors", []):
+                    loc = np.asarray(loc).ravel()
+                    w, idx = int(windows[int(loc[0])]), int(loc[1])
+                    series.append(_line(pts[idx : idx + w], color="#000000",
+                                        x=np.arange(idx, idx + w)))
+                overlay_rows.append([{
+                    "ylabel": f"Motif {k + 1}", "title": None,
+                    "height": 1.0, "series": series}])
+            figs["motifs_pmp_pairs"] = {"rows": pair_rows}
+            figs["motifs_pmp_overlay"] = {"rows": overlay_rows}
+
+        # discords: one figure per discord (reference visualize.py:380-437)
+        items = profile.get("discords")
+        items = [] if items is None else list(items)
+        for k, item in enumerate(items):
+            loc = np.asarray(item).ravel()
+            row_i, idx = int(loc[0]), int(loc[1])
+            mp_row = pmp[row_i]
+            w = int(windows[row_i])
+            rows = []
+            if pts is not None:
+                rows.append([{"ylabel": "Data", "title": None,
+                              "height": 25.0, "series": [_line(pts)]}])
+            rows.append([{"ylabel": "", "title": None, "height": 5.0,
+                          "series": [{"x": np.arange(mp_row.shape[0]),
+                                      "y": mp_row, "color": "coolwarm",
+                                      "kind": "strip"}]}])
+            rows.append([{"ylabel": "Matrix Profile",
+                          "title": f"Window Size = {w}", "height": 25.0,
+                          "series": [_line(mp_row),
+                                     {"x": np.array([idx]),
+                                      "y": mp_row[[idx]],
+                                      "color": "#d62728",
+                                      "kind": "scatter"}]}])
+            figs[f"discords_pmp_{k}"] = {"rows": rows}
     elif _is(profile, "Statistics"):
         movers = [{"label": k, "y": np.asarray(v, dtype="d")}
                   for k, v in profile.items() if k.startswith("moving")]

@@ -58,7 +58,7 @@ def test_json_disk_extension_inference(tmp_path, sampledata):
     # format dispatch), extension inferred on read
     from matrixprofile_1_ray.io.json_io import infer_file_format
 
-    mpath = to_disk(profile, str(tmp_path / "prof_bin"), fmt="mpf")
+    mpath = to_disk(profile, str(tmp_path / "prof_bin"), format="mpf")
     assert mpath.endswith(".mpf") and infer_file_format(mpath) == "mpf"
     mback = from_disk(mpath)
     np.testing.assert_allclose(mback["mp"], profile["mp"], atol=1e-6)

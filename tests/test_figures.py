@@ -141,7 +141,8 @@ def test_named_plot_functions(sampledata):
     }
     assert V.plot_pmp(pmp)["rows"]
     assert set(V.plot_discords_pmp(pmp)) == {"discords_pmp_0"}
-    assert set(V.plot_motifs_pmp(pmp)) == {"motifs_pmp_0"}
+    assert set(V.plot_motifs_pmp(pmp)) == {"motifs_pmp_pairs",
+                                           "motifs_pmp_overlay"}
 
     stats = K.statistics(ts, 16)
     assert V.plot_stats(stats)["rows"]

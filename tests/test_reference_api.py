@@ -80,14 +80,19 @@ def test_analyze_exact(sampledata):
     profile, figures = analyze(sampledata, windows=32)
     assert profile["class"] == "MatrixProfile"
     assert "motifs" in profile and "discords" in profile
-    assert "matrix_profile" in figures[0]
+    # reference figure count/order: mp, motif pair grid, motif overlay,
+    # discords (reference tests/test_analyze.py asserts len == 4)
+    assert len(figures) == 4
+    assert figures[0]["name"] == "mp"
 
 
 def test_analyze_pmp(sampledata):
     profile, figures = analyze(sampledata, windows=np.arange(8, 20))
     assert profile["class"] == "PMP"
     assert "motifs" in profile and "discords" in profile
-    assert "pan_matrix_profile" in figures[0]
+    # reference count: pmp + motifs x2 + one per discord (k=3) == 6
+    assert len(figures) == 6
+    assert figures[0]["name"] == "pmp"
 
 
 def test_analyze_named_subentries(sampledata):
