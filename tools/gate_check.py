@@ -1,0 +1,119 @@
+"""Local simulation of the driver's correctness gate.
+
+Runs every ``queries()`` entry at the given sf dir; where ``oracle_sql()``
+has a matching key, runs the SQL in DuckDB (tables pre-registered as views,
+as the driver does) and compares row count, schema (column-name set) and a
+value hash computed over name-sorted columns and fully sorted rows.
+
+Usage: python tools/gate_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        res = res.to_pandas()
+    elif isinstance(res, pa.Table):
+        res = res.to_pandas()
+    return res
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    df = df[cols]
+    if len(df):
+        df = df.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha1()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            rep = s.astype(str)
+        elif np.issubdtype(s.dtype, np.floating):
+            rep = s.map(lambda v: repr(float(v)) if pd.notna(v) else "nan")
+        else:
+            rep = s.astype(str)
+        h.update(c.encode())
+        h.update("\x1f".join(rep.tolist()).encode())
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=16, include_dashboard=False,
+                 ignore_reinit_error=True,
+                 logging_level="ERROR")
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as m
+
+    qs = m.queries()
+    oracles = m.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    out = {}
+    fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        row = {}
+        try:
+            eng = to_df(fn(sf_dir))
+            row["engine_rows"] = len(eng)
+            if name in oracles:
+                eng = norm(eng)
+                ora = norm(con.execute(oracles[name]).df())
+                row["oracle_rows"] = len(ora)
+                row["rows_match"] = len(eng) == len(ora)
+                row["schema_match"] = list(eng.columns) == list(ora.columns)
+                row["hash_match"] = (row["rows_match"] and row["schema_match"]
+                                     and value_hash(eng) == value_hash(ora))
+                if not row["hash_match"]:
+                    fail += 1
+            else:
+                row["oracle"] = "none (rows-only)"
+        except Exception as e:  # noqa: BLE001
+            row["err"] = f"{type(e).__name__}: {e}"
+            fail += 1
+        row["sec"] = round(time.time() - t0, 2)
+        out[name] = row
+        status = ("OK " if row.get("hash_match")
+                  else ("--- " if "oracle" in row else "FAIL"))
+        print(f"{status} {name}: {json.dumps(row)}", flush=True)
+
+    print(f"\n{fail} failures / {len(out)} queries")
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
