@@ -308,7 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out
 
-    from matrixprofile_1_ray.sources.sequences import sequences_table_from_documents
+    from matrixprofile_1_ray.sources.sequences import head_sequences_table
     from matrixprofile_1_ray.stages.multimodal import media_features_stage
     from matrixprofile_1_ray.stages.pairs import (
         ab_join_stage,
@@ -331,7 +331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     def first_doc_tokens(sf_dir: str, n_docs: int = 1):
-        table = sequences_table_from_documents(sf_dir)
+        # streamed head, not a driver-side corpus materialization
+        table = head_sequences_table(sf_dir, max(n_docs, 1))
         return table, [np.asarray(table["tokens"][i].as_py(), dtype="d")
                        for i in range(n_docs)]
 
@@ -370,13 +371,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(scalars, batch_format="pyarrow")
 
     def mpdist_pairs_query(sf_dir: str):
-        table = sequences_table_from_documents(sf_dir).slice(0, 20)
+        table = head_sequences_table(sf_dir, 20)
         return mpdist_pairs(table, w=16)
 
     def hclust_query(sf_dir: str):
         import pandas as pd
 
-        table = sequences_table_from_documents(sf_dir).slice(0, 12)
+        table = head_sequences_table(sf_dir, 12)
         out = hierarchical_clusters_distributed(table, 16, t=4,
                                                 criterion="maxclust")
         return pd.DataFrame({

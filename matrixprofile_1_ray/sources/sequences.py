@@ -56,6 +56,19 @@ def sequences_table_from_documents(sf_dir: str) -> pa.Table:
     return tokenize_documents_batch(docs)
 
 
+def head_sequences_table(sf_dir: str, n: int) -> pa.Table:
+    """First ``n`` file-order rows as a tokenized sequences table WITHOUT
+    materializing the corpus on the driver: one streamed record batch off
+    the Parquet reader (the fixture pattern of ``_query_head_embeddings``;
+    at 100 TB this touches a single row group of one shard)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    head = next(pf.iter_batches(batch_size=n,
+                                columns=["doc_id", "text", "source"]))
+    return tokenize_documents_batch(pa.Table.from_batches([head]))
+
+
 def _row_rng(seed: int, doc_id: str) -> np.random.Generator:
     return np.random.default_rng((seed << 32) ^ zlib.crc32(doc_id.encode()))
 
