@@ -57,10 +57,9 @@ def _query_head_embeddings(sf_dir: str, n: int) -> np.ndarray:
     """First ``n`` query vectors without materializing the embeddings
     table on the driver: stream only the ``embedding`` column and stop at
     the first batch (the gate files are written vec_id-ordered)."""
-    import pyarrow.parquet as pq
+    from matrixprofile_1_ray.sources.sequences import parquet_head
 
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    head = next(pf.iter_batches(batch_size=n, columns=["embedding"]))
+    head = parquet_head(f"{sf_dir}/embeddings.parquet", n, ["embedding"])
     return np.stack([np.asarray(v, dtype="d")
                      for v in head["embedding"].to_pylist()])
 

@@ -56,17 +56,26 @@ def sequences_table_from_documents(sf_dir: str) -> pa.Table:
     return tokenize_documents_batch(docs)
 
 
-def head_sequences_table(sf_dir: str, n: int) -> pa.Table:
-    """First ``n`` file-order rows as a tokenized sequences table WITHOUT
-    materializing the corpus on the driver: one streamed record batch off
-    the Parquet reader (the fixture pattern of ``_query_head_embeddings``;
-    at 100 TB this touches a single row group of one shard)."""
+def parquet_head(path: str, n: int, columns: list[str]) -> pa.Table:
+    """First ``n`` file-order rows of a Parquet file as one streamed record
+    batch — never materializes the file on the driver (at 100 TB this
+    touches a single row group of one shard).  A zero-row file yields a
+    typed-empty table, not StopIteration."""
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(f"{sf_dir}/documents.parquet")
-    head = next(pf.iter_batches(batch_size=n,
-                                columns=["doc_id", "text", "source"]))
-    return tokenize_documents_batch(pa.Table.from_batches([head]))
+    pf = pq.ParquetFile(path)
+    head = next(pf.iter_batches(batch_size=n, columns=columns), None)
+    if head is None:
+        return pf.schema_arrow.empty_table().select(columns)
+    return pa.Table.from_batches([head])
+
+
+def head_sequences_table(sf_dir: str, n: int) -> pa.Table:
+    """First ``n`` file-order rows as a tokenized sequences table WITHOUT
+    materializing the corpus on the driver."""
+    docs = parquet_head(f"{sf_dir}/documents.parquet", n,
+                        ["doc_id", "text", "source"])
+    return tokenize_documents_batch(docs)
 
 
 def _row_rng(seed: int, doc_id: str) -> np.random.Generator:

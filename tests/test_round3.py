@@ -412,3 +412,35 @@ def test_embedding_near_dup_oracle_parity_and_margins(ray_session):
     sims = u @ u.T
     background = sims[np.triu_indices(len(u), 1)]
     assert background.max() < 0.90  # >= 0.05 below the 0.95 threshold
+
+
+def test_parquet_head_streams_and_handles_empty(tmp_path):
+    """parquet_head never materializes the file and a zero-row file yields
+    a typed-empty table (not StopIteration) through head_sequences_table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from matrixprofile_1_ray.sources.sequences import (
+        head_sequences_table,
+        parquet_head,
+        sequences_table_from_documents,
+    )
+
+    schema = pa.schema([("doc_id", pa.string()), ("text", pa.string()),
+                        ("source", pa.string())])
+    full = pa.table({"doc_id": [f"d{i}" for i in range(10)],
+                     "text": ["abcdefgh"] * 10,
+                     "source": ["s"] * 10}, schema=schema)
+    pq.write_table(full, tmp_path / "documents.parquet")
+    head = parquet_head(str(tmp_path / "documents.parquet"), 3,
+                        ["doc_id", "text"])
+    assert head.column_names == ["doc_id", "text"] and len(head) == 3
+    # head-of-file rows match the full-read-then-slice reference behavior
+    seq = head_sequences_table(str(tmp_path), 4)
+    ref = sequences_table_from_documents(str(tmp_path)).slice(0, 4)
+    assert seq.equals(ref)
+
+    pq.write_table(schema.empty_table(), tmp_path / "documents.parquet")
+    empty = head_sequences_table(str(tmp_path), 5)
+    assert len(empty) == 0
+    assert empty.column_names == ["doc_id", "tokens", "n_tok", "source"]

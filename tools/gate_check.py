@@ -28,7 +28,14 @@ def to_df(res) -> pd.DataFrame:
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        res = res.to_pandas()
+        # Ray 2.49's to_pandas on an empty Dataset is COLUMN-LESS; recover
+        # the typed schema so a legitimately-empty result still compares
+        schema = res.schema()
+        df = res.to_pandas()
+        if df.empty and schema is not None and not len(df.columns):
+            df = pa.schema(
+                list(zip(schema.names, schema.types))).empty_table().to_pandas()
+        res = df
     elif isinstance(res, pa.Table):
         res = res.to_pandas()
     return res
@@ -46,14 +53,16 @@ def value_hash(df: pd.DataFrame) -> str:
     h = hashlib.sha1()
     for c in df.columns:
         s = df[c]
-        if s.dtype == object:
-            rep = s.astype(str)
-        elif np.issubdtype(s.dtype, np.floating):
+        if np.issubdtype(s.dtype, np.floating):
             rep = s.map(lambda v: repr(float(v)) if pd.notna(v) else "nan")
         else:
             rep = s.astype(str)
-        h.update(c.encode())
-        h.update("\x1f".join(rep.tolist()).encode())
+        # length-prefix every field so no byte realignment across the
+        # column-name / value boundaries can collide
+        h.update(f"col:{len(c)}:".encode() + c.encode())
+        for v in rep.tolist():
+            b = v.encode()
+            h.update(f"{len(b)}:".encode() + b)
     return h.hexdigest()
 
 
@@ -68,7 +77,10 @@ def main() -> int:
                  ignore_reinit_error=True,
                  logging_level="ERROR")
 
-    sys.path.insert(0, ".")
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import __ray_entry__ as m
 
     qs = m.queries()
@@ -76,9 +88,12 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')")
+        # DuckDB binds read_parquet eagerly at CREATE VIEW: skip missing
+        # fixture files so a filtered run on a partial sf dir still works
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
 
     out = {}
     fail = 0
