@@ -47,7 +47,7 @@ def cmd_rollup(args):
     import pyarrow.parquet as _pq
 
     got = set(_pq.read_schema(os.path.join(args.input, files[0])).names)
-    missing = {"doc_id", "tokens", "source"} - got
+    missing = {"doc_id", "tokens", "n_tok", "source"} - got
     if missing:
         raise SystemExit(
             f"{args.input}/{files[0]} is missing column(s) {sorted(missing)}: "

@@ -67,7 +67,15 @@ def list_column_to_numpy(col: pa.ChunkedArray | pa.Array):
     else:
         offsets = col.offsets.to_numpy().astype(np.int64)
     values = col.values.to_numpy(zero_copy_only=False)
-    # account for a sliced array whose offsets do not start at 0
+    # account for a sliced / non-compacted array whose offsets do not start
+    # at 0 or whose child buffer extends past the last row: rebase so values
+    # spans exactly offsets[0]:offsets[-1].  Whole-array vectorized callers
+    # (np.minimum.reduceat to the array end, arange-based dim indices) rely
+    # on this; per-row slicing is unaffected.  Both ops are numpy views —
+    # still zero copy.
+    if len(offsets) and (offsets[0] != 0 or len(values) != offsets[-1]):
+        values = values[offsets[0] : offsets[-1]]
+        offsets = offsets - offsets[0]
     return values, offsets
 
 

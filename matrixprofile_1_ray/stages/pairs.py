@@ -177,17 +177,10 @@ def ab_join_stage(ds, query: np.ndarray, w: int):
     return ds.map_batches(ABJoin, batch_format="pyarrow", concurrency=auto_concurrency())
 
 
-def _doc_window_stats(ts: np.ndarray, w: int):
-    """(mu, sig2) per window via plain cumsums — the same arithmetic shape
-    the DuckDB oracle uses, so the shared near-constant-window guard
-    (sig2 < floor) decides identically in both engines."""
-    c1 = np.concatenate(([0.0], np.cumsum(ts)))
-    c2 = np.concatenate(([0.0], np.cumsum(ts * ts)))
-    s = c1[w:] - c1[:-w]
-    ss = c2[w:] - c2[:-w]
-    mu = s / w
-    sig2 = ss / w - mu * mu
-    return mu, sig2
+# canonical definition lives with the rest of the cross-engine slice
+# contract; alias kept for existing importers
+from .slice_rule import doc_window_stats as _doc_window_stats  # noqa: E402
+from .slice_rule import iter_slice_docs, rows_table  # noqa: E402
 
 
 def pick_oracle_query_doc(sf_dir: str, w: int = 16, min_n: int = 96,
@@ -252,29 +245,14 @@ def mpdist_vector_small_batch(batch: pa.Table, w: int = 16,
     UNdecremented order statistic ceil(0.05*2*sub_len)."""
     from ..kernels.mpdist import mpdist_vector
 
-    values, offsets = list_column_to_numpy(batch["tokens"])
-    out_doc, out_off, out_v = [], [], []
-    for i in range(len(batch)):
-        ts = values[offsets[i] : offsets[i + 1]].astype("d")
-        n = ts.shape[0]
-        if not (lo <= n <= hi):
-            continue
-        _, sig2 = _doc_window_stats(ts, w)
-        if sig2.min() < sig2_floor:
-            continue
+    parts = []
+    for doc, ts, _mu, _sig2 in iter_slice_docs(batch, w, min_n=lo, max_n=hi,
+                                               sig2_floor=sig2_floor):
         vec = np.round(mpdist_vector(ts, ts[:sub_len], w), round_dp)
-        out_doc.append(np.repeat(batch["doc_id"][i].as_py(), vec.shape[0]))
-        out_off.append(np.arange(vec.shape[0], dtype=np.int64))
-        out_v.append(vec)
-    if not out_doc:
-        return pa.table({"doc_id": pa.array([], pa.string()),
-                         "offset": pa.array([], pa.int64()),
-                         "mpdist": pa.array([], pa.float64())})
-    return pa.table({
-        "doc_id": pa.array(np.concatenate(out_doc), pa.string()),
-        "offset": pa.array(np.concatenate(out_off), pa.int64()),
-        "mpdist": pa.array(np.concatenate(out_v), pa.float64()),
-    })
+        parts.append((np.repeat(doc, vec.shape[0]),
+                      np.arange(vec.shape[0], dtype=np.int64), vec))
+    return rows_table([("doc_id", pa.string()), ("offset", pa.int64()),
+                       ("mpdist", pa.float64())], parts)
 
 
 def mass_topk_rows_batch(batch: pa.Table, query: np.ndarray, k: int = 2,
@@ -295,22 +273,15 @@ def mass_topk_rows_batch(batch: pa.Table, query: np.ndarray, k: int = 2,
     ez = int(np.ceil(w / 2.0))
     mu_q = query.mean()
     sig_q = float(np.sqrt(max(query @ query / w - mu_q * mu_q, 0.0)))
-    values, offsets = list_column_to_numpy(batch["tokens"])
     doc_ids, ranks, idxs, dists = [], [], [], []
-    for i in range(len(batch)):
-        ts = values[offsets[i] : offsets[i + 1]].astype("d")
-        if ts.shape[0] < w:
-            continue
-        mu, sig2 = _doc_window_stats(ts, w)
-        if sig2.min() < sig2_floor:
-            continue
+    for doc, ts, mu, sig2 in iter_slice_docs(batch, w, min_n=w,
+                                             sig2_floor=sig2_floor):
         sig = np.sqrt(sig2)
         prod = exact_sliding_dot_product(ts, query)
         corr = (prod - w * mu * mu_q) / (w * sig * sig_q)
         dp = np.round(np.sqrt(np.maximum(2.0 * w * (1.0 - np.minimum(corr, 1.0)),
                                          0.0)), round_dp)
         alive = np.ones(dp.shape[0], dtype=bool)
-        doc = batch["doc_id"][i].as_py()
         for rank in range(min(k, dp.shape[0])):
             if not alive.any():
                 break
@@ -340,29 +311,16 @@ def ab_profile_rows_batch(batch: pa.Table, query: np.ndarray, w: int = 16,
     from ..kernels.mpx import mpx_ab
 
     query = np.asarray(query, dtype="d")
-    values, offsets = list_column_to_numpy(batch["tokens"])
-    out_doc, out_idx, out_mp = [], [], []
-    for i in range(len(batch)):
-        ts = values[offsets[i] : offsets[i + 1]].astype("d")
-        n = ts.shape[0]
-        if n < 2 * w or n > max_n:
-            continue
-        _, sig2 = _doc_window_stats(ts, w)
-        if sig2.min() < sig2_floor:
-            continue
+    parts = []
+    for doc, ts, _mu, _sig2 in iter_slice_docs(batch, w, min_n=2 * w,
+                                               max_n=max_n,
+                                               sig2_floor=sig2_floor):
         mp, _mpi, _mpb, _mpib = mpx_ab(ts, query, w)
-        out_doc.append(np.repeat(batch["doc_id"][i].as_py(), mp.shape[0]))
-        out_idx.append(np.arange(mp.shape[0], dtype=np.int64))
-        out_mp.append(np.round(mp, round_dp))
-    if not out_doc:
-        return pa.table({"doc_id": pa.array([], pa.string()),
-                         "idx": pa.array([], pa.int64()),
-                         "ab_mp": pa.array([], pa.float64())})
-    return pa.table({
-        "doc_id": pa.array(np.concatenate(out_doc), pa.string()),
-        "idx": pa.array(np.concatenate(out_idx), pa.int64()),
-        "ab_mp": pa.array(np.concatenate(out_mp), pa.float64()),
-    })
+        parts.append((np.repeat(doc, mp.shape[0]),
+                      np.arange(mp.shape[0], dtype=np.int64),
+                      np.round(mp, round_dp)))
+    return rows_table([("doc_id", pa.string()), ("idx", pa.int64()),
+                       ("ab_mp", pa.float64())], parts)
 
 
 def mass_search_stage(ds, query: np.ndarray, k: int = 3):

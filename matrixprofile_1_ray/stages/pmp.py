@@ -145,25 +145,23 @@ def maxsubseq_small_batch(batch: pa.Table, threshold: float = 0.985,
     (doc_id, upper_window) is all-integer, so no rounding is needed."""
     import warnings
 
-    from .profile import _banded_corr, _doc_window_stats
+    from .slice_rule import banded_corr, doc_window_stats, iter_slice_docs
 
     probes = (8, 10, 12, 14, 16)
-    values, offsets = list_column_to_numpy(batch["tokens"])
     doc_ids, uppers = [], []
-    for i in range(len(batch)):
-        ts = values[offsets[i] : offsets[i + 1]].astype("d")
-        n = ts.shape[0]
-        if n < 32 or n > max_n:
-            continue
+    # multi-probe sig2 rule: the shared iterator applies the length bounds
+    # only (w=None); each probe window runs its own guard below
+    for doc, ts, _mu, _sig2 in iter_slice_docs(batch, None, min_n=32,
+                                               max_n=max_n):
         cms, ok = {}, True
         for w in probes:
-            mu, sig2 = _doc_window_stats(ts, w)
+            mu, sig2 = doc_window_stats(ts, w)
             if sig2.min() < sig2_floor:
                 ok = False
                 break
             minlag = -(-w // 4)
-            cb = _banded_corr(ts, w, mu, np.sqrt(np.maximum(sig2, 0)),
-                              minlag + 1)
+            cb = banded_corr(ts, w, mu, np.sqrt(np.maximum(sig2, 0)),
+                             minlag + 1)
             cms[w] = float(np.max(cb))
         if not ok or any(abs(cms[w] - threshold) <= margin for w in probes):
             continue
@@ -172,7 +170,7 @@ def maxsubseq_small_batch(batch: pa.Table, threshold: float = 0.985,
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             upper = maximum_subsequence(ts, threshold=threshold)
-        doc_ids.append(batch["doc_id"][i].as_py())
+        doc_ids.append(doc)
         uppers.append(int(upper))
     return pa.table({
         "doc_id": pa.array(doc_ids, pa.string()),

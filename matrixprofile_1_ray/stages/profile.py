@@ -22,39 +22,12 @@ from ..functions.tokenize import list_column_to_numpy
 from ..kernels.mpx import mpx_self
 
 
-def _doc_window_stats(ts, w):
-    """Shared with stages/pairs (single definition there): window
-    (mu, sig2) in the SQL oracles' exact arithmetic shape."""
-    from .pairs import _doc_window_stats as impl
-
-    return impl(ts, w)
-
-
-def _banded_corr(ts, w, mu, sig, min_d):
-    """Correlation matrix from exact-integer window sums —
-    bit-identical to the SQL oracles' corr CTE (same op order:
-    (w*mu_i)*mu_j, (w*sig_i)*sig_j) — with diagonals |i-j| < min_d
-    masked to -inf.  Single definition for every margin/perfect-match
-    guard so the cross-engine bit-parity contract lives in ONE
-    place."""
-    from numpy.lib.stride_tricks import sliding_window_view
-
-    wins = np.ascontiguousarray(sliding_window_view(ts, w))
-    qt = wins @ wins.T
-    with np.errstate(divide="ignore", invalid="ignore"):
-        c = ((qt - (w * mu)[:, None] * mu[None, :])
-             / ((w * sig)[:, None] * sig[None, :]))
-    pl = c.shape[0]
-    ii, jj = np.indices((pl, pl))
-    return np.where(np.abs(ii - jj) >= min_d, c, -np.inf)
-
-
-def _min_top2_margin(cb) -> float:
-    """Smallest per-row gap between the best and second-best banded
-    correlation (the argmax-pinning margin)."""
-    pl = cb.shape[0]
-    two = np.partition(cb, pl - 2, axis=1)[:, -2:]
-    return float((two[:, 1] - two[:, 0]).min())
+# canonical definitions live in stages/slice_rule.py with the rest of the
+# cross-engine slice contract; aliases kept for existing importers
+from .slice_rule import banded_corr as _banded_corr  # noqa: E402
+from .slice_rule import doc_window_stats as _doc_window_stats  # noqa: E402
+from .slice_rule import iter_slice_docs, rows_table  # noqa: E402
+from .slice_rule import min_top2_margin as _min_top2_margin  # noqa: E402
 
 from ..kernels.scrimp import scrimp_plus_plus
 from ..kernels.stomp import stomp
@@ -170,18 +143,12 @@ def mp_rows_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
     the SQL brute force emits no row at all (GROUP BY over zero corr
     rows).  Only STOMP's wide zone (ez = ceil(w/2)) makes this bind —
     exactly n_tok == 2*w == 32 at the default w."""
-    values, offsets = list_column_to_numpy(batch["tokens"])
     excl = -(-w // 2) if algorithm == "stomp" else -(-w // 4)
     min_n = max(2 * w, w + 2 * excl + 1)
-    out_doc, out_idx, out_mp = [], [], []
-    for i in range(len(batch)):
-        ts = values[offsets[i] : offsets[i + 1]].astype("d")
-        n = ts.shape[0]
-        if n < min_n or n > max_n:
-            continue
-        mu, sig2 = _doc_window_stats(ts, w)
-        if sig2.min() < sig2_floor:
-            continue
+    parts = []
+    for doc, ts, mu, sig2 in iter_slice_docs(batch, w, min_n=min_n,
+                                             max_n=max_n,
+                                             sig2_floor=sig2_floor):
         if algorithm == "mpx":
             mp, _ = mpx_self(ts, w)
         elif algorithm == "stomp":
@@ -197,23 +164,16 @@ def mp_rows_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
 
             from ..kernels.scrimp import scrimp_plus_plus
 
-            seed = zlib.crc32(batch["doc_id"][i].as_py().encode()) & 0x7FFFFFFF
+            seed = zlib.crc32(doc.encode()) & 0x7FFFFFFF
             mp = scrimp_plus_plus(ts, w, sample_pct=1.0,
                                   random_state=seed)["mp"]
         else:
             raise ValueError(f"unknown algorithm: {algorithm}")
-        out_doc.append(np.repeat(batch["doc_id"][i].as_py(), mp.shape[0]))
-        out_idx.append(np.arange(mp.shape[0], dtype=np.int64))
-        out_mp.append(np.round(mp, round_dp))
-    if not out_doc:
-        return pa.table({"doc_id": pa.array([], pa.string()),
-                         "idx": pa.array([], pa.int64()),
-                         "mp": pa.array([], pa.float64())})
-    return pa.table({
-        "doc_id": pa.array(np.concatenate(out_doc), pa.string()),
-        "idx": pa.array(np.concatenate(out_idx), pa.int64()),
-        "mp": pa.array(np.concatenate(out_mp), pa.float64()),
-    })
+        parts.append((np.repeat(doc, mp.shape[0]),
+                      np.arange(mp.shape[0], dtype=np.int64),
+                      np.round(mp, round_dp)))
+    return rows_table([("doc_id", pa.string()), ("idx", pa.int64()),
+                       ("mp", pa.float64())], parts)
 
 
 def pick_mp_small_batch(batch: pa.Table, window: int = 32, max_n: int = 256,
@@ -229,16 +189,12 @@ def pick_mp_small_batch(batch: pa.Table, window: int = 32, max_n: int = 256,
     ``window``) matches :func:`mp_rows_small_batch` at that w."""
     from ..kernels.skimp import pick_mp
 
-    values, offsets = list_column_to_numpy(batch["tokens"])
-    out_doc, out_idx, out_mp = [], [], []
-    for i in range(len(batch)):
-        ts = values[offsets[i] : offsets[i + 1]].astype("d")
+    parts = []
+    for doc, ts, _mu, _sig2 in iter_slice_docs(batch, window,
+                                               min_n=2 * window,
+                                               max_n=max_n,
+                                               sig2_floor=sig2_floor):
         n = ts.shape[0]
-        if n < 2 * window or n > max_n:
-            continue
-        _, sig2 = _doc_window_stats(ts, window)
-        if sig2.min() < sig2_floor:
-            continue
         rows_mp, rows_pi = [], []
         for w in (window // 2, window):
             mp_w, pi_w = mpx_self(ts, w)
@@ -255,18 +211,11 @@ def pick_mp_small_batch(batch: pa.Table, window: int = 32, max_n: int = 256,
             "data": {"ts": ts},
         }
         mp = pick_mp(profile, int(window))["mp"]
-        out_doc.append(np.repeat(batch["doc_id"][i].as_py(), mp.shape[0]))
-        out_idx.append(np.arange(mp.shape[0], dtype=np.int64))
-        out_mp.append(np.round(mp, round_dp))
-    if not out_doc:
-        return pa.table({"doc_id": pa.array([], pa.string()),
-                         "idx": pa.array([], pa.int64()),
-                         "mp": pa.array([], pa.float64())})
-    return pa.table({
-        "doc_id": pa.array(np.concatenate(out_doc), pa.string()),
-        "idx": pa.array(np.concatenate(out_idx), pa.int64()),
-        "mp": pa.array(np.concatenate(out_mp), pa.float64()),
-    })
+        parts.append((np.repeat(doc, mp.shape[0]),
+                      np.arange(mp.shape[0], dtype=np.int64),
+                      np.round(mp, round_dp)))
+    return rows_table([("doc_id", pa.string()), ("idx", pa.int64()),
+                       ("mp", pa.float64())], parts)
 
 
 def regimes_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
@@ -282,17 +231,11 @@ def regimes_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
     them with the same IEEE ops on both sides."""
     from ..kernels.discover import extract_regimes
 
-    values, offsets = list_column_to_numpy(batch["tokens"])
     minlag = int(np.ceil(w / 4.0))
     out_doc, out_rank, out_idx = [], [], []
-    for i in range(len(batch)):
-        ts = values[offsets[i] : offsets[i + 1]].astype("d")
-        n = ts.shape[0]
-        if n < 2 * w or n > max_n:
-            continue
-        mu, sig2 = _doc_window_stats(ts, w)
-        if sig2.min() < sig2_floor:
-            continue
+    for doc, ts, mu, sig2 in iter_slice_docs(batch, w, min_n=2 * w,
+                                             max_n=max_n,
+                                             sig2_floor=sig2_floor):
         cb = _banded_corr(ts, w, mu, np.sqrt(np.maximum(sig2, 0)),
                           minlag + 1)
         if _min_top2_margin(cb) <= margin_floor:
@@ -301,7 +244,6 @@ def regimes_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
         prof = extract_regimes({"class": "MatrixProfile", "mp": mp,
                                 "pi": pi, "w": w},
                                num_regimes=num_regimes)
-        doc = batch["doc_id"][i].as_py()
         for r, idx in enumerate(prof["regimes"]):
             out_doc.append(doc)
             out_rank.append(r)
@@ -325,17 +267,11 @@ def motifs_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
     smallest by > margin_floor (pins the argmin pick)."""
     from ..kernels.discover import mp_top_k_motifs
 
-    values, offsets = list_column_to_numpy(batch["tokens"])
     minlag = int(np.ceil(w / 4.0))
     out_doc, out_first, out_second = [], [], []
-    for i in range(len(batch)):
-        ts = values[offsets[i] : offsets[i + 1]].astype("d")
-        n = ts.shape[0]
-        if n < 2 * w or n > max_n:
-            continue
-        mu, sig2 = _doc_window_stats(ts, w)
-        if sig2.min() < sig2_floor:
-            continue
+    for doc, ts, mu, sig2 in iter_slice_docs(batch, w, min_n=2 * w,
+                                             max_n=max_n,
+                                             sig2_floor=sig2_floor):
         cb = _banded_corr(ts, w, mu, np.sqrt(np.maximum(sig2, 0)),
                           minlag + 1)
         if _min_top2_margin(cb) <= margin_floor:               # guard (a)
@@ -367,7 +303,7 @@ def motifs_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
              "ez": int(np.ceil(w / 2.0)), "data": {"ts": ts}},
             k=1, max_neighbors=0)
         pair = prof["motifs"][0]["motifs"]
-        out_doc.append(batch["doc_id"][i].as_py())
+        out_doc.append(doc)
         out_first.append(int(pair[0]))
         out_second.append(int(pair[1]))
     return pa.table({
@@ -432,34 +368,18 @@ def corrected_small_rows_batch(batch: pa.Table, w: int = 16,
     rounds away the ~1e-12 engine-vs-SQL drift."""
     from ..kernels.transform import make_complexity_av
 
-    values, offsets = list_column_to_numpy(batch["tokens"])
-    out_doc, out_idx, out_av, out_cmp = [], [], [], []
-    for i in range(len(batch)):
-        ts = values[offsets[i] : offsets[i + 1]].astype("d")
-        n = ts.shape[0]
-        if n < 2 * w or n > max_n:
-            continue
-        _mu, sig2 = _doc_window_stats(ts, w)
-        if sig2.min() < sig2_floor:
-            continue
+    parts = []
+    for doc, ts, _mu, _sig2 in iter_slice_docs(batch, w, min_n=2 * w,
+                                               max_n=max_n,
+                                               sig2_floor=sig2_floor):
         mp, _ = mpx_self(ts, w)
         av = make_complexity_av(ts, w)
         cmp_ = mp + (1 - av) * np.max(mp)
-        out_doc.append(np.repeat(batch["doc_id"][i].as_py(), mp.shape[0]))
-        out_idx.append(np.arange(mp.shape[0], dtype=np.int64))
-        out_av.append(np.round(av, 6))
-        out_cmp.append(np.round(cmp_, round_dp))
-    if not out_doc:
-        return pa.table({"doc_id": pa.array([], pa.string()),
-                         "idx": pa.array([], pa.int64()),
-                         "av": pa.array([], pa.float64()),
-                         "cmp": pa.array([], pa.float64())})
-    return pa.table({
-        "doc_id": pa.array(np.concatenate(out_doc), pa.string()),
-        "idx": pa.array(np.concatenate(out_idx), pa.int64()),
-        "av": pa.array(np.concatenate(out_av), pa.float64()),
-        "cmp": pa.array(np.concatenate(out_cmp), pa.float64()),
-    })
+        parts.append((np.repeat(doc, mp.shape[0]),
+                      np.arange(mp.shape[0], dtype=np.int64),
+                      np.round(av, 6), np.round(cmp_, round_dp)))
+    return rows_table([("doc_id", pa.string()), ("idx", pa.int64()),
+                       ("av", pa.float64()), ("cmp", pa.float64())], parts)
 
 
 def mp_discord_top1_batch(batch: pa.Table, **small_kwargs) -> pa.Table:

@@ -56,19 +56,14 @@ def snippets_small_batch(batch: pa.Table, snippet_size: int = 64,
     come from the REAL unmodified kernel, and the bounded slice is tiny,
     so the doubled MASS work is noise."""
     from ..kernels.mpdist import mpdist_vector
-    from .pairs import _doc_window_stats
+    from .slice_rule import iter_slice_docs
 
     w = snippet_size // 2
     allowed = {2 * snippet_size, 3 * snippet_size, 4 * snippet_size}
     doc_ids, ranks, idxs = [], [], []
-    values, offsets = list_column_to_numpy(batch["tokens"])
-    for i in range(len(batch)):
-        ts = values[offsets[i] : offsets[i + 1]].astype("d")
-        if ts.shape[0] not in allowed:
-            continue
-        _, sig2 = _doc_window_stats(ts, w)
-        if sig2.min() < sig2_floor:
-            continue
+    for doc, ts, _mu, _sig2 in iter_slice_docs(
+            batch, w, sig2_floor=sig2_floor,
+            length_ok=lambda n: n in allowed):
         cands = np.arange(0, ts.shape[0] - snippet_size, snippet_size)
         if cands.shape[0] > 1:
             dmat = np.stack([
@@ -87,7 +82,7 @@ def snippets_small_batch(batch: pa.Table, snippet_size: int = 64,
                 continue
         out = snippets(ts, snippet_size, num_snippets=num_snippets)
         for rank, snip in enumerate(out):
-            doc_ids.append(batch["doc_id"][i].as_py())
+            doc_ids.append(doc)
             ranks.append(rank)
             idxs.append(int(snip["index"]))
     return pa.table({

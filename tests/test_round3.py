@@ -444,3 +444,29 @@ def test_parquet_head_streams_and_handles_empty(tmp_path):
     empty = head_sequences_table(str(tmp_path), 5)
     assert len(empty) == 0
     assert empty.column_names == ["doc_id", "tokens", "n_tok", "source"]
+
+
+def test_list_column_to_numpy_rebases_sliced_arrays():
+    """Sliced / non-compacted list columns rebase to a values span of
+    exactly offsets[0]:offsets[-1], so whole-array vectorized callers
+    (reduceat-to-end mins, arange-based dims) stay correct."""
+    import pyarrow as pa
+
+    from matrixprofile_1_ray.functions.tokenize import list_column_to_numpy
+
+    arr = pa.array([[5.0, 6.0], [7.0, 8.0], [9.0, 9.0], [0.5, 0.5]])
+    sliced = arr.slice(1, 2)  # rows [7,8], [9,9]
+    values, offsets = list_column_to_numpy(sliced)
+    assert offsets[0] == 0 and offsets[-1] == len(values)
+    assert values.tolist() == [7.0, 8.0, 9.0, 9.0]
+
+    # the original failure: per-row min of the LAST row of a sliced column
+    import __ray_entry__ as m
+
+    mins, nz = m._list_col_min(sliced)
+    assert mins.tolist() == [7.0, 9.0] and nz.all()
+
+    # empty-row interleaving still segments correctly
+    arr2 = pa.array([[3.0], [], [2.0, 4.0]])
+    mins2, nz2 = m._list_col_min(arr2)
+    assert mins2[0] == 3.0 and not nz2[1] and mins2[2] == 2.0
