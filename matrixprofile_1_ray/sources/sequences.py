@@ -70,6 +70,36 @@ def parquet_head(path: str, n: int, columns: list[str]) -> pa.Table:
     return pa.Table.from_batches([head])
 
 
+def iter_docs_lex(sf_dir: str, columns=("doc_id", "text"),
+                  chunk: int = 512):
+    """Yield documents in LEXICOGRAPHIC doc_id order as per-chunk tables,
+    WITHOUT materializing the text column on the driver: one doc_id-only
+    column read establishes the global order (ids are tiny next to text),
+    then each chunk's rows are fetched via Parquet predicate pushdown.
+    The yielded ``doc_id`` column is cast to string (the engines' shared
+    ``CAST(doc_id AS VARCHAR)`` convention).  Deterministic fixture
+    pickers stop iterating as soon as their rule is satisfied, so only
+    the consumed prefix of the corpus ever leaves storage."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    raw_ids = pq.read_table(path, columns=["doc_id"])["doc_id"].to_pylist()
+    order = sorted(range(len(raw_ids)), key=lambda i: str(raw_ids[i]))
+    dataset = pads.dataset(path)
+    cols = list(columns)
+    for k in range(0, len(order), chunk):
+        sel = order[k : k + chunk]
+        tab = dataset.to_table(
+            columns=cols,
+            filter=pads.field("doc_id").isin([raw_ids[i] for i in sel]))
+        sid = np.array([str(x) for x in tab["doc_id"].to_pylist()])
+        tab = tab.take(pa.array(np.argsort(sid, kind="stable"), pa.int64()))
+        yield tab.set_column(
+            tab.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(np.sort(sid).tolist(), pa.string()))
+
+
 def head_sequences_table(sf_dir: str, n: int) -> pa.Table:
     """First ``n`` file-order rows as a tokenized sequences table WITHOUT
     materializing the corpus on the driver."""

@@ -48,19 +48,19 @@ def media_from_documents(sf_dir: str, n: int = 64) -> pa.Table:
     ``ORDER BY CAST(doc_id AS VARCHAR) LIMIT n`` so the DuckDB oracle sees
     the same payload set).  The payloads are *opaque bytes* to every stage
     downstream — exactly how real image/audio columns would flow."""
-    import pyarrow.parquet as pq
+    from ..sources.sequences import iter_docs_lex
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    ids = np.array([str(x) for x in docs["doc_id"].to_pylist()])
-    order = np.argsort(ids)[:n]
+    head = next(iter_docs_lex(sf_dir, ("doc_id", "text"), chunk=n), None)
+    if head is None:
+        head = pa.table({"doc_id": pa.array([], pa.string()),
+                         "text": pa.array([], pa.string())})
     return pa.table({
-        "media_id": pa.array(ids[order].tolist(), pa.string()),
-        "mime": pa.array(["text/plain"] * len(order), pa.string()),
-        "payload": pa.array([docs["text"][int(i)].as_py().encode()
-                             for i in order], pa.binary()),
-        "width": pa.array(np.zeros(len(order), np.int32)),
-        "height": pa.array(np.zeros(len(order), np.int32)),
+        "media_id": head["doc_id"],
+        "mime": pa.array(["text/plain"] * len(head), pa.string()),
+        "payload": pa.array([t.encode() for t in head["text"].to_pylist()],
+                            pa.binary()),
+        "width": pa.array(np.zeros(len(head), np.int32)),
+        "height": pa.array(np.zeros(len(head), np.int32)),
     })
 
 

@@ -187,20 +187,21 @@ def pick_oracle_query_doc(sf_dir: str, w: int = 16, min_n: int = 96,
                           max_n: int = 256, sig2_floor: float = 1e-3):
     """The deterministic query-doc rule shared with the DuckDB oracles:
     smallest doc_id (VARCHAR order) whose length is in [min_n, max_n] and
-    whose every w-window has sig^2 >= sig2_floor.  -> (doc_id, tokens)."""
-    import pyarrow.parquet as pq
+    whose every w-window has sig^2 >= sig2_floor.  -> (doc_id, tokens).
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    ids = [str(x) for x in docs["doc_id"].to_pylist()]
-    for i in np.argsort(np.array(ids)):
-        text = docs["text"][int(i)].as_py()
-        if not (min_n <= len(text) <= max_n):
-            continue
-        ts = np.array([ord(c) for c in text], dtype="d")
-        _, sig2 = _doc_window_stats(ts, w)
-        if sig2.min() >= sig2_floor:
-            return ids[int(i)], ts
+    Texts stream in lexicographic chunks (:func:`iter_docs_lex`) — only
+    the scanned prefix of the corpus ever reaches the driver."""
+    from ..sources.sequences import iter_docs_lex
+
+    for tab in iter_docs_lex(sf_dir, ("doc_id", "text")):
+        texts = tab["text"].to_pylist()
+        for i, text in enumerate(texts):
+            if not (min_n <= len(text) <= max_n):
+                continue
+            ts = np.array([ord(c) for c in text], dtype="d")
+            _, sig2 = _doc_window_stats(ts, w)
+            if sig2.min() >= sig2_floor:
+                return str(tab["doc_id"][i].as_py()), ts
     raise ValueError("no document satisfies the oracle query-doc rule")
 
 
@@ -210,27 +211,32 @@ def pick_small_slice_docs(sf_dir: str, w: int = 16, lo: int = 32,
     """The first ``limit`` docs (lexicographic doc_id order) of the
     bounded oracle slice (length in [lo, hi], no near-constant window) as
     a tokenized sequences table — the fixture rule shared with the DuckDB
-    mpdist oracle."""
-    import pyarrow.parquet as pq
+    mpdist oracle.  Streams lexicographic chunks; stops at ``limit``."""
+    from ..sources.sequences import iter_docs_lex, tokenize_documents_batch
 
-    from ..sources.sequences import tokenize_documents_batch
-
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text", "source"])
-    ids = np.array([str(x) for x in docs["doc_id"].to_pylist()])
-    keep = []
-    for i in np.argsort(ids):
-        text = docs["text"][int(i)].as_py()
-        if not (lo <= len(text) <= hi):
-            continue
-        ts = np.array([ord(c) for c in text], dtype="d")
-        _, sig2 = _doc_window_stats(ts, w)
-        if sig2.min() < sig2_floor:
-            continue
-        keep.append(int(i))
-        if len(keep) == limit:
+    kept = []
+    n_kept = 0
+    for tab in iter_docs_lex(sf_dir, ("doc_id", "text", "source")):
+        texts = tab["text"].to_pylist()
+        for i, text in enumerate(texts):
+            if not (lo <= len(text) <= hi):
+                continue
+            ts = np.array([ord(c) for c in text], dtype="d")
+            _, sig2 = _doc_window_stats(ts, w)
+            if sig2.min() < sig2_floor:
+                continue
+            kept.append(tab.slice(i, 1))
+            n_kept += 1
+            if n_kept == limit:
+                break
+        if n_kept == limit:
             break
-    return tokenize_documents_batch(docs.take(pa.array(keep, pa.int64())))
+    if not kept:
+        return tokenize_documents_batch(
+            pa.table({"doc_id": pa.array([], pa.string()),
+                      "text": pa.array([], pa.string()),
+                      "source": pa.array([], pa.string())}))
+    return tokenize_documents_batch(pa.concat_tables(kept))
 
 
 def mpdist_vector_small_batch(batch: pa.Table, w: int = 16,
