@@ -740,25 +740,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (reference mpdist.py:145-184 per row)."""
         import pyarrow as pa
 
-        from matrixprofile_1_ray.functions.tokenize import list_column_to_numpy
         from matrixprofile_1_ray.kernels.mpdist import mpdist_vector
+        from matrixprofile_1_ray.stages.slice_rule import (
+            iter_slice_docs,
+            rows_table,
+        )
 
         def per_row(batch):
-            doc_ids, idxs, vals = [], [], []
-            values, offsets = list_column_to_numpy(batch["tokens"])
-            for i in range(len(batch)):
-                ts = values[offsets[i] : offsets[i + 1]].astype("d")
-                if ts.shape[0] < 160:
-                    continue
+            parts = []
+            for doc, ts, _mu, _sig2 in iter_slice_docs(batch, None,
+                                                       min_n=160):
                 vec = mpdist_vector(ts, ts[:64], 16)
-                doc_ids.extend([batch["doc_id"][i].as_py()] * len(vec))
-                idxs.extend(range(len(vec)))
-                vals.extend(vec.tolist())
-            return pa.table({
-                "doc_id": pa.array(doc_ids, pa.string()),
-                "offset": pa.array(idxs, pa.int64()),
-                "mpdist": pa.array(vals, pa.float64()),
-            })
+                parts.append((np.repeat(doc, vec.shape[0]),
+                              np.arange(vec.shape[0], dtype=np.int64), vec))
+            return rows_table([("doc_id", pa.string()),
+                               ("offset", pa.int64()),
+                               ("mpdist", pa.float64())], parts)
 
         return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
             per_row, batch_format="pyarrow")
