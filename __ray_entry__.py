@@ -656,16 +656,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def semi_join_query(sf_dir: str):
         """Lineitems of open orders via broadcast semi-join (keys shipped
         once, per-batch isin — zero shuffle), then one exact aggregate."""
-        import duckdb as _duck
         import pandas as pd
+        import pyarrow.dataset as pads
         import ray.data
         from ray.data.aggregate import Count, Sum
 
         from matrixprofile_1_ray.stages.join import broadcast_semi_join
 
-        open_keys = _duck.connect().execute(
-            f"SELECT o_orderkey FROM read_parquet('{sf_dir}/orders.parquet') "
-            f"WHERE o_orderstatus = 'O'").df()["o_orderkey"].to_numpy()
+        # small-side key fetch: column-pruned, predicate-pushed Parquet
+        # scan (only o_orderkey of the open orders ever reaches the driver)
+        open_keys = pads.dataset(f"{sf_dir}/orders.parquet").to_table(
+            columns=["o_orderkey"],
+            filter=pads.field("o_orderstatus") == "O",
+        )["o_orderkey"].to_numpy()
         li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                                    columns=["l_orderkey", "l_quantity"])
         semi = broadcast_semi_join(li, open_keys, "l_orderkey")
@@ -797,12 +800,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # COARSE hash partitions (not per-key map_groups — Python dispatch
         # per doc id dominates at corpus scale); every (doc, window) row of
         # one doc lands in the same part by construction of the hash
-        import zlib
+        # (vectorized pandas string hash, no per-row Python loop)
+        import pandas as pd
 
         def add_part(batch: pa.Table) -> pa.Table:
-            part = np.array([zlib.crc32(d.encode()) % 32
-                             for d in batch["doc_id"].to_pylist()],
-                            dtype=np.int64)
+            ids = batch["doc_id"].to_pandas().astype(str)
+            part = (pd.util.hash_pandas_object(ids, index=False)
+                    % 32).to_numpy().astype(np.int64)
             return batch.append_column("_part", pa.array(part, pa.int64()))
 
         return (pmp_ds.map_batches(add_part, batch_format="pyarrow")
