@@ -116,6 +116,30 @@ def oracle_sqls():
     return __ray_entry__.oracle_sql()
 
 
+def _compare_frames(name: str, eng: pd.DataFrame, ora: pd.DataFrame,
+                    mismatches: list, equal_nan: bool = True):
+    """Name-sorted-column, row-sorted, dtype-tolerant value compare — the
+    shape of the driver gate's check."""
+    cols = sorted(eng.columns)
+    assert cols == sorted(ora.columns), (name, eng.columns, ora.columns)
+    a = eng[cols].sort_values(cols).reset_index(drop=True)
+    b = ora[cols].sort_values(cols).reset_index(drop=True)
+    if len(a) != len(b):
+        mismatches.append(f"{name}: rows {len(a)} vs {len(b)}")
+        return
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            if not np.array_equal(av.astype("d"), bv.astype("d"),
+                                  equal_nan=equal_nan):
+                mismatches.append(f"{name}: column {c} values differ")
+                return
+        elif not (pd.Series(av).fillna("<N>")
+                  == pd.Series(bv).fillna("<N>")).all():
+            mismatches.append(f"{name}: column {c} values differ")
+            return
+
+
 @pytest.mark.parametrize("seed", SEEDS)
 def test_small_family_differential(oracle_sqls, seed):
     df = _random_corpus(seed)
@@ -126,22 +150,7 @@ def test_small_family_differential(oracle_sqls, seed):
     for name, fn in _engine_fns().items():
         eng = fn(seq).to_pandas()
         ora = con.execute(oracle_sqls[name]).df()
-        cols = sorted(eng.columns)
-        assert cols == sorted(ora.columns), (name, eng.columns, ora.columns)
-        a = eng[cols].sort_values(cols).reset_index(drop=True)
-        b = ora[cols].sort_values(cols).reset_index(drop=True)
-        if len(a) != len(b):
-            mismatches.append(f"{name}: rows {len(a)} vs {len(b)}")
-            continue
-        for c in cols:
-            av, bv = a[c].to_numpy(), b[c].to_numpy()
-            if av.dtype.kind == "f" or bv.dtype.kind == "f":
-                if not np.array_equal(av.astype("d"), bv.astype("d")):
-                    mismatches.append(f"{name}: column {c} values differ")
-                    break
-            elif not (av == bv).all():
-                mismatches.append(f"{name}: column {c} values differ")
-                break
+        _compare_frames(name, eng, ora, mismatches, equal_nan=False)
     assert not mismatches, mismatches
 
 
@@ -197,24 +206,7 @@ def test_text_family_differential_on_edge_corpus(ray_session, oracle_sqls,
         eng = (eng.to_pandas() if hasattr(eng, "to_pandas")
                else eng).reset_index(drop=True)
         ora = con.execute(oracle_sqls[name]).df()
-        cols = sorted(eng.columns)
-        assert cols == sorted(ora.columns), (name, eng.columns, ora.columns)
-        a = eng[cols].sort_values(cols).reset_index(drop=True)
-        b = ora[cols].sort_values(cols).reset_index(drop=True)
-        if len(a) != len(b):
-            mismatches.append(f"{name}: rows {len(a)} vs {len(b)}")
-            continue
-        for c in cols:
-            av, bv = a[c].to_numpy(), b[c].to_numpy()
-            if av.dtype.kind == "f" or bv.dtype.kind == "f":
-                if not np.array_equal(av.astype("d"), bv.astype("d"),
-                                      equal_nan=True):
-                    mismatches.append(f"{name}: column {c} differs")
-                    break
-            elif not (pd.Series(av).fillna("<N>")
-                      == pd.Series(bv).fillna("<N>")).all():
-                mismatches.append(f"{name}: column {c} differs")
-                break
+        _compare_frames(name, eng, ora, mismatches)
     assert not mismatches, mismatches
 
 
@@ -257,3 +249,81 @@ def test_small_family_slices_nonempty(oracle_sqls, seed):
     for name in ("mp_profiles_small", "mp_stomp_small", "snippets_small",
                  "regimes_small", "pick_mp_small"):
         assert len(fns[name](seq)) > 0, name
+
+
+DEDUP_FAMILY = ["dedup_exact", "dedup_minhash_lsh", "dedup_groups",
+                "dedup_jaccard_verified", "simhash", "fingerprints"]
+
+
+def _planted_dup_corpus(seed: int) -> pd.DataFrame:
+    """Dedup-stress corpus the fixed testdata under-represents: exact
+    duplicate families, near-dups straddling the 0.8 Jaccard verify
+    threshold (single-char edits at varied positions), shingle-less docs
+    (< k=5 chars — their MinHash signatures are the all-max SENTINEL, so
+    every such doc shares every LSH band bucket and they all pair with
+    each other; the SQL oracle must reproduce that sentinel path), and
+    random background."""
+    rng = np.random.default_rng(seed)
+
+    def rand_text(n):
+        return "".join(rng.choice(_ALPHABET, n))
+
+    texts = []
+    # exact-dup family of 3 + a pair
+    base_a, base_b = rand_text(120), rand_text(75)
+    texts += [base_a, base_a, base_a, base_b, base_b]
+    # near-dups: one edit in a 200-char doc (jaccard ~0.95, above 0.8),
+    # and heavier edits that fall below the verify threshold
+    base_c = rand_text(200)
+    texts.append(base_c)
+    texts.append(base_c[:100] + ("X" if base_c[100] != "X" else "Y")
+                 + base_c[101:])
+    base_d = rand_text(150)
+    texts.append(base_d)
+    texts.append(base_d[:30] + rand_text(40) + base_d[70:])
+    # shared 64-char block inside otherwise-different docs
+    block = rand_text(64)
+    texts.append(rand_text(30) + block + rand_text(30))
+    texts.append(rand_text(25) + block + rand_text(35))
+    # shingle-less docs (sentinel-signature path) + empty doc
+    texts += ["ab", "xy", "q", ""]
+    # background
+    texts += [rand_text(int(n)) for n in rng.integers(20, 250, 8)]
+    return pd.DataFrame({
+        "doc_id": [f"p{i:03d}" for i in range(len(texts))],
+        "source": [f"s{i % 3}" for i in range(len(texts))],
+        "text": texts,
+    })
+
+
+@pytest.mark.parametrize("seed", [13, 59])
+def test_dedup_family_differential_on_planted_corpus(ray_session,
+                                                     oracle_sqls, seed,
+                                                     tmp_path):
+    """The REAL gate dedup queries (LSH candidates, duplicate groups,
+    exact-Jaccard verify) vs their SQL oracles on corpora with planted
+    duplicate structure — the fixed testdata exercises only its own
+    organic dup pattern."""
+    import __ray_entry__
+
+    df = _planted_dup_corpus(seed)
+    sf = tmp_path / f"dup_sf_{seed}"
+    sf.mkdir()
+    df.to_parquet(sf / "documents.parquet", index=False)
+    con = duckdb.connect()
+    con.register("documents", df)
+    qs = __ray_entry__.queries()
+    mismatches = []
+    n_pairs = 0
+    for name in DEDUP_FAMILY:
+        eng = qs[name](str(sf))
+        eng = (eng.to_pandas() if hasattr(eng, "to_pandas")
+               else eng).reset_index(drop=True)
+        if name == "dedup_minhash_lsh":
+            n_pairs = len(eng)
+        ora = con.execute(oracle_sqls[name]).df()
+        _compare_frames(name, eng, ora, mismatches)
+    assert not mismatches, mismatches
+    # anti-vacuity: the planted structure must actually surface pairs
+    # (incl. the C(4,2)=6 sentinel pairs of the shingle-less docs)
+    assert n_pairs >= 10
