@@ -145,7 +145,7 @@ def fcluster(Z, t, criterion: str = "distance", depth: int = 2, R=None):
                 break
         return _cut(Z, best, m)
     if criterion == "distance":
-        return _cut(Z, t, m, strict=True)
+        return _cut(Z, t, m)
     if criterion in ("inconsistent", "monocrit"):
         stat = (R[:, 3] if criterion == "inconsistent" and R is not None
                 else inconsistent(Z, depth)[:, 3])
@@ -158,9 +158,10 @@ def _num_clusters(Z, h):
     return np.sum(Z[:, 2] > h) + 1
 
 
-def _cut(Z, h, m, strict=False):
-    merge = Z[:, 2] <= h if not strict else Z[:, 2] <= h
-    return _cut_by_mask(Z, merge, m)
+def _cut(Z, h, m):
+    # scipy semantics for both maxclust and distance: merge links with
+    # cophenetic height <= h
+    return _cut_by_mask(Z, Z[:, 2] <= h, m)
 
 
 def _cut_by_mask(Z, merge_mask, m):

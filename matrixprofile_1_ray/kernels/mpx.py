@@ -394,6 +394,14 @@ def tiled_mpx_ab(ts, query, w: int, tile: int):
                 gmp[seg][better] = vals[better]
                 gmpi[seg][better] = idxs[better]
 
+    # same snap-to-1 as mpx_ab (see comment there): identical-window pairs
+    # must come out at distance exactly 0 regardless of tile size.  The
+    # margin is wider than mpx_ab's 1e-13 because each tile re-seeds its
+    # own cumsum, whose rounding error grows with tile length — measured
+    # ~1e-13 at tile=128 already; 1e-11 (ED 2.5e-5 at w=32) still sits
+    # far below any genuinely distinct pair.
+    mp[mp >= 1.0 - 1e-11] = 1.0
+    mpb[mpb >= 1.0 - 1e-11] = 1.0
     np.minimum(mp, 1.0, out=mp)
     np.minimum(mpb, 1.0, out=mpb)
     unmatched_a = mp == -1.0
@@ -430,6 +438,9 @@ def mpx(ts, w: int, query=None, cross_correlation: bool = False,
         "lpi": None,
         "metric": "cross_correlation" if cross_correlation else "euclidean",
         "w": w,
+        # NOT inverted: the reference's mpx dict really does carry ez=0 for
+        # self-joins and ceil(w/4) for joins (algorithms/mpx.py:91), the
+        # opposite of its stomp/scrimp dicts — kept for value parity.
         "ez": int(np.ceil(w / 4.0)) if is_join else 0,
         "join": is_join,
         "sample_pct": 1,

@@ -58,11 +58,11 @@ def exact_dedup(ds, num_partitions: int = 16):
     hashed = ds.map_batches(content_hash_batch, batch_format="pyarrow")
 
     def add_part(batch: pa.Table) -> pa.Table:
-        # first hex bytes of the content hash are uniform — cheap part id
-        part = np.array([int(h[:8], 16) % num_partitions
-                         for h in batch["content_hash"].to_pylist()],
-                        dtype=np.int64)
-        return batch.append_column("_part", pa.array(part, pa.int64()))
+        # hash digests are uniform, so any fixed slice re-hashed gives a
+        # uniform part id — vectorized, no per-row int parse
+        part = _hash_part(batch["content_hash"].to_pandas(), num_partitions)
+        return batch.append_column(
+            "_part", pa.array(part.astype(np.int64), pa.int64()))
 
     def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("content_hash", as_index=False).agg(
@@ -296,6 +296,10 @@ def dedup_groups(pairs_ds, driver_threshold: int = 1_000_000):
     first), a driver-side union-find labels everything in one pass; only
     a pathologically large candidate graph falls back to the distributed
     iterative min-label propagation (:func:`connected_components`)."""
+    # materialize before count(): the candidate chain upstream carries two
+    # shuffles, and count() + to_pandas()/connected_components would
+    # otherwise execute it twice
+    pairs_ds = pairs_ds.materialize()
     n_pairs = pairs_ds.count()
     if n_pairs <= driver_threshold:
         import pandas as pd_

@@ -29,7 +29,7 @@ from ..functions.tokenize import list_column_to_numpy
 from ..kernels.mass import clean_nan_inf, fft_convolve, find_skip_locations
 from ..kernels.moving_stats import moving_avg_std
 from ..kernels.stomp import merge_profiles, stomp_batch
-from ..stages.rollup import TIERS, bucket_reduce
+from ..stages.rollup import TIERS
 
 
 def chunk_sequences_batch(batch: pa.Table, chunk_tokens: int = 4096) -> pa.Table:
@@ -164,6 +164,12 @@ def distributed_mpx(ts, w: int, n_partitions: int = 16):
     pl = sig.shape[0]
     d0 = minlag + 1
 
+    if d0 >= pl:
+        # no admissible diagonals (series barely longer than w): same
+        # all-unmatched profile mpx_self returns, no tasks to launch
+        mp = np.full(pl, -1.0)
+        return np.sqrt(2.0 * w * (1.0 - mp)), np.full(pl, -1, dtype=np.int64)
+
     # equal-work boundaries: cumulative work W(d) = sum_{d0..d}(pl - d)
     diag_costs = pl - np.arange(d0, pl)
     cum = np.cumsum(diag_costs)
@@ -293,6 +299,18 @@ def distributed_stomp(ts, w: int, n_partitions: int = 8):
                 "rmp": pa.array([part["rmp"]], pa.list_(pa.float64())),
                 "rpi": pa.array([part["rpi"]], pa.list_(pa.int64())),
             }))
+        if not outs:
+            # a repartitioned block can hold only zero-width ranges when
+            # profile_length < n_partitions (duplicate linspace bounds)
+            return pa.table({
+                "start": pa.array([], pa.int64()),
+                "mp": pa.array([], pa.list_(pa.float64())),
+                "pi": pa.array([], pa.list_(pa.int64())),
+                "lmp": pa.array([], pa.list_(pa.float64())),
+                "lpi": pa.array([], pa.list_(pa.int64())),
+                "rmp": pa.array([], pa.list_(pa.float64())),
+                "rpi": pa.array([], pa.list_(pa.int64())),
+            })
         return pa.concat_tables(outs)
 
     parts_ds = (ray.data.from_arrow(ranges)

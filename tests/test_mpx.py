@@ -68,6 +68,19 @@ def test_tiled_ab_join_equals_direct(sampledata):
     np.testing.assert_array_equal(t_mpib, mpib)
 
 
+def test_tiled_ab_self_pairs_snap_to_zero(sampledata):
+    """Identical-window pairs must be distance exactly 0 in the tiled
+    decomposition too (mpx_ab snaps; the tile path must match despite its
+    larger per-tile cumsum rounding)."""
+    from matrixprofile_1_ray.kernels.mpx import mpx_ab, tiled_mpx_ab
+
+    mpa, mpia, mpb, mpib = mpx_ab(sampledata, sampledata, 32)
+    t_mpa, _, t_mpb, _ = tiled_mpx_ab(sampledata, sampledata, 32, tile=128)
+    assert (mpa == 0.0).all()
+    np.testing.assert_allclose(t_mpa, mpa, atol=1e-7)
+    np.testing.assert_allclose(t_mpb, mpb, atol=1e-7)
+
+
 def test_fft_seed_path_matches_exact_seed(sampledata):
     """Long-series FFT seeding must agree with the exact BLAS path."""
     import importlib

@@ -98,6 +98,33 @@ def test_distributed_tiled_mpx(ray_session, sampledata):
     np.testing.assert_array_equal(pi_d, pi_s)
 
 
+def test_distributed_mpx_no_admissible_diagonals(ray_session):
+    """w close to n leaves zero diagonals outside minlag — must return the
+    serial all-unmatched profile, not crash on an empty work curve."""
+    from matrixprofile_1_ray.kernels.mpx import mpx_self
+    from matrixprofile_1_ray.state.chunked import distributed_mpx
+
+    ts = np.sin(np.arange(100.0))
+    mp_s, pi_s = mpx_self(ts, 90)
+    mp_d, pi_d = distributed_mpx(ts, 90)
+    np.testing.assert_allclose(mp_d, mp_s)
+    np.testing.assert_array_equal(pi_d, pi_s)
+
+
+def test_distributed_stomp_more_partitions_than_profile(ray_session):
+    """profile_length < n_partitions produces blocks holding only
+    zero-width ranges — they must emit an empty table, not crash."""
+    from matrixprofile_1_ray.kernels import stomp
+    from matrixprofile_1_ray.state.chunked import distributed_stomp
+
+    ts = np.sin(np.arange(12.0))
+    serial = stomp(ts, 6)
+    dist = distributed_stomp(ts, 6, n_partitions=8)
+    for key in ("mp", "lmp", "rmp"):
+        np.testing.assert_allclose(dist[key], serial[key], equal_nan=True)
+    np.testing.assert_array_equal(dist["pi"], serial["pi"])
+
+
 def test_distributed_stomp_equals_serial(ray_session, sampledata):
     from matrixprofile_1_ray.kernels import stomp
     from matrixprofile_1_ray.state.chunked import distributed_stomp
