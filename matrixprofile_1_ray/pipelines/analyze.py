@@ -18,8 +18,10 @@ matplotlib layer has no distributed analog).
 
 from __future__ import annotations
 
+import numpy as np
+
 from ..stages.discover_stage import discords_batch, motifs_batch, regimes_batch
-from ..stages.pmp import maximum_subsequence_batch, pmp_batch, skimp_windows
+from ..stages.pmp import pmp_batch, threshold_pmp_batch
 from ..stages.profile import compute_profiles_batch
 
 
@@ -35,15 +37,21 @@ def compute(ds, windows=None, sample_pct: float = 1.0,
                             batch_format="pyarrow")
 
     if windows is None:
-        # upper-window search per doc, then PMP over 8..upper — the
-        # data-dependent loop runs inside the row kernel
+        # upper-window search per doc, then PMP rows over 8..upper — the
+        # reference's no-windows dispatch (compute.py:116-127)
         return ds.map_batches(
-            lambda b: maximum_subsequence_batch(b, threshold=threshold),
+            lambda b: threshold_pmp_batch(b, threshold=threshold),
             batch_format="pyarrow")
-    if isinstance(windows, (list, tuple, range)) and len(list(windows)) > 1:
-        return ds.map_batches(lambda b: pmp_batch(b, windows),
-                              batch_format="pyarrow")
-    w = int(windows[0] if isinstance(windows, (list, tuple)) else windows)
+    # normalize any iterable (list/tuple/range/ndarray); a single-element
+    # sequence collapses to the scalar dispatch like the reference
+    # (compute.py:103-104)
+    if not np.isscalar(windows):
+        windows = [int(w) for w in np.asarray(windows).reshape(-1)]
+        if len(windows) > 1:
+            return ds.map_batches(lambda b: pmp_batch(b, windows),
+                                  batch_format="pyarrow")
+        windows = windows[0]
+    w = int(windows)
     algorithm = "mpx" if sample_pct >= 1 else "scrimp++"
     return ds.map_batches(
         lambda b: compute_profiles_batch(b, w=w, algorithm=algorithm,

@@ -77,9 +77,6 @@ def flagship_batch(batch, w: int = 32, tiers=None):
     streaming pass over the corpus instead of two."""
     import pyarrow as pa
 
-    from ..stages.profile import compute_profiles_batch
-    from ..stages.rollup import mp_rollup_batch, rollup_batch
-
     token_rolls = rollup_batch(batch, tiers=tiers)
     token_rolls = token_rolls.append_column(
         "kind", pa.array(["token"] * len(token_rolls), pa.string()))

@@ -44,8 +44,19 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def _emb_matrix(batch: pa.Table) -> np.ndarray:
+    if len(batch) == 0:
+        # reshape(0, -1) raises on empty input; callers early-return before
+        # touching the matrix, this is just a typed placeholder
+        return np.empty((0, 0))
     emb, _ = list_column_to_numpy(batch["embedding"])
     return emb.astype("d").reshape(len(batch), -1)
+
+
+_EMPTY_CANDIDATES = pa.table({
+    "query_id": pa.array([], pa.int64()),
+    "vec_id": pa.array([], pa.int64()),
+    "score": pa.array([], pa.float64()),
+})
 
 
 class BruteForceTopK:
@@ -60,6 +71,8 @@ class BruteForceTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_CANDIDATES
         mat = _normalize(_emb_matrix(batch))
         sims = self.queries @ mat.T                      # [n_q, n_batch]
         k = min(self.k, sims.shape[1])
@@ -121,6 +134,8 @@ def fit_centroids(sample: np.ndarray, n_centroids: int = 16,
     """Driver-side mini k-means on a corpus sample (spherical)."""
     rng = np.random.default_rng(seed)
     sample = _normalize(np.asarray(sample, dtype="d"))
+    # degrade on tiny corpora instead of crashing rng.choice
+    n_centroids = min(n_centroids, len(sample))
     cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
     for _ in range(iters):
         assign = np.argmax(sample @ cent.T, axis=1)
@@ -170,6 +185,9 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
             self.centroids = ray.get(cent_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return batch.append_column(
+                    "centroid", pa.array([], pa.int64()))
             mat = _normalize(_emb_matrix(batch))
             assign = np.argmax(mat @ self.centroids.T, axis=1)
             return batch.append_column(
@@ -255,6 +273,8 @@ def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
             ]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return _EMPTY_CANDIDATES
             mat = _normalize(_emb_matrix(batch))
             assign = batch["centroid"].to_numpy(zero_copy_only=False).astype(np.int64)
             vec_ids = batch["vec_id"].to_numpy()

@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .join import _with_part
+
 
 def session_windows(ds, gap_minutes: int = 30, num_partitions: int = 16):
     """Per-user session stats: a session breaks when the gap to the
@@ -28,11 +30,8 @@ def session_windows(ds, gap_minutes: int = 30, num_partitions: int = 16):
     gap = np.timedelta64(gap_minutes * 60, "s")
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_part"] = (pd.util.hash_pandas_object(
-            df["user_id"].astype(str), index=False)
-            % num_partitions).astype(np.int64)
-        return df
+        # shared partition-key scheme (same hash as the join stages)
+        return _with_part(df, ["user_id"], num_partitions, "a")
 
     def sessionize_part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) == 0:
@@ -75,15 +74,22 @@ def sliding_window_counts(ds, window_minutes: int = 60, slide_minutes: int = 15)
 
     w_us = window_minutes * 60 * 1_000_000
     s_us = slide_minutes * 60 * 1_000_000
-    per_event = w_us // s_us
+    # ceil, not floor: when the slide does not divide the window an event
+    # is covered by up to ceil(w/s) starts (floor would silently drop one
+    # covering window per event); the coverage mask below trims any
+    # generated start whose window actually ends at or before the event
+    per_event = -(-w_us // s_us)
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
         ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         last = (ts // s_us) * s_us  # latest window start covering the event
         offs = np.arange(per_event) * s_us
         win_start = (last[:, None] - offs[None, :]).reshape(-1)
+        ts_rep = np.repeat(ts, per_event)
+        covered = win_start + w_us > ts_rep
         etype = np.repeat(df["event_type"].to_numpy(), per_event)
-        out = pd.DataFrame({"event_type": etype, "window_start": win_start})
+        out = pd.DataFrame({"event_type": etype[covered],
+                            "window_start": win_start[covered]})
         return (out.groupby(["event_type", "window_start"], as_index=False)
                 .size().rename(columns={"size": "partial"}))
 

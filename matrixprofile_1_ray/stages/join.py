@@ -14,6 +14,55 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+# The side-tagged union holds blocks of BOTH schemas, so Arrow backfills
+# each side's missing columns with nulls; a plain to_pandas would promote
+# the nulled int columns to float64, silently corrupting integers above
+# 2^53 (and diverging dtypes across parts).  Mapping integer/bool Arrow
+# types to pandas nullable dtypes keeps the values exact end-to-end.
+_NULLABLE_DTYPES = {
+    "int8": pd.Int8Dtype(), "int16": pd.Int16Dtype(),
+    "int32": pd.Int32Dtype(), "int64": pd.Int64Dtype(),
+    "uint8": pd.UInt8Dtype(), "uint16": pd.UInt16Dtype(),
+    "uint32": pd.UInt32Dtype(), "uint64": pd.UInt64Dtype(),
+    "bool": pd.BooleanDtype(),
+}
+
+
+def _nullable_mapper(arrow_type):
+    return _NULLABLE_DTYPES.get(str(arrow_type))
+
+
+def _group_to_pandas(t) -> pd.DataFrame:
+    return t.to_pandas(types_mapper=_nullable_mapper)
+
+
+def _denullify(df: pd.DataFrame) -> pd.DataFrame:
+    """Downcast nullable columns that carry no NA back to their plain numpy
+    dtypes so join outputs keep the input schema (int64 in, int64 out);
+    columns with real nulls stay nullable (exact, Arrow-null-backed)."""
+    for c in df.columns:
+        dt = df[c].dtype
+        if isinstance(dt, pd.api.extensions.ExtensionDtype) \
+                and hasattr(dt, "numpy_dtype") and not df[c].isna().any():
+            df[c] = df[c].astype(dt.numpy_dtype)
+    return df
+
+
+def _tag_arrow(batch, keys, num_partitions: int, side: str):
+    """Tag a side and emit it as an ARROW block (pyarrow in AND out):
+    Ray's Arrow shuffle merge null-fills the other side's missing columns
+    with typed nulls, keeping int64 columns exact.  Any pandas block on
+    this path — pandas input format, pandas-carrying schema metadata —
+    makes the fused sort stage round-trip blocks through pandas, whose
+    NaN backfill promotes int64 to float64 and corrupts ints above 2^53
+    (measured; see test_join big-int case)."""
+    import pyarrow as pa
+
+    df = _with_part(batch.to_pandas(types_mapper=_nullable_mapper),
+                    keys, num_partitions, side)
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    return t.replace_schema_metadata(None)
+
 
 def _with_part(df: pd.DataFrame, keys, num_partitions: int,
                side: str) -> pd.DataFrame:
@@ -59,15 +108,16 @@ def hash_join(ds_a, ds_b, keys, how: str = "inner",
                 + [c + suffixes[1] if c in overlap else c for c in b_val])
 
     a_tagged = ds_a.map_batches(
-        lambda df: _with_part(df, keys, num_partitions, "a"),
-        batch_format="pandas")
+        lambda t: _tag_arrow(t, keys, num_partitions, "a"),
+        batch_format="pyarrow")
     b_tagged = ds_b.map_batches(
-        lambda df: _with_part(df, keys, num_partitions, "b"),
-        batch_format="pandas")
+        lambda t: _tag_arrow(t, keys, num_partitions, "b"),
+        batch_format="pyarrow")
 
     both = a_tagged.union(b_tagged)
 
-    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+    def join_part(t) -> pd.DataFrame:
+        g = _group_to_pandas(t)
         left = g[g["_side"] == "a"].reindex(columns=left_cols)
         right = g[g["_side"] == "b"].reindex(columns=right_cols)
         if left.empty or right.empty:
@@ -77,11 +127,12 @@ def hash_join(ds_a, ds_b, keys, how: str = "inner",
             merged = merged.rename(
                 columns={c: c + (suffixes[0] if how == "left" else suffixes[1])
                          for c in overlap})
-            return merged.reindex(columns=out_cols)
-        return (left.merge(right, on=keys, how=how, suffixes=suffixes)
-                .reindex(columns=out_cols))
+            return _denullify(merged.reindex(columns=out_cols))
+        return _denullify(
+            left.merge(right, on=keys, how=how, suffixes=suffixes)
+            .reindex(columns=out_cols))
 
-    return both.groupby("_part").map_groups(join_part, batch_format="pandas")
+    return both.groupby("_part").map_groups(join_part, batch_format="pyarrow")
 
 
 def broadcast_semi_join(ds, key_values, key, anti: bool = False):
@@ -176,21 +227,22 @@ def bloom_semi_join(ds, keys_ds, key: str, num_bits: int = 1 << 23,
     # exact verification: shuffle only survivors + keys on a coarse hash
     left_cols = list(ds.schema().names)
     left_tagged = survivors.map_batches(
-        lambda df: _with_part(df, [key], num_partitions, "a"),
-        batch_format="pandas")
+        lambda t: _tag_arrow(t, [key], num_partitions, "a"),
+        batch_format="pyarrow")
     keys_only = keys_ds.map_batches(
-        lambda df: _with_part(df[[key]].drop_duplicates(), [key],
-                              num_partitions, "b"),
-        batch_format="pandas")
+        lambda t: _tag_arrow(t.select([key]), [key],
+                             num_partitions, "b"),
+        batch_format="pyarrow")
     both = left_tagged.union(keys_only)
 
-    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+    def verify_part(t) -> pd.DataFrame:
+        g = _group_to_pandas(t)
         left = g[g["_side"] == "a"].reindex(columns=left_cols)
         right_keys = g.loc[g["_side"] == "b", key]
-        return left[left[key].isin(set(right_keys))]
+        return _denullify(left[left[key].isin(set(right_keys.dropna()))])
 
     return both.groupby("_part").map_groups(verify_part,
-                                            batch_format="pandas")
+                                            batch_format="pyarrow")
 
 
 def asof_join(ds_left, ds_right, key, on, right_cols,
@@ -212,16 +264,17 @@ def asof_join(ds_left, ds_right, key, on, right_cols,
         left_cols = [c for c in ds_left.schema().names
                      if c not in right_cols]
     left_tagged = ds_left.map_batches(
-        lambda df: _with_part(df, [key], num_partitions, "a"),
-        batch_format="pandas")
+        lambda t: _tag_arrow(t, [key], num_partitions, "a"),
+        batch_format="pyarrow")
     right_tagged = ds_right.map_batches(
-        lambda df: _with_part(df, [key], num_partitions, "b"),
-        batch_format="pandas")
+        lambda t: _tag_arrow(t, [key], num_partitions, "b"),
+        batch_format="pyarrow")
     both = left_tagged.union(right_tagged)
     out_cols = list(left_cols) + [c for c in right_cols
                                   if c not in left_cols]
 
-    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+    def join_part(t) -> pd.DataFrame:
+        g = _group_to_pandas(t)
         left = g[g["_side"] == "a"].reindex(columns=left_cols)
         # reindex: a part whose blocks are all left-side may lack the right
         # columns entirely (union of heterogeneous schemas)
@@ -229,16 +282,26 @@ def asof_join(ds_left, ds_right, key, on, right_cols,
                  .reindex(columns=[key, on] + list(right_cols)))
         if left.empty:
             return pd.DataFrame(columns=out_cols)
+        # merge_asof rejects nullable-int `on`; within its own side the
+        # column has no nulls, so the exact numpy cast is safe
+        for side_df in (left, right):
+            if isinstance(side_df[on].dtype, pd.api.extensions.ExtensionDtype):
+                side_df[on] = side_df[on].astype(
+                    side_df[on].dtype.numpy_dtype)
         left = left.sort_values(on)
         if right.empty:
             out = left.copy()
             for c in right_cols:
-                out[c] = np.nan
-            return out.reindex(columns=out_cols)
+                dt = _nullable_mapper(t.schema.field(c).type) \
+                    if c in t.schema.names else None
+                out[c] = (pd.Series(pd.NA, index=out.index, dtype=dt)
+                          if dt is not None else np.nan)
+            return _denullify(out.reindex(columns=out_cols))
         right = right.sort_values(on)
-        return (pd.merge_asof(left, right, on=on, by=key,
-                              direction="backward",
-                              allow_exact_matches=allow_exact_matches)
-                .reindex(columns=out_cols))
+        return _denullify(
+            pd.merge_asof(left, right, on=on, by=key,
+                          direction="backward",
+                          allow_exact_matches=allow_exact_matches)
+            .reindex(columns=out_cols))
 
-    return both.groupby("_part").map_groups(join_part, batch_format="pandas")
+    return both.groupby("_part").map_groups(join_part, batch_format="pyarrow")

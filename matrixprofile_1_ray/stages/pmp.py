@@ -17,21 +17,14 @@ from ..kernels.mpx import mpx_self
 from ..kernels.skimp import binary_split, maximum_subsequence
 
 
-def pmp_batch(batch: pa.Table, windows=None, sample_pct: float = 0.1) -> pa.Table:
-    """sequences batch -> one profile row per (doc, window).
-
-    ``windows=None`` sweeps each doc's own default range 8..n/2 in BFS
-    order truncated by ``sample_pct`` (the reference's anytime behavior,
-    skimp.py:161-185); an explicit list computes exactly those windows."""
+def _pmp_rows(batch: pa.Table, select_windows) -> pa.Table:
+    """Shared (doc, window) row emitter: ``select_windows(ts)`` picks each
+    doc's window list, one series pass computes every admissible window."""
     values, offsets = list_column_to_numpy(batch["tokens"])
-    fixed = list(windows) if windows is not None else None
     doc_rows, out_w, out_mp, out_pi = [], [], [], []
     for i in range(len(batch)):
         ts = values[offsets[i] : offsets[i + 1]].astype("d")
-        row_windows = fixed if fixed is not None else (
-            skimp_windows(ts.shape[0], sample_pct=sample_pct)
-            if ts.shape[0] >= 16 else [])
-        for w in row_windows:
+        for w in select_windows(ts):
             if ts.shape[0] < 2 * w:
                 continue
             mp, pi = mpx_self(ts, int(w))
@@ -47,6 +40,44 @@ def pmp_batch(batch: pa.Table, windows=None, sample_pct: float = 0.1) -> pa.Tabl
         "mp": pa.array([m.tolist() for m in out_mp], pa.list_(pa.float64())),
         "pi": pa.array([p.tolist() for p in out_pi], pa.list_(pa.int64())),
     })
+
+
+def pmp_batch(batch: pa.Table, windows=None, sample_pct: float = 0.1) -> pa.Table:
+    """sequences batch -> one profile row per (doc, window).
+
+    ``windows=None`` sweeps each doc's own default range 8..n/2 in BFS
+    order truncated by ``sample_pct`` (the reference's anytime behavior,
+    skimp.py:161-185); an explicit list computes exactly those windows."""
+    fixed = list(windows) if windows is not None else None
+
+    def select(ts):
+        if fixed is not None:
+            return fixed
+        return (skimp_windows(ts.shape[0], sample_pct=sample_pct)
+                if ts.shape[0] >= 16 else [])
+
+    return _pmp_rows(batch, select)
+
+
+def threshold_pmp_batch(batch: pa.Table, threshold: float = 0.98) -> pa.Table:
+    """The reference's no-windows compute() dispatch (compute.py:116-127):
+    per doc, ``maximum_subsequence`` finds the upper window, then the PMP
+    covers ``range(8, upper + 1)``; docs with no admissible upper window
+    emit no rows.  Same output schema as :func:`pmp_batch`."""
+    import warnings
+
+    def select(ts):
+        if ts.shape[0] < 16:
+            return []
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            upper = maximum_subsequence(ts, threshold=threshold)
+        if upper is None or (isinstance(upper, float) and np.isnan(upper)) \
+                or int(upper) < 8:
+            return []
+        return range(8, int(upper) + 1)
+
+    return _pmp_rows(batch, select)
 
 
 def pmp_stage(ds, windows=None, sample_pct: float = 0.1, batch_size: int = 128):
@@ -73,7 +104,10 @@ def assemble_pmp(pmp_table: pa.Table, doc_id: str, windows) -> dict:
     sub = pmp_table.filter(pc.equal(pmp_table["doc_id"], doc_id)).to_pydict()
     order = {int(w): k for k, w in enumerate(sub["w"])}
     windows = [int(w) for w in windows]
-    n = (len(sub["mp"][0]) + windows[0] - 1) if sub["mp"] else 0
+    # series length from the STORED rows only (profile_len + w - 1); seeding
+    # with a requested window would inflate the width when windows[0]
+    # exceeds the first stored row's w
+    n = 0
     for k, w in enumerate(sub["w"]):
         n = max(n, len(sub["mp"][k]) + int(w) - 1)
     pmp = np.full((len(windows), n), np.inf)

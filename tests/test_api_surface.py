@@ -122,8 +122,14 @@ def test_compute_dispatch(ray_session):
     assert set(approx.algorithm) == {"scrimp++"}
     multi = compute(ds, windows=[16, 32]).to_pandas()
     assert set(multi.w) == {16, 32}
-    upper = compute(ds, threshold=0.95).to_pandas()
-    assert "upper_window" in upper.columns
+    # no-windows dispatch returns PMP rows over 8..upper_window per doc
+    # (reference compute.py:116-127), not the bare upper-window table
+    pmp = compute(ds, threshold=0.95).to_pandas()
+    assert {"w", "mp", "pi"} <= set(pmp.columns)
+    assert (pmp.groupby("doc_id").w.min() == 8).all()
+    # single-element iterables collapse to the scalar dispatch
+    one = compute(ds, windows=range(32, 33)).to_pandas()
+    assert set(one.algorithm) == {"mpx"}
 
     profiles, discords, motifs, regimes = analyze(
         ray.data.from_arrow(synthetic_sequences_table(3, seed=31)), window=32)

@@ -210,3 +210,34 @@ def test_frame_sample_batch():
     out = frame_sample_batch(batch, every=10).to_pandas()
     assert list(out[out.media_id == "a"].frame_idx) == [0, 10, 20]
     assert list(out[out.media_id == "b"].frame_idx) == [0]
+
+
+def test_sliding_window_counts_nondividing_slide(ray_session):
+    """slide that does not divide the window: every covering epoch-grid
+    start must be counted (ceil(w/s) candidates, coverage-masked) —
+    checked against a brute-force per-event walk."""
+    from collections import Counter
+
+    import ray.data
+
+    from matrixprofile_1_ray.stages.events import sliding_window_counts
+
+    rng = np.random.default_rng(0)
+    ts = (pd.to_datetime("2024-01-01")
+          + pd.to_timedelta(rng.integers(0, 86400, 200), unit="s"))
+    ev = pd.DataFrame({"ts": ts, "event_type": rng.choice(["a", "b"], 200)})
+    got_df = sliding_window_counts(ray.data.from_pandas(ev),
+                                   window_minutes=60,
+                                   slide_minutes=25).to_pandas()
+
+    s_us, w_us = 25 * 60 * 1_000_000, 60 * 60 * 1_000_000
+    tsi = ts.astype("datetime64[us]").astype(np.int64).to_numpy()
+    want = Counter()
+    for t, e in zip(tsi, ev["event_type"]):
+        g = (t // s_us) * s_us
+        while g + w_us > t:
+            want[(e, g)] += 1
+            g -= s_us
+    got = {(r.event_type, r.window_start): r.n_events
+           for r in got_df.itertuples()}
+    assert got == dict(want)

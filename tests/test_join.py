@@ -179,3 +179,39 @@ def test_order_join_query_oracle(ray_session):
     b = odf[cols].sort_values("o_orderstatus").reset_index(drop=True)
     for c in cols:
         assert pd.Series(a[c].to_numpy()).equals(pd.Series(b[c].to_numpy())), c
+
+
+def test_join_preserves_big_int64(ray_session):
+    """Ints above 2^53 must survive the side-tagged union exactly: a pandas
+    block anywhere on the shuffle path would NaN-backfill and promote to
+    float64, corrupting them."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.join import (asof_join, bloom_semi_join,
+                                                 hash_join)
+
+    big = 2**53 + 1
+    a = pd.DataFrame({"k": ["x", "y", "z"], "ida": [big, big + 2, 7]})
+    b = pd.DataFrame({"k": ["x", "y"], "idb": [big + 4, 5]})
+
+    out = hash_join(ray.data.from_pandas(a), ray.data.from_pandas(b),
+                    "k").to_pandas()
+    assert set(out["ida"]) == {big, big + 2}
+    assert set(out["idb"]) == {big + 4, 5}
+
+    outl = hash_join(ray.data.from_pandas(a), ray.data.from_pandas(b),
+                     "k", how="left").to_pandas()
+    assert set(outl["ida"]) == {big, big + 2, 7}
+
+    la = pd.DataFrame({"u": ["a", "a", "b"], "t": [10, 20, 15],
+                       "lv": [big, big + 2, 3]})
+    ra = pd.DataFrame({"u": ["a", "b"], "t": [5, 12], "rv": [big + 6, 9]})
+    oa = asof_join(ray.data.from_pandas(la), ray.data.from_pandas(ra),
+                   "u", "t", ["rv"]).to_pandas()
+    assert set(oa["lv"]) == {big, big + 2, 3}
+    assert set(oa["rv"].dropna()) <= {big + 6, 9}
+
+    bs = bloom_semi_join(ray.data.from_pandas(a),
+                         ray.data.from_pandas(pd.DataFrame({"k": ["x"]})),
+                         "k").to_pandas()
+    assert set(bs["ida"]) == {big}
