@@ -915,7 +915,9 @@ def _round_score(df):
 def _simhash_sql() -> str:
     """SQL reproduction of the 31-bit SimHash: polynomial k=5 shingle
     hashes mod 2^31-1 (all intermediates < 2^52, BIGINT-safe) and a
-    per-bit majority vote ORed back together."""
+    per-bit majority vote ORed back together.  Docs with 0 < length < 5
+    contribute their single whole-text shingle (shingle_hashes semantics);
+    only zero-length docs fall back to fingerprint 0."""
     h = "CAST(ascii(substr(text, i + 1, 1)) AS BIGINT)"
     for j in range(1, 5):
         h = (f"(({h} * CAST(1000003 AS BIGINT) + "
@@ -929,6 +931,14 @@ sh AS (
   SELECT doc_id, {h} AS h
   FROM (SELECT doc_id, text, unnest(range(length(text) - 4)) AS i
         FROM seq WHERE length(text) >= 5)
+  UNION ALL
+  SELECT doc_id,
+         list_reduce(
+           list_transform(range(length(text)),
+                          j -> CAST(ascii(substr(text, CAST(j AS INTEGER) + 1,
+                                                 1)) AS BIGINT)),
+           (acc, x) -> (acc * 1000003 + x) % 2147483647) AS h
+  FROM seq WHERE length(text) BETWEEN 1 AND 4
 ),
 agg AS (SELECT doc_id, CAST({bits} AS BIGINT) AS fingerprint
         FROM sh GROUP BY doc_id)
@@ -1682,8 +1692,11 @@ def _minhash_pairs_cte() -> str:
     the MinHash-LSH candidate generation (k=5 polynomial shingles in the
     Mersenne-31 field, 64 permutations with the engine's own seeded
     constants inlined, 16 bands of 4 rows keyed by the engine's band-mix
-    polynomial).  Docs with no shingles take the sentinel residue 3
-    (= 2^64-1 mod 2^31-1, the engine's all-max signature)."""
+    polynomial).  Docs with 0 < length < 5 carry ONE shingle — the
+    whole-text polynomial hash (matching functions/dedup.shingle_hashes:
+    distinct short docs must not collide).  Only zero-length docs take the
+    sentinel residue 3 (= 2^64-1 mod 2^31-1, the engine's all-max
+    signature) — empty docs are genuinely identical."""
     a, b = _minhash_perms()
     perms = ",\n    ".join(f"({p}, {int(a[p])}, {int(b[p])})"
                            for p in range(64))
@@ -1697,6 +1710,14 @@ def _minhash_pairs_cte() -> str:
   SELECT doc_id, {h} AS h
   FROM (SELECT doc_id, text, unnest(range(length(text) - 4)) AS i
         FROM seq WHERE length(text) >= 5)
+  UNION ALL
+  SELECT doc_id,
+         list_reduce(
+           list_transform(range(length(text)),
+                          j -> CAST(ascii(substr(text, CAST(j AS INTEGER) + 1,
+                                                 1)) AS BIGINT)),
+           (acc, x) -> (acc * 1000003 + x) % 2147483647) AS h
+  FROM seq WHERE length(text) BETWEEN 1 AND 4
 ), perms(p, a, b) AS (
   VALUES {perms}
 ), sig AS (
@@ -1748,9 +1769,9 @@ def _jaccard_verified_sql() -> str:
     hashes per doc (same Mersenne-31 polynomial as the engine), pairwise
     intersection via an equi-join, |A or B| = |A| + |B| - |A and B|.  Both
     engines divide the same exact integers, so the double is bitwise
-    identical and the >= 0.8 cut decides identically.  Docs below the
-    shingle length (|A| = |B| = 0) take the engine's jaccard([],[]) = 1.0
-    convention."""
+    identical and the >= 0.8 cut decides identically.  Only zero-length
+    docs have |A| = |B| = 0 and take the engine's jaccard([],[]) = 1.0
+    convention (short docs carry their whole-text shingle)."""
     return "WITH " + _minhash_pairs_cte() + """
 , shd AS (SELECT DISTINCT doc_id, h FROM sh)
 , card AS (

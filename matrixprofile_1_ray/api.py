@@ -28,19 +28,19 @@ def compute(ts, windows=None, query=None, sample_pct: float = 1,
             preprocessing_kwargs=None):
     """Reference compute.py:29-145 dispatch on a single series."""
     ts = np.asarray(ts, dtype="d")
-    multiple_windows = (isinstance(windows, (list, tuple, range, np.ndarray))
-                        and len(windows) > 1)
-    no_windows = windows is None or (
-        isinstance(windows, (list, tuple, np.ndarray)) and len(windows) == 0)
+    # normalize every iterable (list/tuple/range/ndarray) to a plain list
+    # so the dispatch below never crashes on e.g. a single-element range
+    if windows is not None and not isinstance(windows, (int, np.integer)):
+        windows = [int(w) for w in windows]
+    multiple_windows = isinstance(windows, list) and len(windows) > 1
+    no_windows = windows is None or windows == []
 
     if no_windows and threshold is None:
         raise ValueError("compute requires a threshold or window(s) to be set!")
-    if ((isinstance(windows, int) and windows < 4)
-            or (multiple_windows and np.any(np.unique(windows) < 4))
-            or (isinstance(windows, (list, tuple, np.ndarray))
-                and len(windows) == 1 and windows[0] < 4)):
+    if ((isinstance(windows, (int, np.integer)) and windows < 4)
+            or (isinstance(windows, list) and any(w < 4 for w in windows))):
         raise ValueError("Compute requires all window sizes to be greater than 3!")
-    if isinstance(windows, (list, tuple, np.ndarray)) and len(windows) == 1:
+    if isinstance(windows, list) and len(windows) == 1:
         windows = windows[0]
 
     kwargs = validate_preprocess_kwargs(preprocessing_kwargs)
@@ -76,17 +76,11 @@ def analyze(ts, query=None, windows=None, sample_pct: float = 1.0,
                          impute_direction=kwargs["impute_direction"],
                          add_noise=kwargs["add_noise"])
 
-    single = isinstance(windows, int) or (
-        isinstance(windows, (list, tuple, np.ndarray)) and len(windows) == 1)
-    if not single:
-        profile = compute(ts, windows=windows, sample_pct=sample_pct,
-                          threshold=threshold)
-    elif sample_pct >= 1:
-        w = int(windows if isinstance(windows, int) else windows[0])
-        profile = mpx(ts, w, query=query)
-    else:
-        w = int(windows if isinstance(windows, int) else windows[0])
-        profile = scrimp_plus_plus(ts, w, query=query, sample_pct=sample_pct)
+    # delegate every path through compute() so its window validation
+    # (reference compute.py:100-101, e.g. windows < 4) always applies —
+    # the single-window branches previously bypassed it
+    profile = compute(ts, windows=windows, query=query,
+                      sample_pct=sample_pct, threshold=threshold)
 
     return _discover_and_figures(profile)
 

@@ -161,7 +161,11 @@ def cmd_ann(args):
         ds = ray.data.read_parquet(emb_path,
                                    columns=["vec_id", "embedding"])
         build_ivf_index(ds, args.index_dir, n_centroids=args.centroids)
-    head = pq.read_table(emb_path).slice(0, args.queries)
+    from .sources.sequences import parquet_head
+
+    # stream only the first --queries rows off the reader — pq.read_table
+    # would materialize the whole embeddings file on the driver
+    head = parquet_head(emb_path, args.queries, ["vec_id", "embedding"])
     qm = np.stack([np.asarray(v, dtype="d")
                    for v in head["embedding"].to_pylist()])
     out = ivf_search(args.index_dir, qm, k=args.k,
@@ -180,7 +184,12 @@ def main(argv=None):
     p.add_argument("--output", required=True)
     p.add_argument("--window", type=int, default=32)
     p.add_argument("--gapfill", default="forward_fill")
-    p.add_argument("--verify-codec", action="store_true", default=True)
+    p.add_argument("--verify-codec", dest="verify_codec",
+                   action="store_true", default=True,
+                   help="per-batch codec round-trip check (default on)")
+    p.add_argument("--no-verify-codec", dest="verify_codec",
+                   action="store_false",
+                   help="skip the codec round-trip check")
     p.add_argument("--partitions", type=int, default=8,
                    help="target number of resume partitions")
     p.add_argument("--files-per-partition", type=int, default=None)

@@ -21,26 +21,47 @@ def shingle_hashes(values: np.ndarray, offsets: np.ndarray, k: int = 5):
     """Per-row k-gram hash multisets.
 
     Returns (flat_hashes, shingle_offsets): row i's shingle hashes are
-    ``flat[shingle_offsets[i]:shingle_offsets[i+1]]`` (rows shorter than k
-    get zero shingles).
+    ``flat[shingle_offsets[i]:shingle_offsets[i+1]]``.
+
+    Rows with 0 < len < k get ONE shingle — the polynomial hash of the
+    whole row.  (Zero shingles for every short row would give them all the
+    identical sentinel MinHash signature, pairing every short doc with
+    every other short doc regardless of content: an O(m^2) bucket blowup
+    and false duplicate groups.  The whole-row hash keeps identical short
+    docs deduplicating while distinct ones stay apart.)  Only zero-length
+    rows get zero shingles — empty docs ARE all identical content, so
+    their sentinel-bucket pairing is correct.
     """
     lengths = np.diff(offsets)
-    n_shingles = np.maximum(lengths - k + 1, 0)
+    n_shingles = np.where(lengths == 0, 0,
+                          np.maximum(lengths - k + 1, 1)).astype(np.int64)
     out_offsets = np.concatenate(([0], np.cumsum(n_shingles))).astype(np.int64)
-    if values.size < k:
-        return np.empty(0, np.uint64), out_offsets
+    flat = np.empty(out_offsets[-1], dtype=np.uint64)
 
-    windows = sliding_window_view(values.astype(np.uint64), k)  # [n-k+1, k]
-    mix = np.zeros(windows.shape[0], dtype=np.uint64)
-    for j in range(k):
-        mix = (mix * _BASE + windows[:, j]) % M31
+    if values.size >= k:
+        windows = sliding_window_view(values.astype(np.uint64), k)  # [n-k+1, k]
+        mix = np.zeros(windows.shape[0], dtype=np.uint64)
+        for j in range(k):
+            mix = (mix * _BASE + windows[:, j]) % M31
+        # keep only windows fully inside one (long-enough) row
+        keep = np.zeros(windows.shape[0], dtype=bool)
+        for i in range(len(lengths)):
+            if lengths[i] >= k:
+                keep[offsets[i] : offsets[i] + n_shingles[i]] = True
+        long_rows = lengths >= k
+        slot_is_short = np.zeros(out_offsets[-1], dtype=bool)
+        short_rows = (lengths > 0) & ~long_rows
+        slot_is_short[out_offsets[:-1][short_rows]] = True
+        flat[~slot_is_short] = mix[keep]
+    else:
+        short_rows = lengths > 0
 
-    # keep only windows fully inside one row
-    keep = np.zeros(windows.shape[0], dtype=bool)
-    for i in range(len(lengths)):
-        if n_shingles[i]:
-            keep[offsets[i] : offsets[i] + n_shingles[i]] = True
-    return mix[keep], out_offsets
+    for i in np.flatnonzero(short_rows):
+        h = np.uint64(0)
+        for v in values[offsets[i] : offsets[i + 1]].astype(np.uint64):
+            h = (h * _BASE + v) % M31
+        flat[out_offsets[i]] = h
+    return flat, out_offsets
 
 
 def minhash_signatures(flat_hashes: np.ndarray, shingle_offsets: np.ndarray,

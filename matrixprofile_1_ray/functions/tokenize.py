@@ -38,10 +38,14 @@ def tokenize_text_column(texts: pa.ChunkedArray | pa.Array) -> pa.ListArray:
         tokens = values.astype(np.int32)
         rel_offsets = (offsets - offsets[0]).astype(np.int32)
     else:
-        # rare path: real code points via utf-32 round-trip
-        joined = "".join(texts.to_pylist())
+        # rare path: real code points via utf-32 round-trip.  Null rows
+        # become empty token lists, matching the ASCII path (their string
+        # buffer contributes zero bytes there)
+        pylist = texts.to_pylist()
+        joined = "".join(t or "" for t in pylist)
         tokens = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int32)
-        lens = np.fromiter((len(t) for t in texts.to_pylist()), count=len(texts), dtype=np.int64)
+        lens = np.fromiter((len(t) if t else 0 for t in pylist),
+                           count=len(pylist), dtype=np.int64)
         rel_offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
 
     return pa.ListArray.from_arrays(pa.array(rel_offsets, type=pa.int32()),

@@ -17,8 +17,10 @@ def fetch_available(root: str, category: str | None = None) -> list[dict]:
         with open(manifest) as fh:
             listings = json.load(fh)
         if category:
+            # `or ""`: a manifest (or our own fallback below) may carry
+            # category: null, which .get's default would pass through
             listings = [l for l in listings
-                        if l.get("category", "").lower() == category.lower()]
+                        if (l.get("category") or "").lower() == category.lower()]
         return listings
     out = []
     for name in sorted(os.listdir(root)):

@@ -159,7 +159,14 @@ def synthetic_sequences_table(num_rows: int, seed: int = 42,
         toks.append(tokens)
         srcs.append(source)
     lens = np.array([len(t) for t in toks], dtype=np.int64)
-    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+    offsets64 = np.concatenate(([0], np.cumsum(lens)))
+    if offsets64.size and offsets64[-1] > np.iinfo(np.int32).max:
+        # ListArray offsets are int32; a silent wrap would corrupt the
+        # column — ask for smaller blocks instead
+        raise ValueError(
+            f"block holds {offsets64[-1]} tokens, exceeding the int32 "
+            "list-offset limit; generate with a smaller rows_per_block")
+    offsets = offsets64.astype(np.int32)
     flat = np.concatenate(toks) if toks else np.empty(0, np.int32)
     tokens_col = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
                                           pa.array(flat, type=pa.int32()))

@@ -149,12 +149,25 @@ def minhash_candidates(ds, k: int = 5, num_perm: int = 64, bands: int = 16,
         df["_part"] = (key % num_partitions).astype(np.int64)
         return df
 
-    def uniq_block(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
+    def uniq_block(df: pd.DataFrame) -> pa.Table:
+        out = df.drop_duplicates(["doc_a", "doc_b"])
+        return pa.table({"doc_a": pa.array(out["doc_a"], pa.string()),
+                         "doc_b": pa.array(out["doc_b"], pa.string())})
 
-    return (cand.map_batches(add_pair_part, batch_format="pandas")
+    uniq = (cand.map_batches(add_pair_part, batch_format="pandas")
             .groupby("_part")
             .map_groups(uniq_block, batch_format="pandas"))
+    # schema anchor: on a dup-free corpus the groupby has no groups, no
+    # UDF ever runs, and the resulting zero-block Dataset forgets its
+    # columns (to_pandas returns a column-less frame); one typed empty
+    # block pins (doc_a, doc_b) at zero cost
+    import ray.data
+
+    anchor = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.string()),
+        "doc_b": pa.array([], pa.string()),
+    }))
+    return uniq.union(anchor)
 
 
 def verify_jaccard_pairs(pairs_df: pd.DataFrame, sequences: pa.Table,

@@ -33,8 +33,15 @@ def gapfill_batch(batch: pa.Table, mode: str = "forward_fill",
             seg = fvals[offsets[i] : offsets[i + 1]]
             if seg.size == 0:
                 continue
-            if not np.isfinite(seg).all():
-                if mode in ("forward_fill", "linear"):
+            finite = np.isfinite(seg)
+            if not finite.all():
+                if not finite.any():
+                    # an all-missing row passes through unchanged (the
+                    # sentinel/NaN values are restored below): one corrupt
+                    # document must not abort the whole partition, and the
+                    # profile kernels' prechecks already skip such windows
+                    pass
+                elif mode in ("forward_fill", "linear"):
                     seg = gapfill(seg, mode)
                 else:
                     seg = impute_missing(seg, window, method=mode)
@@ -43,7 +50,13 @@ def gapfill_batch(batch: pa.Table, mode: str = "forward_fill",
         out = fvals
 
     if is_int:
-        filled = numpy_to_list_column(np.rint(out).astype(values.dtype), offsets)
+        # NaN -> int is undefined; restore the sentinel at any position
+        # that stayed unfilled (all-missing rows)
+        gaps = ~np.isfinite(out)
+        safe = np.where(gaps, 0.0, out)
+        ints = np.rint(safe).astype(values.dtype)
+        ints[gaps] = sentinel
+        filled = numpy_to_list_column(ints, offsets)
     else:
         filled = numpy_to_list_column(out, offsets)
     idx = batch.schema.get_field_index(value_col)

@@ -87,6 +87,13 @@ class DecodeStub:
         return np.asarray(vals, dtype=np.float64) / 4294967296.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            # np.stack([]) raises; empty blocks pass through typed-empty
+            return pa.table({
+                "media_id": batch["media_id"],
+                "mime": batch["mime"],
+                "features": pa.array([], pa.list_(pa.float64())),
+            })
         feats = np.stack([self._decode_payload(p.as_py())
                           for p in batch["payload"].combine_chunks()])
         off = pa.array(np.arange(len(batch) + 1, dtype=np.int32)

@@ -116,6 +116,25 @@ def oracle_sqls():
     return __ray_entry__.oracle_sql()
 
 
+def _to_df(res) -> pd.DataFrame:
+    """Dataset/Table -> DataFrame with the gate tool's empty-schema
+    recovery: Ray 2.49's to_pandas is column-less on any all-empty
+    Dataset, so rebuild the typed columns from the Dataset schema."""
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        schema = res.schema()
+        df = res.to_pandas()
+        if df.empty and schema is not None and not len(df.columns):
+            df = pa.schema(list(zip(schema.names,
+                                    schema.types))).empty_table().to_pandas()
+        return df
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
 def _compare_frames(name: str, eng: pd.DataFrame, ora: pd.DataFrame,
                     mismatches: list, equal_nan: bool = True):
     """Name-sorted-column, row-sorted, dtype-tolerant value compare — the
@@ -202,9 +221,7 @@ def test_text_family_differential_on_edge_corpus(ray_session, oracle_sqls,
     qs = __ray_entry__.queries()
     mismatches = []
     for name in TEXT_FAMILY:
-        eng = qs[name](str(sf))
-        eng = (eng.to_pandas() if hasattr(eng, "to_pandas")
-               else eng).reset_index(drop=True)
+        eng = _to_df(qs[name](str(sf))).reset_index(drop=True)
         ora = con.execute(oracle_sqls[name]).df()
         _compare_frames(name, eng, ora, mismatches)
     assert not mismatches, mismatches
@@ -258,11 +275,12 @@ DEDUP_FAMILY = ["dedup_exact", "dedup_minhash_lsh", "dedup_groups",
 def _planted_dup_corpus(seed: int) -> pd.DataFrame:
     """Dedup-stress corpus the fixed testdata under-represents: exact
     duplicate families, near-dups straddling the 0.8 Jaccard verify
-    threshold (single-char edits at varied positions), shingle-less docs
-    (< k=5 chars — their MinHash signatures are the all-max SENTINEL, so
-    every such doc shares every LSH band bucket and they all pair with
-    each other; the SQL oracle must reproduce that sentinel path), and
-    random background."""
+    threshold (single-char edits at varied positions), short docs
+    (< k=5 chars — one whole-text shingle each, so identical short docs
+    pair and DISTINCT short docs must NOT; the SQL oracle reproduces the
+    whole-text hash), empty docs (zero shingles — the all-max sentinel
+    signature, all empty docs pair as genuinely identical), and random
+    background."""
     rng = np.random.default_rng(seed)
 
     def rand_text(n):
@@ -285,8 +303,10 @@ def _planted_dup_corpus(seed: int) -> pd.DataFrame:
     block = rand_text(64)
     texts.append(rand_text(30) + block + rand_text(30))
     texts.append(rand_text(25) + block + rand_text(35))
-    # shingle-less docs (sentinel-signature path) + empty doc
-    texts += ["ab", "xy", "q", ""]
+    # short docs: an identical pair (must dedup), two distinct singles
+    # (must NOT pair with each other or the pair), plus TWO empty docs
+    # (zero shingles, sentinel path — genuinely identical, must pair)
+    texts += ["ab", "ab", "xy", "q", "", ""]
     # background
     texts += [rand_text(int(n)) for n in rng.integers(20, 250, 8)]
     return pd.DataFrame({
@@ -316,14 +336,22 @@ def test_dedup_family_differential_on_planted_corpus(ray_session,
     mismatches = []
     n_pairs = 0
     for name in DEDUP_FAMILY:
-        eng = qs[name](str(sf))
-        eng = (eng.to_pandas() if hasattr(eng, "to_pandas")
-               else eng).reset_index(drop=True)
+        eng = _to_df(qs[name](str(sf))).reset_index(drop=True)
         if name == "dedup_minhash_lsh":
             n_pairs = len(eng)
+            pair_set = set(zip(eng["doc_a"], eng["doc_b"]))
         ora = con.execute(oracle_sqls[name]).df()
         _compare_frames(name, eng, ora, mismatches)
     assert not mismatches, mismatches
-    # anti-vacuity: the planted structure must actually surface pairs
-    # (incl. the C(4,2)=6 sentinel pairs of the shingle-less docs)
-    assert n_pairs >= 10
+    # anti-vacuity: the planted structure must actually surface pairs —
+    # exact-dup family C(3,2)=3 + dup pair + identical short pair +
+    # identical empty pair at minimum
+    assert n_pairs >= 6
+    # short/empty docs are planted at fixed positions: "ab","ab","xy","q",
+    # "","" are p011..p016 (11 long docs precede them)
+    short_ids = {f"p{i:03d}" for i in range(11, 17)}
+    allowed = {("p011", "p012"),   # identical "ab" pair
+               ("p015", "p016")}   # identical empty pair
+    got_short = {(a, b) for a, b in pair_set
+                 if a in short_ids and b in short_ids}
+    assert got_short == allowed, got_short
