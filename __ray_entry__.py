@@ -110,7 +110,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         motifs_batch,
         regimes_batch,
     )
-    from matrixprofile_1_ray.stages.rollup import mp_rollup_batch
     from matrixprofile_1_ray.stages.text_stage import (
         doc_stats_batch,
         fingerprint_batch,
@@ -163,23 +162,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_round_score, batch_format="pandas")
 
     def ann_ivf_query(sf_dir: str):
-        import hashlib
-
         import ray.data
+
+        from matrixprofile_1_ray.stages.ann import ivf_index_ident
 
         queries_mat = _query_head_embeddings(sf_dir, 4)
         ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                    columns=["vec_id", "embedding"])
-        # persisted index with a recorded input fingerprint (path + size +
-        # mtime): the build is a one-time corpus pass; every query after
-        # reads only the probed partitions, and a regenerated input gets
-        # a fresh index instead of a stale cache (validated INSIDE
-        # ivf_topk against the fingerprint stored at build time)
-        import os as _os
-
-        st = _os.stat(f"{sf_dir}/embeddings.parquet")
-        ident = f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}"
-        tag = hashlib.sha1(ident.encode()).hexdigest()[:10]
+        # persisted index with a recorded identity (path + size + mtime +
+        # build params): the build is a one-time corpus pass; every query
+        # after reads only the probed partitions, and a regenerated input
+        # OR different build params gets a fresh index instead of a stale
+        # cache (validated INSIDE ivf_topk against the stored fingerprint)
+        ident, tag = ivf_index_ident(f"{sf_dir}/embeddings.parquet")
         return ivf_topk(ds, queries_mat, k=5,
                         index_dir=f"/tmp/ivf_index_{tag}",
                         input_fingerprint=ident)
@@ -189,17 +184,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         the persisted-index scan + rerank + refine path must reproduce the
         brute-force answer exactly — which DuckDB can check.  (Partial
         probing stays rows-only: centroid assignment is k-means-derived.)"""
-        import hashlib
-        import os as _os
-
         import ray.data
+
+        from matrixprofile_1_ray.stages.ann import ivf_index_ident
 
         queries_mat = _query_head_embeddings(sf_dir, 4)
         ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                    columns=["vec_id", "embedding"])
-        st = _os.stat(f"{sf_dir}/embeddings.parquet")
-        ident = f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}"
-        tag = hashlib.sha1(ident.encode()).hexdigest()[:10]
+        ident, tag = ivf_index_ident(f"{sf_dir}/embeddings.parquet",
+                                     n_centroids=16)
         out = ivf_topk(ds, queries_mat, k=5, n_centroids=16, nprobe=16,
                        index_dir=f"/tmp/ivf_index_{tag}",
                        input_fingerprint=ident)
@@ -625,7 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         combiner-first grouped aggregate — exact-integer stats only."""
         import pandas as pd
         import ray.data
-        from ray.data.aggregate import Count, Max, Sum
+        from ray.data.aggregate import Max, Sum
 
         from matrixprofile_1_ray.stages.join import hash_join
 
@@ -659,7 +652,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pandas as pd
         import pyarrow.dataset as pads
         import ray.data
-        from ray.data.aggregate import Count, Sum
 
         from matrixprofile_1_ray.stages.join import broadcast_semi_join
 

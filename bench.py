@@ -39,15 +39,18 @@ SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "8"))
 SCALE_ROWS = int(os.environ.get("GRAFT_SCALE_ROWS", "16000"))
 
 
-def synth_path(rows: int = None) -> str:
-    """Deterministic synthetic sequences corpus, generated once (untimed)."""
+def synth_path(rows: int = None, rows_per_block: int = 250) -> str:
+    """Deterministic synthetic sequences corpus, generated once (untimed).
+    ``rows_per_block`` is part of the cache key: the scaling run uses
+    smaller blocks than the headline bench, and reusing the wrong layout
+    would silently skew read parallelism."""
     rows = SYNTH_ROWS if rows is None else rows
-    path = f"/tmp/graft_synth_{rows}_{SYNTH_SEED}"
+    path = f"/tmp/graft_synth_{rows}_{SYNTH_SEED}_b{rows_per_block}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from matrixprofile_1_ray.sources import write_synthetic_sequences
 
         write_synthetic_sequences(path, rows, seed=SYNTH_SEED,
-                                  rows_per_block=250)
+                                  rows_per_block=rows_per_block)
         open(os.path.join(path, "_SUCCESS"), "w").close()
     return path
 
@@ -75,7 +78,7 @@ def run_bench() -> dict:
     from matrixprofile_1_ray.stages.dedup import minhash_candidates
     from matrixprofile_1_ray.stages.discover_stage import corpus_top_discords
     from matrixprofile_1_ray.stages.profile import compute_profiles_batch
-    from matrixprofile_1_ray.stages.rollup import mp_rollup_batch, rollup_batch
+    from matrixprofile_1_ray.stages.rollup import mp_rollup_batch
     from matrixprofile_1_ray.pipelines.flagship import profiles_pipeline
 
     spath = synth_path()
@@ -153,7 +156,9 @@ def run_bench() -> dict:
 
     # 8. ANN brute-force cosine top-k
     def ann_run():
-        head = pq.read_table(f"{SF_DIR}/embeddings.parquet").slice(0, 16)
+        from matrixprofile_1_ray.sources.sequences import parquet_head
+
+        head = parquet_head(f"{SF_DIR}/embeddings.parquet", 16, ["embedding"])
         qm = np.stack([np.asarray(v, dtype="d")
                        for v in head["embedding"].to_pylist()])
         ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet",
@@ -167,9 +172,7 @@ def run_bench() -> dict:
     # untimed (one-time corpus pass); reported on its own, excluded from
     # the headline total (new in round 3 — no round-delta baseline).
     def ann_ivf_q10k(n_q: int = 10000):
-        import hashlib
-
-        from matrixprofile_1_ray.stages.ann import ivf_topk
+        from matrixprofile_1_ray.stages.ann import ivf_index_ident, ivf_topk
 
         tab = pq.read_table(f"{SF_DIR}/embeddings.parquet",
                             columns=["embedding"])
@@ -177,9 +180,7 @@ def run_bench() -> dict:
                          for v in tab["embedding"].to_pylist()])
         reps = int(np.ceil(n_q / base.shape[0]))
         qm = np.tile(base, (reps, 1))[:n_q]
-        st = os.stat(f"{SF_DIR}/embeddings.parquet")
-        ident = f"{SF_DIR}:{st.st_size}:{st.st_mtime_ns}"
-        tag = hashlib.sha1(ident.encode()).hexdigest()[:10]
+        ident, tag = ivf_index_ident(f"{SF_DIR}/embeddings.parquet")
         ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet",
                                    columns=["vec_id", "embedding"])
         kwargs = dict(index_dir=f"/tmp/ivf_bench_{tag}",
@@ -189,9 +190,12 @@ def run_bench() -> dict:
 
     timed("ann_ivf_q10k", ann_ivf_q10k())
 
-    # throughput counters
-    seq_meta = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
-    doc_points = sum(len(t) for t in seq_meta["text"].to_pylist())
+    # throughput counters (aggregate in duckdb — no driver text copy)
+    import duckdb
+
+    doc_points, n_docs = duckdb.sql(
+        f"SELECT sum(length(text)), count(*) FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')").fetchone()
     synth_points = sum(
         pq.read_table(f, columns=["n_tok"])["n_tok"].to_numpy().sum()
         for f in [os.path.join(spath, f) for f in os.listdir(spath)
@@ -200,7 +204,7 @@ def run_bench() -> dict:
     counters["points_per_sec"] = round(
         (doc_points * 4) / max(rollup_secs, 1e-9))      # 4 passes: raw+3 tiers
     counters["seq_per_sec"] = round(
-        (len(seq_meta) + SYNTH_ROWS)
+        (n_docs + SYNTH_ROWS)
         / max(timings["mp_rollup"] + timings["synth_mp_rollup"], 1e-9), 1)
     counters["synth_points"] = int(synth_points)
     counters["rollup_rows"] = int(n_rollup_rows)
@@ -269,20 +273,14 @@ def run_flagship_scaled(num_cpus: int, spath: str) -> dict:
 
 
 def run_scaling() -> dict:
-    spath = f"/tmp/graft_synth_{SCALE_ROWS}_{SYNTH_SEED}"
-    if not os.path.exists(os.path.join(spath, "_SUCCESS")):
-        import ray
+    import ray
 
-        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
-        from matrixprofile_1_ray.sources import write_synthetic_sequences
-
-        write_synthetic_sequences(spath, SCALE_ROWS, seed=SYNTH_SEED,
-                                  rows_per_block=125)
-        open(os.path.join(spath, "_SUCCESS"), "w").close()
-        import ray as _r
-
-        _r.shutdown()
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    # corpus files are 125-row blocks -> plenty of parallelism at both
+    # parallelism levels; distinct cache key from the 250-row headline runs
+    spath = synth_path(SCALE_ROWS, rows_per_block=125)
+    ray.shutdown()
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, GRAFT_SCALE_CPUS=str(ncpu),

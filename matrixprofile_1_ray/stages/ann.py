@@ -129,6 +129,22 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     return _refine_topk(candidates, k)
 
 
+def ivf_index_ident(path: str, n_centroids: int = 16, seed: int = 13,
+                    sample_size: int = 2048) -> tuple:
+    """(input_fingerprint, short tag) for a persisted IVF index over the
+    Parquet file at ``path``.  The BUILD PARAMS are part of the identity:
+    two callers sharing a /tmp dir but building with different
+    n_centroids/seed would otherwise silently reuse each other's index
+    (the staleness check compares only this fingerprint)."""
+    import hashlib
+    import os as _os
+
+    st = _os.stat(path)
+    ident = (f"{path}:{st.st_size}:{st.st_mtime_ns}"
+             f":c{n_centroids}:s{seed}:n{sample_size}")
+    return ident, hashlib.sha1(ident.encode()).hexdigest()[:10]
+
+
 def fit_centroids(sample: np.ndarray, n_centroids: int = 16,
                   iters: int = 10, seed: int = 13) -> np.ndarray:
     """Driver-side mini k-means on a corpus sample (spherical)."""

@@ -152,18 +152,12 @@ def mp_rows_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
         if algorithm == "mpx":
             mp, _ = mpx_self(ts, w)
         elif algorithm == "stomp":
-            from ..kernels.stomp import stomp
-
             if _has_near_perfect_offband_match(
                     ts, w, mu, np.sqrt(np.maximum(sig2, 0)),
                     min_d=int(np.ceil(w / 2.0)) + 1):
                 continue
             mp = stomp(ts, w)["mp"]
         elif algorithm == "scrimp++":
-            import zlib
-
-            from ..kernels.scrimp import scrimp_plus_plus
-
             seed = zlib.crc32(doc.encode()) & 0x7FFFFFFF
             mp = scrimp_plus_plus(ts, w, sample_pct=1.0,
                                   random_state=seed)["mp"]

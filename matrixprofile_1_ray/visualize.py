@@ -45,10 +45,14 @@ def plot_data(profile) -> dict:
             idx = np.asarray(profile["discords"], dtype=int)
             out["discords"] = {"x": idx, "y": mp[idx], "kind": "scatter"}
         if profile.get("motifs"):
-            w = profile["w"]
             starts = np.array([m["motifs"][0] for m in profile["motifs"]])
+            # marks are x POSITIONS everywhere (render_svg draws vertical
+            # rules at them) — both members of each motif pair, never the
+            # window size (which is not a location)
+            pair_starts = np.array(sorted({int(i) for m in profile["motifs"]
+                                           for i in m["motifs"]}), dtype=int)
             out["motifs"] = {"x": starts, "y": mp[starts], "kind": "scatter",
-                             "marks": np.array([w] * len(starts))}
+                             "marks": pair_starts}
     elif _is(profile, "PMP"):
         out["pan_matrix_profile"] = {
             "x": np.asarray(profile["windows"]),
