@@ -106,6 +106,27 @@ def hash_join(ds_a, ds_b, keys, how: str = "inner",
     out_cols = (list(keys)
                 + [c + suffixes[0] if c in overlap else c for c in a_val]
                 + [c + suffixes[1] if c in overlap else c for c in b_val])
+    # target nullable dtype per OUTPUT column, captured from the input
+    # schemas: a part whose right side is empty reindexes the missing
+    # columns as float64 NaN, and one such part poisons the whole result's
+    # type unify (int64 blocks + float64 blocks -> float64, corrupting
+    # ints above 2^53 in MATCHED rows of other parts)
+    a_types = dict(zip(ds_a.schema().names, map(str, ds_a.schema().types)))
+    b_types = dict(zip(ds_b.schema().names, map(str, ds_b.schema().types)))
+    out_dtypes = {}
+    for c in a_val:
+        out_dtypes[c + suffixes[0] if c in overlap else c] = \
+            _NULLABLE_DTYPES.get(a_types.get(c, ""))
+    for c in b_val:
+        out_dtypes[c + suffixes[1] if c in overlap else c] = \
+            _NULLABLE_DTYPES.get(b_types.get(c, ""))
+
+    def _enforce(df: pd.DataFrame) -> pd.DataFrame:
+        for col, dt in out_dtypes.items():
+            if dt is not None and col in df.columns \
+                    and not isinstance(df[col].dtype, type(dt)):
+                df[col] = df[col].astype(dt)
+        return _denullify(df)
 
     a_tagged = ds_a.map_batches(
         lambda t: _tag_arrow(t, keys, num_partitions, "a"),
@@ -127,8 +148,8 @@ def hash_join(ds_a, ds_b, keys, how: str = "inner",
             merged = merged.rename(
                 columns={c: c + (suffixes[0] if how == "left" else suffixes[1])
                          for c in overlap})
-            return _denullify(merged.reindex(columns=out_cols))
-        return _denullify(
+            return _enforce(merged.reindex(columns=out_cols))
+        return _enforce(
             left.merge(right, on=keys, how=how, suffixes=suffixes)
             .reindex(columns=out_cols))
 
@@ -272,6 +293,20 @@ def asof_join(ds_left, ds_right, key, on, right_cols,
     both = left_tagged.union(right_tagged)
     out_cols = list(left_cols) + [c for c in right_cols
                                   if c not in left_cols]
+    # driver-captured right-side dtypes: a part with no right rows must
+    # emit typed NA (not float64 NaN) or its block poisons the whole
+    # result's type unify — see the same guard in hash_join
+    r_types = dict(zip(ds_right.schema().names,
+                       map(str, ds_right.schema().types)))
+    out_dtypes = {c: _NULLABLE_DTYPES.get(r_types.get(c, ""))
+                  for c in right_cols}
+
+    def _enforce(df: pd.DataFrame) -> pd.DataFrame:
+        for col, dt in out_dtypes.items():
+            if dt is not None and col in df.columns \
+                    and not isinstance(df[col].dtype, type(dt)):
+                df[col] = df[col].astype(dt)
+        return _denullify(df)
 
     def join_part(t) -> pd.DataFrame:
         g = _group_to_pandas(t)
@@ -292,13 +327,10 @@ def asof_join(ds_left, ds_right, key, on, right_cols,
         if right.empty:
             out = left.copy()
             for c in right_cols:
-                dt = _nullable_mapper(t.schema.field(c).type) \
-                    if c in t.schema.names else None
-                out[c] = (pd.Series(pd.NA, index=out.index, dtype=dt)
-                          if dt is not None else np.nan)
-            return _denullify(out.reindex(columns=out_cols))
+                out[c] = np.nan
+            return _enforce(out.reindex(columns=out_cols))
         right = right.sort_values(on)
-        return _denullify(
+        return _enforce(
             pd.merge_asof(left, right, on=on, by=key,
                           direction="backward",
                           allow_exact_matches=allow_exact_matches)

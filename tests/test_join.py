@@ -215,3 +215,102 @@ def test_join_preserves_big_int64(ray_session):
                          ray.data.from_pandas(pd.DataFrame({"k": ["x"]})),
                          "k").to_pandas()
     assert set(bs["ida"]) == {big}
+
+
+@pytest.mark.parametrize("seed", [7, 23, 61])
+def test_hash_join_random_differential(ray_session, seed):
+    """Randomized typed-frame differential vs DuckDB: string keys with
+    skew, int64 values spanning past 2^53, floats with NaN — the engine
+    join must match the SQL inner/left join row-for-row."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(seed)
+    keys = [f"k{i}" for i in range(12)]
+    n_a, n_b = 60, 40
+    a = pd.DataFrame({
+        "k": rng.choice(keys, n_a),
+        "ai": rng.integers(2**53 - 5, 2**53 + 60, n_a),
+        "af": np.where(rng.random(n_a) < 0.2, np.nan, rng.random(n_a)),
+    })
+    b = pd.DataFrame({
+        "k": rng.choice(keys[:8], n_b),
+        "bi": rng.integers(-2**62, 2**62, n_b),
+    })
+    con = duckdb.connect()
+    con.register("ta", a)
+    con.register("tb", b)
+
+    def arrow_pandas(ds):
+        """Collect via Arrow (exact) — pandas' own int64-with-null ->
+        float64 conversion would corrupt the big ints at the last step."""
+        import pyarrow as pa
+
+        tabs = list(ds.iter_batches(batch_format="pyarrow"))
+        t = pa.concat_tables(tabs, promote_options="permissive")
+        return t.to_pandas(types_mapper=lambda typ: pd.Int64Dtype()
+                           if str(typ) == "int64" else None)
+
+    for how, sql_how in (("inner", "JOIN"), ("left", "LEFT JOIN")):
+        eng = arrow_pandas(hash_join(ray.data.from_pandas(a),
+                                     ray.data.from_pandas(b),
+                                     "k", how=how, num_partitions=5))
+        # fetch via Arrow: duckdb's .df() converts nullable int64 to
+        # float64, corrupting the oracle's own big ints
+        ora = con.execute(
+            f"SELECT ta.k, ta.ai, ta.af, tb.bi FROM ta {sql_how} tb "
+            f"USING (k)").arrow().to_pandas(
+            types_mapper=lambda typ: pd.Int64Dtype()
+            if str(typ) == "int64" else None)
+        cols = ["k", "ai", "af", "bi"]
+        ea = (eng[cols].sort_values(cols).reset_index(drop=True))
+        oa = (ora[cols].sort_values(cols).reset_index(drop=True))
+        assert len(ea) == len(oa), how
+        for c in ("k",):
+            assert (ea[c].to_numpy() == oa[c].to_numpy()).all(), (how, c)
+        for c in ("ai", "bi"):
+            ev = pd.Series(ea[c]).astype("Int64")
+            ov = pd.Series(oa[c]).astype("Int64")
+            assert ev.equals(ov), (how, c)
+        np.testing.assert_allclose(ea["af"].to_numpy(dtype="d"),
+                                   oa["af"].to_numpy(dtype="d"),
+                                   equal_nan=True)
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_asof_join_random_differential(ray_session, seed):
+    """Randomized asof differential vs pandas merge_asof ground truth on
+    the whole frame (the engine partitions by key, so equality proves the
+    partitioned merge loses nothing)."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(seed)
+    users = [f"u{i}" for i in range(6)]
+    left = pd.DataFrame({
+        "u": rng.choice(users, 50),
+        "t": rng.integers(0, 1000, 50),
+        "lv": rng.integers(2**53, 2**53 + 99, 50),
+    })
+    right = pd.DataFrame({
+        "u": rng.choice(users, 30),
+        "t": rng.integers(0, 1000, 30),
+        "rv": rng.integers(0, 10**6, 30),
+    })
+    eng = asof_join(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                    "u", "t", ["rv"], num_partitions=4).to_pandas()
+    # ground truth: single global merge_asof (dedupe right like the engine
+    # receives it — backward direction keeps the latest t <= left t)
+    truth = pd.merge_asof(left.sort_values("t"),
+                          right.sort_values("t"),
+                          on="t", by="u", direction="backward")
+    cols = ["u", "t", "lv", "rv"]
+    ea = eng[cols].sort_values(cols).reset_index(drop=True)
+    ta = truth[cols].sort_values(cols).reset_index(drop=True)
+    assert len(ea) == len(ta)
+    assert (ea["lv"].astype("Int64").to_numpy()
+            == ta["lv"].astype("Int64").to_numpy()).all()
+    np.testing.assert_allclose(ea["rv"].to_numpy(dtype="d"),
+                               ta["rv"].to_numpy(dtype="d"), equal_nan=True)
