@@ -114,7 +114,15 @@ def cmd_dedup(args):
     # streaming source: the corpus flows as Dataset blocks end-to-end (two
     # lazy passes over it: one for LSH candidates, one for the candidate
     # docs' shingles inside the verify)
-    ds = sequences_from_documents(args.input).repartition(args.num_cpus * 2)
+    ds = sequences_from_documents(args.input)
+    try:
+        few_files = len(ds.input_files()) < args.num_cpus
+    except Exception:
+        few_files = True
+    if few_files:
+        # split only under-parallelized (single/few-file) inputs; a
+        # many-file corpus must not pay this all-to-all
+        ds = ds.repartition(args.num_cpus * 2)
     # materialize only the SMALL pair tables: Datasets are lazy and
     # uncached, so a count() on a lazy stage would re-run its whole
     # upstream chain — the pair tables are orders of magnitude smaller

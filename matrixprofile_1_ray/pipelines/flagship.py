@@ -31,6 +31,15 @@ def sequences_pipeline(sf_dir: str, gapfill_mode: str = "forward_fill",
 
         cpus = int(ray.cluster_resources().get("CPU", 4))
         num_blocks = 2 * cpus
+        # the auto split exists for single/few-file test inputs; a corpus
+        # that already arrives in >= num_blocks files has all the read
+        # parallelism it needs and must NOT pay this all-to-all (metadata
+        # check only — input_files never triggers execution)
+        try:
+            if len(ds.input_files()) >= num_blocks:
+                num_blocks = 0
+        except Exception:
+            pass
     if num_blocks:
         ds = ds.repartition(num_blocks)
     ds = ds.map_batches(lambda b: gapfill_batch(b, mode=gapfill_mode),
