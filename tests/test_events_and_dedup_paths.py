@@ -241,3 +241,73 @@ def test_sliding_window_counts_nondividing_slide(ray_session):
     got = {(r.event_type, r.window_start): r.n_events
            for r in got_df.itertuples()}
     assert got == dict(want)
+
+
+@pytest.mark.parametrize("wm,sm", [(60, 25), (45, 20), (90, 40), (30, 30)])
+def test_sliding_window_counts_param_sweep(ray_session, wm, sm):
+    """Window/slide combos (dividing and non-dividing) vs the brute-force
+    per-event covering-window walk."""
+    from collections import Counter
+
+    import ray.data
+
+    from matrixprofile_1_ray.stages.events import sliding_window_counts
+
+    rng = np.random.default_rng(wm * 100 + sm)
+    ts = (pd.to_datetime("2024-03-05")
+          + pd.to_timedelta(rng.integers(0, 86400, 120), unit="s"))
+    ev = pd.DataFrame({"ts": ts, "event_type": rng.choice(["a", "b", "c"],
+                                                          120)})
+    got_df = sliding_window_counts(ray.data.from_pandas(ev),
+                                   window_minutes=wm,
+                                   slide_minutes=sm).to_pandas()
+    s_us, w_us = sm * 60 * 1_000_000, wm * 60 * 1_000_000
+    tsi = ts.astype("datetime64[us]").astype(np.int64).to_numpy()
+    want = Counter()
+    for t, e in zip(tsi, ev["event_type"]):
+        g = (t // s_us) * s_us
+        while g + w_us > t:
+            want[(e, g)] += 1
+            g -= s_us
+    got = {(r.event_type, r.window_start): r.n_events
+           for r in got_df.itertuples()}
+    assert got == dict(want)
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+def test_session_windows_random_differential(ray_session, seed):
+    """Randomized sessionization vs a naive per-user walk (covers session
+    breaks at exactly the gap boundary and single-event users)."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.events import session_windows
+
+    rng = np.random.default_rng(seed)
+    gap_min = 30
+    users = [f"u{i}" for i in range(9)]
+    n = 300
+    ev = pd.DataFrame({
+        "user_id": rng.choice(users, n),
+        "ts": (pd.to_datetime("2024-03-05")
+               + pd.to_timedelta(rng.integers(0, 6 * 3600, n), unit="s")),
+    })
+    # plant an exact-gap pair (gap == threshold must NOT break the session)
+    ev.loc[0, ["user_id", "ts"]] = ["uX", pd.to_datetime("2024-03-06")]
+    ev.loc[1, ["user_id", "ts"]] = [
+        "uX", pd.to_datetime("2024-03-06") + pd.Timedelta(minutes=gap_min)]
+    got = (session_windows(ray.data.from_pandas(ev), gap_minutes=gap_min)
+           .to_pandas().set_index("user_id").sort_index())
+
+    gap = np.timedelta64(gap_min * 60, "s")
+    want = {}
+    for u, grp in ev.groupby("user_id"):
+        t = np.sort(grp["ts"].to_numpy())
+        breaks = np.concatenate(([True], np.diff(t) > gap))
+        sid = np.cumsum(breaks)
+        sizes = np.bincount(sid)[1:]
+        want[u] = (int(sid[-1]), len(t), int(sizes.max()))
+    assert len(got) == len(want)
+    for u, (ns, ne, mx) in want.items():
+        row = got.loc[u]
+        assert (int(row.n_sessions), int(row.n_events),
+                int(row.max_session_events)) == (ns, ne, mx), u
