@@ -117,6 +117,65 @@ def media_features_stage(ds, feature_dim: int = 16, strict: bool = False,
         concurrency=concurrency)
 
 
+class ResizeStub:
+    """Resize plumbing as an actor-pool stage: clamps each image's
+    declared dims to fit inside ``(max_w, max_h)`` preserving aspect ratio
+    and rewrites the metadata; the payload passes through opaque.  In
+    strict mode the pixel-level resample raises like ``DecodeStub`` (no
+    image codec in this container) — swap ``_resize_payload`` for a real
+    PIL ``Image.resize`` call on a cluster that has it."""
+
+    def __init__(self, max_w: int = 224, max_h: int = 224,
+                 strict: bool = False):
+        self.max_w = int(max_w)
+        self.max_h = int(max_h)
+        self.strict = strict
+
+    def _resize_payload(self, payload: bytes, w: int, h: int) -> bytes:
+        if self.strict:
+            raise NotImplementedError(
+                "image codecs are not available in this container; plug a "
+                "real resampler here (PIL.Image.open(...).resize(...))")
+        return payload  # opaque pass-through in stub mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        w = batch["width"].to_numpy().astype(np.float64)
+        h = batch["height"].to_numpy().astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scale = np.minimum(1.0, np.minimum(
+                np.where(w > 0, self.max_w / w, 1.0),
+                np.where(h > 0, self.max_h / h, 1.0)))
+        new_w = np.maximum(1, np.floor(w * scale)).astype(np.int32)
+        new_h = np.maximum(1, np.floor(h * scale)).astype(np.int32)
+        new_w[w == 0] = 0
+        new_h[h == 0] = 0
+        payloads = pa.array(
+            [self._resize_payload(p.as_py(), int(nw), int(nh))
+             for p, nw, nh in zip(batch["payload"].combine_chunks(),
+                                  new_w, new_h)], pa.binary())
+        out = batch.set_column(batch.schema.get_field_index("payload"),
+                               "payload", payloads)
+        out = out.set_column(out.schema.get_field_index("width"), "width",
+                             pa.array(new_w, pa.int32()))
+        return out.set_column(out.schema.get_field_index("height"), "height",
+                              pa.array(new_h, pa.int32()))
+
+
+def resize_stage(ds, max_w: int = 224, max_h: int = 224,
+                 strict: bool = False, concurrency=(1, 4),
+                 batch_size: int = 32):
+    """Actor-pool resize over a media Dataset (small batches — payloads
+    are large; same sizing rationale as :func:`media_features_stage`)."""
+    return ds.map_batches(
+        ResizeStub,
+        fn_constructor_kwargs={"max_w": max_w, "max_h": max_h,
+                               "strict": strict},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
 def frame_sample_batch(batch: pa.Table, every: int = 10) -> pa.Table:
     """Frame-sampling plumbing for video rows: emits (media_id, frame_idx)
     rows for frames 0, every, 2*every, ... of a declared frame count."""

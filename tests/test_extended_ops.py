@@ -208,3 +208,38 @@ def test_profiles_persist_roundtrip(ray_session, tmp_path):
     prof_dict = profile_row_to_dict(row)
     out = top_k_discords(prof_dict, k=2)
     assert len(out["discords"]) >= 1
+
+
+def test_resize_stage_clamps_dims(ray_session):
+    """Resize plumbing: aspect-preserving clamp of declared dims, opaque
+    payload pass-through in stub mode, strict mode raises."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.multimodal import (
+        ResizeStub,
+        make_fake_media_table,
+        resize_stage,
+    )
+
+    media = make_fake_media_table(12, seed=3)
+    out = (resize_stage(ray.data.from_arrow(media), max_w=64, max_h=48)
+           .to_pandas().set_index("media_id").sort_index())
+    src = media.to_pandas().set_index("media_id").sort_index()
+    assert (out.width <= 64).all() and (out.height <= 48).all()
+    # aspect ratio preserved (floor rounding tolerance)
+    scale = np.minimum(1.0, np.minimum(64 / src.width, 48 / src.height))
+    np.testing.assert_array_equal(out.width.to_numpy(),
+                                  np.floor(src.width * scale).astype(int))
+    np.testing.assert_array_equal(out.height.to_numpy(),
+                                  np.floor(src.height * scale).astype(int))
+    # payload untouched in stub mode
+    assert (out.payload == src.payload).all()
+    # already-small images unchanged
+    small = make_fake_media_table(4, seed=9)
+    out2 = (resize_stage(ray.data.from_arrow(small), max_w=1024, max_h=1024)
+            .to_pandas().set_index("media_id").sort_index())
+    src2 = small.to_pandas().set_index("media_id").sort_index()
+    assert (out2.width == src2.width).all()
+    with pytest.raises(Exception):
+        resize_stage(ray.data.from_arrow(small), max_w=8, max_h=8,
+                     strict=True).take_all()
