@@ -127,7 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def seq_stage(fn, **kwargs):
         def run(sf_dir: str):
             ds = sequences_pipeline(sf_dir, verify_codec=False)
-            return ds.map_batches(lambda b: fn(b, **kwargs) if kwargs else fn(b),
+            return ds.map_batches(lambda b: fn(b, **kwargs),
                                   batch_format="pyarrow")
         return run
 
@@ -223,6 +223,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             verify_jaccard_bucketed,
         )
 
+        # two passes over the lazy sequences chain by DESIGN: the LSH
+        # candidate pass and the candidate-shingle pass each re-read from
+        # Parquet — at corpus scale a second column-pruned scan is cheaper
+        # than materializing the whole tokenized corpus in the object
+        # store between passes (the verify side additionally prunes to
+        # candidate docs before shingling)
         seqs = sequences_pipeline(sf_dir, verify_codec=False)
         return verify_jaccard_bucketed(minhash_candidates(seqs), seqs,
                                        k=5, threshold=0.8)
@@ -545,14 +551,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # Ray 2.49 to_pandas on empty); the SQL oracle is empty too
             return pd.DataFrame({"doc_id": pd.Series([], dtype=object),
                                  "cluster": pd.Series([], dtype=object)})
+        from matrixprofile_1_ray.stages.pairs import condensed_from_pairs
+
         ids = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
-        pos = {d: k for k, d in enumerate(ids)}
-        m = len(ids)
-        Y = np.zeros(m * (m - 1) // 2)
-        for a, b, v in zip(pairs["doc_a"], pairs["doc_b"],
-                           pairs["mpdist"]):
-            i, j = sorted((pos[a], pos[b]))
-            Y[m * i - i * (i + 1) // 2 + (j - i - 1)] = v
+        # inf fill = "no edge" for any slot without a pair row, matching
+        # the SQL oracle's graph-components semantics (a zeros init would
+        # silently fuse such docs into one cluster)
+        Y = condensed_from_pairs(pairs, ids)
         out = hierarchical_clusters(None, 16, t=0.6, method="single",
                                     criterion="distance",
                                     precomputed_distances=Y)
@@ -637,14 +642,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 sum_qty=("l_quantity", "sum"),
                 max_qty=("l_quantity", "max"))
 
-        out = (joined.map_batches(partial, batch_format="pandas")
-               .groupby("o_orderstatus")
-               .aggregate(Sum("n_lines", alias_name="n_lines"),
-                          Sum("sum_qty", alias_name="sum_qty"),
-                          Max("max_qty", alias_name="max_qty")))
-        return out.map_batches(
-            lambda df: df.assign(n_lines=df["n_lines"].astype("int64")),
-            batch_format="pandas")
+        # Ray's Sum keeps int64 partials int64 (same pattern as
+        # events_rollup / sliding_event_counts, both BIGINT-oracle-green)
+        return (joined.map_batches(partial, batch_format="pandas")
+                .groupby("o_orderstatus")
+                .aggregate(Sum("n_lines", alias_name="n_lines"),
+                           Sum("sum_qty", alias_name="sum_qty"),
+                           Max("max_qty", alias_name="max_qty")))
 
     def semi_join_query(sf_dir: str):
         """Lineitems of open orders via broadcast semi-join (keys shipped
@@ -792,13 +796,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # COARSE hash partitions (not per-key map_groups — Python dispatch
         # per doc id dominates at corpus scale); every (doc, window) row of
         # one doc lands in the same part by construction of the hash
-        # (vectorized pandas string hash, no per-row Python loop)
+        # (vectorized pandas string hash, no per-row Python loop).  The
+        # part count scales with the cluster so one part never holds more
+        # than ~1/(2*cpus) of the corpus PMP rows (a fixed literal would
+        # cap parallelism AND per-part memory at large corpora).
         import pandas as pd
+        import ray as _ray
+
+        n_parts = max(32, 2 * int(_ray.cluster_resources().get("CPU", 4)))
 
         def add_part(batch: pa.Table) -> pa.Table:
             ids = batch["doc_id"].to_pandas().astype(str)
             part = (pd.util.hash_pandas_object(ids, index=False)
-                    % 32).to_numpy().astype(np.int64)
+                    % n_parts).to_numpy().astype(np.int64)
             return batch.append_column("_part", pa.array(part, pa.int64()))
 
         return (pmp_ds.map_batches(add_part, batch_format="pyarrow")

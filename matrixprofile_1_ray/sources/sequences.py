@@ -57,17 +57,25 @@ def sequences_table_from_documents(sf_dir: str) -> pa.Table:
 
 
 def parquet_head(path: str, n: int, columns: list[str]) -> pa.Table:
-    """First ``n`` file-order rows of a Parquet file as one streamed record
-    batch — never materializes the file on the driver (at 100 TB this
-    touches a single row group of one shard).  A zero-row file yields a
-    typed-empty table, not StopIteration."""
+    """First ``n`` file-order rows of a Parquet file, streamed — never
+    materializes the file on the driver (at 100 TB this touches the first
+    row group(s) of one shard).  Accumulates batches until ``n`` rows:
+    ``iter_batches`` never coalesces across row groups, so a single
+    ``next()`` would silently under-deliver on files whose first row
+    group is smaller than ``n``.  A zero-row file yields a typed-empty
+    table."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
-    head = next(pf.iter_batches(batch_size=n, columns=columns), None)
-    if head is None:
+    batches, have = [], 0
+    for batch in pf.iter_batches(batch_size=n, columns=columns):
+        batches.append(batch)
+        have += len(batch)
+        if have >= n:
+            break
+    if not batches:
         return pf.schema_arrow.empty_table().select(columns)
-    return pa.Table.from_batches([head])
+    return pa.Table.from_batches(batches).slice(0, n)
 
 
 def iter_docs_lex(sf_dir: str, columns=("doc_id", "text"),

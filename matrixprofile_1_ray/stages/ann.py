@@ -340,10 +340,61 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
     if index_dir is None:
         index_dir = tempfile.mkdtemp(prefix="ivf_index_")
     marker = os.path.join(index_dir, "_centroids.parquet")
-    stale = (os.path.exists(marker) and input_fingerprint is not None
-             and ivf_index_fingerprint(index_dir) != input_fingerprint)
-    if stale or not os.path.exists(marker):
-        build_ivf_index(ds, index_dir, n_centroids=n_centroids,
-                        sample_size=sample_size, seed=seed,
-                        input_fingerprint=input_fingerprint or "")
+
+    def _needs_build() -> bool:
+        if not os.path.exists(marker):
+            return True
+        return (input_fingerprint is not None
+                and ivf_index_fingerprint(index_dir) != input_fingerprint)
+
+    if _needs_build():
+        # cross-process build mutex: two concurrent callers sharing the
+        # dir would otherwise both clean+rebuild, one deleting partitions
+        # while the other scans them.  (A reader that validated BEFORE a
+        # rebuild started can still race it — acceptable for a cache dir;
+        # use per-corpus-version dirs for full isolation.)
+        _locked_build(index_dir, _needs_build,
+                      lambda: build_ivf_index(
+                          ds, index_dir, n_centroids=n_centroids,
+                          sample_size=sample_size, seed=seed,
+                          input_fingerprint=input_fingerprint or ""))
     return ivf_search(index_dir, queries, k=k, nprobe=nprobe)
+
+
+def _locked_build(index_dir: str, needs_build, build_fn,
+                  timeout_s: float = 600.0):
+    """Run ``build_fn`` under an exclusive lock file next to the index;
+    re-checks ``needs_build()`` after acquiring (the previous holder may
+    have already built it).  Stale locks older than ``timeout_s`` are
+    stolen (dead builder)."""
+    import time as _time
+
+    lock = index_dir.rstrip("/") + ".build_lock"
+    parent = os.path.dirname(lock)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    t0 = _time.time()
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if _time.time() - os.path.getmtime(lock) > timeout_s:
+                    os.unlink(lock)
+                    continue
+            except FileNotFoundError:
+                continue
+            if _time.time() - t0 > timeout_s:
+                raise TimeoutError(f"IVF build lock held too long: {lock}")
+            _time.sleep(0.2)
+    try:
+        if needs_build():
+            build_fn()
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass

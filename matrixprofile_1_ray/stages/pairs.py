@@ -110,25 +110,37 @@ def mpdist_pairs(sequences: pa.Table, w: int, threshold: float = 0.05,
                                 concurrency=auto_concurrency())
 
 
+def condensed_from_pairs(pairs_df, ids, value_col: str = "mpdist",
+                         fill: float = np.inf) -> np.ndarray:
+    """Condensed distance matrix (scipy ``pdist`` layout over ``ids``
+    order) filled from a (doc_a, doc_b, value) pair frame — vectorized
+    column arithmetic, no per-row Python.  Slots without a pair row keep
+    ``fill`` (inf = "no edge": single linkage at a finite cut then never
+    merges them, matching a no-edge graph-components oracle)."""
+    index = {d: i for i, d in enumerate(ids)}
+    m = len(ids)
+    dm = np.full((m * (m - 1)) // 2, fill, dtype="d")
+    if m < 2 or len(pairs_df) == 0:
+        return dm
+    i = pairs_df["doc_a"].map(index).to_numpy(dtype=np.int64)
+    j = pairs_df["doc_b"].map(index).to_numpy(dtype=np.int64)
+    lo, hi = np.minimum(i, j), np.maximum(i, j)
+    dm[m * lo + hi - ((lo + 2) * (lo + 1)) // 2] = \
+        pairs_df[value_col].to_numpy(dtype="d")
+    return dm
+
+
 def pairwise_dist_distributed(sequences: pa.Table, w: int,
                               threshold: float = 0.05) -> np.ndarray:
     """Condensed distance matrix via the distributed pairs table — same
-    layout as kernels.mpdist.pairwise_dist.  Condensed indices are computed
-    with column arithmetic (no per-row Python)."""
+    layout as kernels.mpdist.pairwise_dist."""
     ids = sequences["doc_id"].to_pylist()
-    index = {d: i for i, d in enumerate(ids)}
-    m = len(ids)
-    dm = np.empty((m * (m - 1)) // 2, dtype="d")
-    if m < 2:
+    if len(ids) < 2:
         # no pairs: the empty Dataset's to_pandas is column-less (Ray
-        # 2.49), so indexing doc_a below would KeyError
-        return dm
+        # 2.49), so indexing doc_a downstream would KeyError
+        return np.empty(0, dtype="d")
     out = mpdist_pairs(sequences, w, threshold=threshold).to_pandas()
-    i = out["doc_a"].map(index).to_numpy(dtype=np.int64)
-    j = out["doc_b"].map(index).to_numpy(dtype=np.int64)
-    lo, hi = np.minimum(i, j), np.maximum(i, j)
-    dm[m * lo + hi - ((lo + 2) * (lo + 1)) // 2] = out["mpdist"].to_numpy()
-    return dm
+    return condensed_from_pairs(out, ids)
 
 
 def hierarchical_clusters_distributed(sequences: pa.Table, w: int, t,
