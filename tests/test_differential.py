@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-SEEDS = [3, 11, 29, 47, 101]
+SEEDS = [3, 11, 29, 47, 101, 211, 503]
 _BOUNDARY_LENGTHS = [31, 32, 33, 47, 48, 49, 63, 64, 65,
                      127, 128, 129, 191, 192, 255, 256, 257]
 _ALPHABET = np.array(list(string.ascii_letters + string.digits + " .,!?"))
