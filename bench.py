@@ -297,7 +297,10 @@ def run_scaling() -> dict:
     # bimodal: identical 8-cpu runs land at ~26 s or ~32 s depending on
     # neighbor load) — the minimum measures the engine, not the neighbors.
     # The hi level is cheap, so it gets an extra attempt.
-    r_lo = min((run(SCALE_LO) for _ in range(2)), key=lambda r: r["sec"])
+    # three lo attempts: the ~2-min lo leg is the one long enough to sit
+    # entirely inside a host throttle window (two in a row measured 122 s
+    # against quiet bracketing probes), so it needs the extra chance most
+    r_lo = min((run(SCALE_LO) for _ in range(3)), key=lambda r: r["sec"])
     r_hi = min((run(SCALE_HI) for _ in range(3)), key=lambda r: r["sec"])
     eff = (r_lo["sec"] / r_hi["sec"]) / (SCALE_HI / SCALE_LO)
     return {
