@@ -21,15 +21,11 @@ from .mass import apply_exclusion_zone
 from .moving_stats import moving_avg_std
 
 
-def _anchor_distance_profiles(ts, anchors, n, m, mux, sigx, windows=None):
+def _anchor_distance_profiles(windows, anchors, m, mux, sigx):
     """MASS profiles for a set of anchor subsequences (scrimp.py:35-82
     arithmetic) with the sliding dot products computed as one BLAS GEMM
     over the window matrix instead of a full-length FFT per anchor —
     exact (no FFT roundoff) and ~n/m times less work for short windows."""
-    from numpy.lib.stride_tricks import sliding_window_view
-
-    if windows is None:
-        windows = np.ascontiguousarray(sliding_window_view(ts, m))
     Q = windows[np.asarray(anchors)]                 # [k, m]
     prods = windows @ Q.T                            # [pl, k] — the GEMM
     sumy = Q.sum(axis=1)
@@ -98,19 +94,28 @@ def prescrimp(ts, window_size: int, query=None, step_size: float = 0.25,
     chunk_dps = None
     chunk_start = 0
 
+    # chunk size honoring a ~16 MB GEMM output regardless of profile
+    # length (a fixed 64 anchors would be 512*pl bytes — ~512 MB per
+    # chunk on a 1M-point series)
+    pl_len = window_mat.shape[0]
+    chunk_anchors = max(1, min(64, (16 << 20) // max(1, pl_len * 8)))
+
     for iteration, idx in enumerate(anchors):
-        # anchor profiles computed in GEMM chunks (~16 MB each), consumed
-        # sequentially by the refine loop below
+        # anchor profiles computed in GEMM chunks, consumed sequentially
+        # by the refine loop below
         if chunk_dps is None or iteration >= chunk_start + chunk_dps.shape[0]:
             chunk_start = iteration
             chunk_dps = _anchor_distance_profiles(
-                ts, anchors[iteration : iteration + 64], n, m, mux, sigx,
-                windows=window_mat)
+                window_mat, anchors[iteration : iteration + chunk_anchors],
+                m, mux, sigx)
         dp = chunk_dps[iteration - chunk_start]
         dp = apply_exclusion_zone(ez, is_join, m, n, idx, dp)
 
         if iteration == 0:
-            mp = dp
+            # copy, not the view: dp aliases a row of the whole GEMM
+            # chunk, and keeping it would pin chunk_anchors*pl floats for
+            # the lifetime of the returned profile
+            mp = dp.copy()
             pi[:] = idx
         else:
             upd = dp < mp
