@@ -906,6 +906,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prev_event_asof": asof_query,
         "open_order_lines_semi": semi_join_query,
     }
+    # The driver verifies only the FIRST 50 dict entries against
+    # ``oracle_sql()``.  Reorder so every oracle-backed key (48) leads and
+    # the rows-only / full-size variants trail — derived from oracle_sql()
+    # itself so the window can never silently drop a green-capable row
+    # again (round-3 verdict item #1).
+    _oracle_keys = oracle_sql()
+    qs = {**{k: qs[k] for k in _oracle_keys if k in qs},
+          **{k: v for k, v in qs.items() if k not in _oracle_keys}}
     return qs
 
 

@@ -59,6 +59,20 @@ _EMPTY_CANDIDATES = pa.table({
 })
 
 
+def _strip_block_metadata(batch: pa.Table) -> pa.Table:
+    return batch.replace_schema_metadata(None)
+
+
+def strip_schema_metadata(ds):
+    """Drop parquet-origin schema metadata (pandas index blobs etc.) from
+    every block.  Such metadata makes ``pa.Schema`` unhashable, which
+    defeats Ray's block-schema dedup and logs a warning per downstream
+    batch concat.  ``batch_size=None`` maps whole blocks, so this fuses
+    with the read and never itself concatenates mixed-schema blocks."""
+    return ds.map_batches(_strip_block_metadata, batch_format="pyarrow",
+                          batch_size=None)
+
+
 class BruteForceTopK:
     """Actor-pool stage: holds the normalized query matrix (fetched once per
     actor from the broadcast ref) and emits per-batch top-k candidates."""
@@ -120,7 +134,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
         concurrency = auto_concurrency()
     queries_ref = ray.put(np.asarray(queries, dtype="d"))
 
-    candidates = ds.map_batches(
+    candidates = strip_schema_metadata(ds).map_batches(
         BruteForceTopK,
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
         batch_format="pyarrow", batch_size=batch_size,
@@ -201,6 +215,10 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
             self.centroids = ray.get(cent_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            # Strip source schema metadata (e.g. parquet pandas metadata):
+            # it makes pa.Schema unhashable, which defeats Ray's block-
+            # schema dedup and logs a warning per batch downstream.
+            batch = batch.replace_schema_metadata(None)
             if len(batch) == 0:
                 return batch.append_column(
                     "centroid", pa.array([], pa.int64()))
@@ -209,8 +227,9 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
             return batch.append_column(
                 "centroid", pa.array(assign.astype(np.int64)))
 
-    (ds.map_batches(Assign, batch_format="pyarrow", batch_size=4096,
-                    concurrency=auto_concurrency())
+    (strip_schema_metadata(ds)
+     .map_batches(Assign, batch_format="pyarrow", batch_size=4096,
+                  concurrency=auto_concurrency())
      .write_parquet(index_dir, partition_cols=["centroid"]))
 
     import pyarrow.parquet as pq

@@ -49,12 +49,14 @@ def _iter_profiles(batch: pa.Table, need_ts: bool = False):
 def discords_batch(batch: pa.Table, k: int = 3, exclusion_zone=None) -> pa.Table:
     """Per-doc top-k discords -> (doc_id, source, rank, discord_idx, mp_value)."""
     doc_ids, sources, ranks, idxs, vals = [], [], [], [], []
+    batch_docs = batch["doc_id"].to_pylist()
+    batch_sources = batch["source"].to_pylist()
     for i, prof in _iter_profiles(batch):
         mp = prof["mp"].copy()
         out = mp_top_k_discords(dict(prof), exclusion_zone=exclusion_zone, k=k)
         for rank, idx in enumerate(out["discords"]):
-            doc_ids.append(batch["doc_id"][i].as_py())
-            sources.append(batch["source"][i].as_py())
+            doc_ids.append(batch_docs[i])
+            sources.append(batch_sources[i])
             ranks.append(rank)
             idxs.append(int(idx))
             vals.append(float(mp[idx]))
@@ -71,12 +73,13 @@ def motifs_batch(batch: pa.Table, k: int = 3, max_neighbors: int = 10,
                  radius: int = 3) -> pa.Table:
     """Per-doc top-k motifs -> one row per motif with its neighbor list."""
     doc_ids, ranks, firsts, seconds, neighbors, dists = [], [], [], [], [], []
+    batch_docs = batch["doc_id"].to_pylist()
     for i, prof in _iter_profiles(batch, need_ts=True):
         mp = prof["mp"].copy()
         out = mp_top_k_motifs(dict(prof), k=k, max_neighbors=max_neighbors,
                               radius=radius)
         for rank, motif in enumerate(out["motifs"]):
-            doc_ids.append(batch["doc_id"][i].as_py())
+            doc_ids.append(batch_docs[i])
             ranks.append(rank)
             firsts.append(int(motif["motifs"][0]))
             seconds.append(int(motif["motifs"][1]))
@@ -95,6 +98,7 @@ def motifs_batch(batch: pa.Table, k: int = 3, max_neighbors: int = 10,
 def regimes_batch(batch: pa.Table, num_regimes: int = 3) -> pa.Table:
     """Per-doc FLUSS regimes -> (doc_id, rank, regime_idx, cac_min)."""
     doc_ids, ranks, idxs, cmins = [], [], [], []
+    batch_docs = batch["doc_id"].to_pylist()
     for i, prof in _iter_profiles(batch):
         if prof["mp"].shape[0] <= 2 * prof["w"]:
             continue
@@ -102,7 +106,7 @@ def regimes_batch(batch: pa.Table, num_regimes: int = 3) -> pa.Table:
         prof["cac"] = cac
         out = extract_regimes(prof, num_regimes=num_regimes)
         for rank, idx in enumerate(out["regimes"]):
-            doc_ids.append(batch["doc_id"][i].as_py())
+            doc_ids.append(batch_docs[i])
             ranks.append(rank)
             idxs.append(int(idx))
             cmins.append(float(cac[idx]))
@@ -114,12 +118,33 @@ def regimes_batch(batch: pa.Table, num_regimes: int = 3) -> pa.Table:
     })
 
 
+def _block_topk(batch: pa.Table, col: str, k: int, descending: bool) -> pa.Table:
+    """Keep each block's k best rows by ``col`` — INCLUDING every row tied
+    with the k-th value, so the prune is lossless w.r.t. the downstream
+    global ``sort().limit(k)`` whatever its tie-break.  Shrinks the
+    all-to-all sort input from rows∝docs to ≤(k+ties)·n_blocks."""
+    if len(batch) <= k:
+        return batch
+    v = batch[col].to_numpy(zero_copy_only=False)
+    if descending:
+        thresh = np.partition(v, len(v) - k)[len(v) - k]
+        mask = v >= thresh
+    else:
+        thresh = np.partition(v, k - 1)[k - 1]
+        mask = v <= thresh
+    return batch.filter(pa.array(mask))
+
+
 def corpus_top_discords(profiles_ds, k_per_doc: int = 3, k_global: int = 10):
     """Global top-k discords across the corpus: per-row top-k (cheap,
-    distributed) then one small sort+limit."""
+    distributed), a per-block lossless top-k prune, then one small
+    sort+limit over ~k_global rows per block instead of k_per_doc per doc."""
     per_doc = profiles_ds.map_batches(
         lambda b: discords_batch(b, k=k_per_doc), batch_format="pyarrow")
-    return per_doc.sort("mp_value", descending=True).limit(k_global)
+    pruned = per_doc.map_batches(
+        lambda b: _block_topk(b, "mp_value", k_global, descending=True),
+        batch_format="pyarrow")
+    return pruned.sort("mp_value", descending=True).limit(k_global)
 
 
 def corpus_top_motifs(profiles_ds, k_per_doc: int = 2, k_global: int = 10):
@@ -128,5 +153,9 @@ def corpus_top_motifs(profiles_ds, k_per_doc: int = 2, k_global: int = 10):
     keep_tokens=True profiles (motifs re-query the series)."""
     per_doc = profiles_ds.map_batches(
         lambda b: motifs_batch(b, k=k_per_doc), batch_format="pyarrow")
-    return (per_doc.drop_columns(["neighbors"])
-            .sort("motif_dist", descending=False).limit(k_global))
+    pruned = (per_doc.drop_columns(["neighbors"])
+              .map_batches(
+                  lambda b: _block_topk(b, "motif_dist", k_global,
+                                        descending=False),
+                  batch_format="pyarrow"))
+    return pruned.sort("motif_dist", descending=False).limit(k_global)
