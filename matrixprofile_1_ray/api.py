@@ -76,13 +76,28 @@ def analyze(ts, query=None, windows=None, sample_pct: float = 1.0,
                          impute_direction=kwargs["impute_direction"],
                          add_noise=kwargs["add_noise"])
 
-    # delegate every path through compute() so its window validation
-    # (reference compute.py:100-101, e.g. windows < 4) always applies —
-    # the single-window branches previously bypassed it
-    profile = compute(ts, windows=windows, query=query,
-                      sample_pct=sample_pct, threshold=threshold)
+    # keep compute()'s window validation (reference compute.py:100-101)
+    # but dispatch like reference analyze.py:257-270: the PMP path must
+    # honor sample_pct (compute()'s multi-window branch pins it to 1) and
+    # a None threshold defaults to 0.98 inside analyze_pmp rather than
+    # raising
+    if windows is not None and not isinstance(windows, (int, np.integer)):
+        windows = [int(w) for w in windows]
+    if ((isinstance(windows, (int, np.integer)) and windows < 4)
+            or (isinstance(windows, list) and any(w < 4 for w in windows))):
+        raise ValueError("Compute requires all window sizes to be greater than 3!")
 
-    return _discover_and_figures(profile)
+    no_window = windows is None or windows == []
+    many_windows = isinstance(windows, list) and len(windows) > 1
+    if isinstance(windows, list) and len(windows) == 1:
+        windows = windows[0]
+
+    if no_window or many_windows:
+        return analyze_pmp(ts, query, sample_pct, threshold,
+                           windows=None if no_window else windows)
+    if sample_pct >= 1:
+        return analyze_mp_exact(ts, query, windows)
+    return analyze_mp_approximate(ts, query, windows, sample_pct)
 
 
 def _discover_and_figures(profile):

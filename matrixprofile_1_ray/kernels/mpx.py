@@ -41,6 +41,16 @@ _NATIVE_MIN_PL = 2048
 # in the tiny exact-index conformance tests).
 _NATIVE_MIN_AB = 1 << 21
 
+# Correlations within this margin of 1 snap to exactly 1 (distance 0) in
+# BOTH the direct (mpx_ab) and tiled (tiled_mpx_ab) AB joins.  It must be
+# one shared constant: each tile re-seeds its own cumsum, whose rounding
+# error grows with tile length (measured ~1e-13 at tile=128), so the
+# margin is sized for the tiled worst case; using a tighter margin on the
+# direct path would let the two decompositions disagree on pairs falling
+# between the thresholds.  1e-11 (ED ~2.5e-5 at w=32) still sits far
+# below any genuinely distinct pair in double precision.
+_SNAP_MARGIN = 1e-11
+
 # Self-joins with profiles up to this length use one BLAS gram-matrix
 # (z-normalized windows @ transpose) instead of the per-diagonal walk —
 # ~3x faster in the short-sequence regime that dominates the corpus
@@ -272,13 +282,17 @@ def mpx_ab(ts, query, w: int, cross_correlation: bool = False):
     seed_ba = _seed_products(query, ts[:w]) - w * mub * mua[0]
     _ab_one_side(seed_ba, df_b, dg_b, df_a, dg_a, sigb, siga, mpb, mpib, mp, mpi)
 
-    # Snap correlations within 1e-13 of 1 to exactly 1: the reference's
-    # per-diagonal exact-dot-product seeding rounds identical-window pairs
-    # to corr >= 1 (then clamps, cympx.pyx:250-254 -> distance 0); our
-    # vectorized cumsum biases the same pairs a few ulp BELOW 1.  Without
-    # the snap, mpdist(ts, ts) returns ~2e-7 instead of the reference's 0.
-    mp[mp >= 1.0 - 1e-13] = 1.0
-    mpb[mpb >= 1.0 - 1e-13] = 1.0
+    # Snap correlations within _SNAP_MARGIN of 1 to exactly 1: the
+    # reference's per-diagonal exact-dot-product seeding rounds
+    # identical-window pairs to corr >= 1 (then clamps, cympx.pyx:250-254
+    # -> distance 0); our vectorized cumsum biases the same pairs a few
+    # ulp BELOW 1.  Without the snap, mpdist(ts, ts) returns ~2e-7 instead
+    # of the reference's 0.  The margin is SHARED with tiled_mpx_ab so the
+    # direct and tiled decompositions agree bit-for-bit on which pairs
+    # snap (a pair falling between two different margins would get
+    # distance 0 on one path only).
+    mp[mp >= 1.0 - _SNAP_MARGIN] = 1.0
+    mpb[mpb >= 1.0 - _SNAP_MARGIN] = 1.0
     np.minimum(mp, 1.0, out=mp)
     np.minimum(mpb, 1.0, out=mpb)
     if not cross_correlation:
@@ -394,14 +408,12 @@ def tiled_mpx_ab(ts, query, w: int, tile: int):
                 gmp[seg][better] = vals[better]
                 gmpi[seg][better] = idxs[better]
 
-    # same snap-to-1 as mpx_ab (see comment there): identical-window pairs
-    # must come out at distance exactly 0 regardless of tile size.  The
-    # margin is wider than mpx_ab's 1e-13 because each tile re-seeds its
-    # own cumsum, whose rounding error grows with tile length — measured
-    # ~1e-13 at tile=128 already; 1e-11 (ED 2.5e-5 at w=32) still sits
-    # far below any genuinely distinct pair.
-    mp[mp >= 1.0 - 1e-11] = 1.0
-    mpb[mpb >= 1.0 - 1e-11] = 1.0
+    # same snap-to-1 as mpx_ab, with the SAME shared margin — a wider
+    # tiled-only margin would let the two decompositions disagree on pairs
+    # falling between the thresholds (genuinely distinct but extremely
+    # similar windows getting distance exactly 0 on one path only)
+    mp[mp >= 1.0 - _SNAP_MARGIN] = 1.0
+    mpb[mpb >= 1.0 - _SNAP_MARGIN] = 1.0
     np.minimum(mp, 1.0, out=mp)
     np.minimum(mpb, 1.0, out=mpb)
     unmatched_a = mp == -1.0

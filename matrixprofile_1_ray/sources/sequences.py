@@ -98,14 +98,15 @@ def iter_docs_lex(sf_dir: str, columns=("doc_id", "text"),
     cols = list(columns)
     for k in range(0, len(order), chunk):
         sel = order[k : k + chunk]
-        tab = dataset.to_table(
-            columns=cols,
-            filter=pads.field("doc_id").isin([raw_ids[i] for i in sel]))
-        sid = np.array([str(x) for x in tab["doc_id"].to_pylist()])
-        tab = tab.take(pa.array(np.argsort(sid, kind="stable"), pa.int64()))
+        # positional take: prunes to the row groups holding these indices
+        # (a value-isin filter re-scans the whole corpus once per chunk),
+        # returns each row exactly once even when doc_id VALUES repeat,
+        # and preserves the requested (lexicographic) index order
+        tab = dataset.take(pa.array(sel, pa.int64()), columns=cols)
+        sid = [str(x) for x in tab["doc_id"].to_pylist()]
         yield tab.set_column(
             tab.schema.get_field_index("doc_id"), "doc_id",
-            pa.array(np.sort(sid).tolist(), pa.string()))
+            pa.array(sid, pa.string()))
 
 
 def head_sequences_table(sf_dir: str, n: int) -> pa.Table:

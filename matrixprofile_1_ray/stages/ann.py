@@ -397,12 +397,19 @@ def _locked_build(index_dir: str, needs_build, build_fn,
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(fd, str(os.getpid()).encode())
+            my_ino = os.fstat(fd).st_ino
             os.close(fd)
             break
         except FileExistsError:
             try:
                 if _time.time() - os.path.getmtime(lock) > timeout_s:
-                    os.unlink(lock)
+                    # atomic steal: rename-then-unlink so only ONE waiter
+                    # retires the stale lock — a bare unlink here races a
+                    # concurrent stealer and can delete the FRESH lock it
+                    # just created, letting two builders run at once
+                    stale = f"{lock}.stale.{os.getpid()}.{_time.monotonic_ns()}"
+                    os.rename(lock, stale)
+                    os.unlink(stale)
                     continue
             except FileNotFoundError:
                 continue
@@ -414,6 +421,10 @@ def _locked_build(index_dir: str, needs_build, build_fn,
             build_fn()
     finally:
         try:
-            os.unlink(lock)
+            # only release a lock we still own — if ours went stale and was
+            # stolen, the path now holds ANOTHER builder's lock (different
+            # inode); deleting it would re-open the concurrent-build race
+            if os.stat(lock).st_ino == my_ino:
+                os.unlink(lock)
         except FileNotFoundError:
             pass

@@ -143,7 +143,10 @@ def hash_join(ds_a, ds_b, keys, how: str = "inner",
         right = g[g["_side"] == "b"].reindex(columns=right_cols)
         if left.empty or right.empty:
             if how == "inner" or (how == "left" and left.empty):
-                return pd.DataFrame(columns=out_cols)
+                # _enforce even the zero-row frame: bare object-dtype
+                # columns become null/object-typed Arrow blocks and rely
+                # on permissive promotion at unify time
+                return _enforce(pd.DataFrame(columns=out_cols))
             merged = left if how == "left" else right
             merged = merged.rename(
                 columns={c: c + (suffixes[0] if how == "left" else suffixes[1])

@@ -96,3 +96,45 @@ def test_fft_seed_path_matches_exact_seed(sampledata):
         mpx_mod._EXACT_SDP_LIMIT = limit
     np.testing.assert_almost_equal(exact_mp, fft_mp, decimal=8)
     np.testing.assert_array_equal(exact_pi, fft_pi)
+
+
+def test_snap_margin_shared_between_direct_and_tiled():
+    """mpx_ab and tiled_mpx_ab snap near-1 correlations with ONE shared
+    margin — per-path margins let the two decompositions disagree on
+    pairs falling between the thresholds (distance exactly 0 on one path
+    only)."""
+    import numpy as np
+
+    from matrixprofile_1_ray.kernels.mpx import _SNAP_MARGIN, mpx_ab, tiled_mpx_ab
+
+    rng = np.random.default_rng(5)
+    ts = rng.normal(size=400)
+    # plant an exact repeat so the snap fires on both paths
+    ts[300:332] = ts[100:132]
+    mpa, _, mpb, _ = mpx_ab(ts, ts[80:220], 32)
+    t_mpa, _, t_mpb, _ = tiled_mpx_ab(ts, ts[80:220], 32, tile=64)
+    assert (mpa == 0.0).any()
+    np.testing.assert_array_equal(mpa == 0.0, t_mpa == 0.0)
+    np.testing.assert_array_equal(mpb == 0.0, t_mpb == 0.0)
+    assert 0 < _SNAP_MARGIN < 1e-9
+
+
+def test_iter_docs_lex_order_unique_complete():
+    """Positional-take chunking: lexicographic order across chunk
+    boundaries, every corpus row exactly once (value-isin chunking
+    repeated rows whose doc_id appeared in several chunks)."""
+    import pyarrow.parquet as pq
+
+    from matrixprofile_1_ray.sources.sequences import iter_docs_lex
+
+    seen = []
+    for tab in iter_docs_lex("/root/testdata/sf0.001", ("doc_id", "text"),
+                             chunk=31):
+        ids = tab["doc_id"].to_pylist()
+        assert ids == sorted(ids)
+        seen.extend(ids)
+    assert seen == sorted(seen)
+    total = pq.read_metadata(
+        "/root/testdata/sf0.001/documents.parquet").num_rows
+    assert len(seen) == total
+    assert len(set(seen)) == total

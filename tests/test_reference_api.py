@@ -167,3 +167,36 @@ def test_algorithms_namespace(sampledata):
 
     assert mp.algorithms.snippets.snippets and \
         mp.algorithms.hierarchical_clustering.hierarchical_clusters
+
+
+def test_analyze_pmp_honors_sample_pct(sampledata):
+    """reference analyze.py:263-266 routes multi-window analyze through
+    analyze_pmp WITH the caller's sample_pct — a sampled PMP differs from
+    the full one (the unsampled compute() multi-window branch pins
+    sample_pct to 1, which analyze must not inherit)."""
+    profile, _ = analyze(sampledata, windows=np.arange(8, 20),
+                         sample_pct=0.2)
+    assert profile["class"] == "PMP"
+    assert profile["sample_pct"] == 0.2
+    full, _ = analyze(sampledata, windows=np.arange(8, 20), sample_pct=1.0)
+    # the sampled PMP leaves unvisited cells at inf; the full one does not
+    assert np.isinf(profile["pmp"]).sum() > np.isinf(full["pmp"]).sum()
+
+
+def test_analyze_no_window_none_threshold_defaults(sampledata):
+    """reference analyze_pmp defaults threshold to 0.98 when None instead
+    of raising (compute() without windows requires a threshold, analyze()
+    does not)."""
+    profile, _ = analyze(sampledata[:300], windows=None, threshold=None)
+    assert profile["class"] == "PMP"
+
+
+def test_analyze_single_window_validation(sampledata):
+    """analyze keeps compute()'s window floor (reference
+    compute.py:100-101)."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        analyze(sampledata, windows=3)
+    with pytest.raises(ValueError):
+        analyze(sampledata, windows=[3, 16])
