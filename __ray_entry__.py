@@ -198,6 +198,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        input_fingerprint=ident)
         return out.map_batches(_round_score, batch_format="pandas")
 
+    def ann_ivf_build_assignment_query(sf_dir: str):
+        """Build-path oracle for the one family with no SQL representative
+        — the IVF *build*.  Centroid seeds are the embeddings of the 8
+        smallest vec_ids (SQL-replayable: ORDER BY vec_id LIMIT 8; the
+        rng-seeded k-means fit is not), pushed through the REAL build —
+        the streaming Assign actor pass and the hive-partitioned persist
+        (stages/ann.build_ivf_index) — then the PERSISTED index is read
+        back.  DuckDB recomputes every vector's assignment as argmax
+        cosine against the same seeds; ties break to the smaller centroid
+        id exactly as np.argmax does."""
+        import ray.data
+        from ray.data.datasource.partitioning import PathPartitionFilter
+
+        from matrixprofile_1_ray.stages.ann import (
+            build_ivf_index,
+            ivf_index_ident,
+            seed_centroids_by_vec_id,
+        )
+
+        path = f"{sf_dir}/embeddings.parquet"
+        cents = seed_centroids_by_vec_id(path, 8)
+        ident, tag = ivf_index_ident(path, n_centroids=8, seed=-1)
+        index_dir = f"/tmp/ivf_gate_build_{tag}"
+        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        build_ivf_index(ds, index_dir, centroids=cents,
+                        input_fingerprint=ident)
+        # hive key present <=> a data partition (excludes _centroids.parquet)
+        pf = PathPartitionFilter.of(
+            lambda kv: kv.get("centroid") is not None, style="hive")
+        out = ray.data.read_parquet(index_dir, partition_filter=pf,
+                                    file_extensions=["parquet"],
+                                    columns=["vec_id", "centroid"])
+
+        def cast_cid(batch):
+            import numpy as _np
+            import pyarrow as _pa
+
+            cid = _pa.array(
+                batch["centroid"].to_numpy(zero_copy_only=False)
+                .astype(_np.int64), _pa.int64())
+            return _pa.table({"vec_id": batch["vec_id"], "centroid": cid})
+
+        return out.map_batches(cast_cid, batch_format="pyarrow")
+
     def dedup_query(sf_dir: str):
         return exact_dedup(sequences_pipeline(sf_dir, verify_codec=False))
 
@@ -884,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hclust_small": hclust_small_query,
         "maximum_subsequence_small": maxsubseq_small_query,
         "ann_ivf_full_probe": ann_ivf_full_probe_query,
+        "ann_ivf_build_assignment": ann_ivf_build_assignment_query,
         # multi-window / pair / summary operators (rows-only)
         "pmp": pmp_query,
         "pick_mp_w32": pick_mp_query,
@@ -1972,6 +2017,30 @@ WITH q AS (
 )
 SELECT query_id, vec_id, round(raw, 6) AS score, rank
 FROM r WHERE rank < 5
+""",
+        # the IVF BUILD path: seeds = embeddings of the 8 smallest
+        # vec_ids (what seed_centroids_by_vec_id picks); expected
+        # assignment = argmax cosine, ties to the smaller centroid id
+        # (np.argmax semantics).  The engine answers from the PERSISTED
+        # hive-partitioned index, so a green row ties the whole
+        # build->persist->read-back chain to this SQL.
+        "ann_ivf_build_assignment": """
+WITH seeds AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb FROM seeds
+), sims AS (
+  SELECT v.vec_id AS vec_id, r.cid AS cid,
+         list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), r.emb) AS sim
+  FROM embeddings v CROSS JOIN ranked r
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS centroid
+FROM (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid ASC) AS rn
+      FROM sims)
+WHERE rn = 1
 """,
         "mp_rollup_small": _mp_small_rows_cte() + """
 , b AS (SELECT doc_id, idx // 60 AS bucket, idx, mp FROM mp_rows)

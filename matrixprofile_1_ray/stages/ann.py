@@ -177,9 +177,29 @@ def fit_centroids(sample: np.ndarray, n_centroids: int = 16,
     return cent
 
 
+def seed_centroids_by_vec_id(path: str, n_centroids: int = 8) -> np.ndarray:
+    """Deterministic, SQL-replayable centroid seeds: the (normalized)
+    embeddings of the ``n_centroids`` smallest vec_ids, in vec_id order.
+    Used by the build-path gate oracle — a DuckDB query can reproduce this
+    seed set exactly (ORDER BY vec_id LIMIT n), which the rng-seeded
+    k-means fit cannot be, so assignment == argmax-cosine becomes
+    SQL-checkable end to end through the real Assign/persist path."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(path, columns=["vec_id"])["vec_id"].to_numpy()
+    pos = np.sort(np.argsort(ids, kind="stable")[:n_centroids])
+    tab = pads.dataset(path).take(pa.array(pos, pa.int64()),
+                                  columns=["vec_id", "embedding"])
+    order = np.argsort(tab["vec_id"].to_numpy(), kind="stable")
+    tab = tab.take(pa.array(order, pa.int64()))
+    return _normalize(_emb_matrix(tab))
+
+
 def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
                     sample_size: int = 2048, seed: int = 13,
-                    input_fingerprint: str = "") -> np.ndarray:
+                    input_fingerprint: str = "",
+                    centroids: np.ndarray | None = None) -> np.ndarray:
     """One-time IVF build: fit centroids on a sample, assign every vector to
     its centroid in one streaming ``map_batches`` pass, and persist the
     corpus hive-partitioned by centroid id.  The tiny centroid matrix lands
@@ -204,10 +224,15 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
         "an IVF index (no _centroids.parquet marker, no centroid=* "
         "partitions)")
 
-    sample_rows = ds.limit(sample_size).take_all()
-    sample = np.stack([np.asarray(r["embedding"], dtype="d")
-                       for r in sample_rows])
-    centroids = fit_centroids(sample, n_centroids=n_centroids, seed=seed)
+    if centroids is None:
+        sample_rows = ds.limit(sample_size).take_all()
+        sample = np.stack([np.asarray(r["embedding"], dtype="d")
+                           for r in sample_rows])
+        centroids = fit_centroids(sample, n_centroids=n_centroids, seed=seed)
+    else:
+        # caller-supplied centroids (e.g. the SQL-replayable gate seeds)
+        # still flow through the identical Assign/persist path below
+        centroids = _normalize(np.asarray(centroids, dtype="d"))
     cent_ref = ray.put(centroids)
 
     class Assign:

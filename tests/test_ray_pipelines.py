@@ -167,3 +167,43 @@ def test_dedup_exact_counts(entry_mod, oracle_con):
         "SELECT count(DISTINCT text) FROM documents").fetchone()[0]
     assert len(df) == n_unique
     assert df.dup_count.sum() == 500
+
+
+def test_ivf_build_assignment_matches_argmax(ray_session):
+    """The persisted index's assignments equal argmax cosine vs the
+    supplied seed centroids (the SQL-replayable build gate's engine
+    side, checked here against a direct NumPy recompute)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    from matrixprofile_1_ray.stages.ann import (
+        build_ivf_index,
+        seed_centroids_by_vec_id,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path = f"{sf}/embeddings.parquet"
+    cents = seed_centroids_by_vec_id(path, 8)
+    index_dir = "/tmp/ivf_test_build_assignment"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    build_ivf_index(ds, index_dir, centroids=cents)
+
+    pf = PathPartitionFilter.of(
+        lambda kv: kv.get("centroid") is not None, style="hive")
+    got = (ray.data.read_parquet(index_dir, partition_filter=pf,
+                                 file_extensions=["parquet"],
+                                 columns=["vec_id", "centroid"])
+           .to_pandas())
+    got["centroid"] = got["centroid"].astype(np.int64)
+    got = got.sort_values("vec_id").reset_index(drop=True)
+
+    tab = pq.read_table(path, columns=["vec_id", "embedding"])
+    emb = np.stack([np.asarray(v, dtype="d")
+                    for v in tab["embedding"].to_pylist()])
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    expect = np.argmax(emb @ cents.T, axis=1)
+    order = np.argsort(tab["vec_id"].to_numpy())
+    assert len(got) == len(emb)
+    np.testing.assert_array_equal(got["centroid"].to_numpy(), expect[order])
