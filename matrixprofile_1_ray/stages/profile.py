@@ -376,6 +376,61 @@ def corrected_small_rows_batch(batch: pa.Table, w: int = 16,
                        ("av", pa.float64()), ("cmp", pa.float64())], parts)
 
 
+def pmp_discord_rows_batch(batch: pa.Table, k: int = 2,
+                           windows=(16, 32), **small_kwargs) -> pa.Table:
+    """Top-k PMP discords per bounded-slice doc through the REAL
+    :func:`~..kernels.discover.pmp_top_k_discords` kernel (reference
+    top_k_discords.py:16-91: greedy row-major argmax, exclusion zone
+    FROZEN from the first discord's window), assembled from the ROUNDED
+    two-window rows of :func:`mp_rows_small_batch` so every greedy
+    decision — including tie-breaks on the 4-dp values — is replayable by
+    the SQL oracle (ORDER BY mp DESC, w ASC, idx ASC == np.argmax
+    row-major with windows ascending).  A doc's non-qualifying window
+    contributes no cells: its matrix row positions stay NaN, which the
+    kernel masks to -inf exactly as the SQL's absent rows are."""
+    from ..kernels.discover import pmp_top_k_discords
+
+    per_doc: dict = {}
+    for w in windows:
+        t = mp_rows_small_batch(batch, w=w, **small_kwargs)
+        if len(t) == 0:
+            continue
+        doc = np.asarray(t["doc_id"])
+        idx = t["idx"].to_numpy()
+        mp = t["mp"].to_numpy()
+        docs_u, starts = np.unique(doc, return_index=True)
+        order = np.argsort(starts)
+        docs_u, starts = docs_u[order], starts[order]
+        ends = np.concatenate((starts[1:], [len(doc)]))
+        for d, a, b in zip(docs_u, starts, ends):
+            per_doc.setdefault(str(d), []).append((w, idx[a:b], mp[a:b]))
+
+    out = {"doc_id": [], "rank": [], "window": [],
+           "discord_idx": [], "discord_dist": []}
+    for d, entries in per_doc.items():
+        ws = [w for w, _, _ in entries]          # ascending by loop order
+        length = max(int(ix.max()) + 1 for _, ix, _ in entries)
+        mat = np.full((len(entries), length), np.nan)
+        for r, (_, ix, mv) in enumerate(entries):
+            mat[r, ix] = mv
+        prof = pmp_top_k_discords(
+            {"pmp": mat, "windows": np.asarray(ws, np.int64),
+             "class": "PMP", "metric": "euclidean"}, k=k)
+        for rank, (r, c) in enumerate(prof["discords"]):
+            out["doc_id"].append(d)
+            out["rank"].append(rank)
+            out["window"].append(int(ws[int(r)]))
+            out["discord_idx"].append(int(c))
+            out["discord_dist"].append(float(mat[int(r), int(c)]))
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"], pa.string()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "window": pa.array(out["window"], pa.int64()),
+        "discord_idx": pa.array(out["discord_idx"], pa.int64()),
+        "discord_dist": pa.array(out["discord_dist"], pa.float64()),
+    })
+
+
 def mp_discord_top1_batch(batch: pa.Table, **small_kwargs) -> pa.Table:
     """Top-1 discord per bounded-slice doc, reduced from the ROUNDED
     profile rows of :func:`mp_rows_small_batch` (tie-break: smallest idx)

@@ -86,3 +86,55 @@ def test_snippets_validation():
         snippets(np.arange(10.0), 8)
     with pytest.raises(ValueError):
         snippets(np.arange(100.0), 8, window_size=8)
+
+
+def test_pmp_discord_rows_batch_frozen_ez():
+    """The greedy PMP discord pick freezes the exclusion zone from the
+    FIRST discord's window and blanks only that window's row (reference
+    top_k_discords.py:16-91) — checked end to end through
+    pmp_discord_rows_batch against a hand-computed greedy walk."""
+    import numpy as np
+    import pyarrow as pa
+
+    from matrixprofile_1_ray.stages.profile import (
+        mp_rows_small_batch,
+        pmp_discord_rows_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    toks = [rng.integers(0, 50, size=n).tolist() for n in (80, 120, 200)]
+    batch = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(3)], pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "tokens": pa.array(toks, pa.list_(pa.int64())),
+    })
+    out = pmp_discord_rows_batch(batch, k=2)
+    assert len(out) > 0
+    df = out.to_pandas()
+    for doc, g in df.groupby("doc_id"):
+        g = g.sort_values("rank")
+        # replay the greedy walk on the same rounded rows
+        rows = {}
+        for w in (16, 32):
+            t = mp_rows_small_batch(batch, w=w)
+            tt = t.to_pandas()
+            tt = tt[tt["doc_id"] == doc]
+            if len(tt):
+                rows[w] = tt
+        ws = sorted(rows)
+        length = max(int(r["idx"].max()) + 1 for r in rows.values())
+        mat = np.full((len(ws), length), -np.inf)
+        for r, w in enumerate(ws):
+            mat[r, rows[w]["idx"].to_numpy()] = rows[w]["mp"].to_numpy()
+        picks = []
+        ez = None
+        for _ in range(2):
+            ridx, cidx = np.unravel_index(np.argmax(mat), mat.shape)
+            if mat[ridx, cidx] == -np.inf:
+                break
+            picks.append((ws[ridx], int(cidx)))
+            if ez is None:
+                ez = ws[ridx] // 2
+            mat[ridx, max(0, cidx - ez): cidx + ez] = -np.inf
+        got = list(zip(g["window"].tolist(), g["discord_idx"].tolist()))
+        assert got == picks, (doc, got, picks)
