@@ -501,6 +501,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
             both, batch_format="pyarrow")
 
+    def tiered_retention_query(sf_dir: str):
+        """Build the kind/tier/epoch store, expire the fine tier past a
+        300 s horizon, then serve [0, 600) stitched: recent from 1m, the
+        rest from the keep-forever 1h tier (stages/retention.py)."""
+        import hashlib
+
+        from matrixprofile_1_ray.stages.retention import (
+            RetentionPolicy,
+            apply_retention,
+            tiered_read,
+            write_tiered_store,
+        )
+
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        store = f"/tmp/tiered_store_{tag}"
+        write_tiered_store(sf_dir, store, w=32, epoch_sec=60)
+        pol = RetentionPolicy({"1m": 300, "1h": None, "1d": None})
+        apply_retention(store, 600, pol)
+        return tiered_read(store, "token", 600, pol, t_lo=0, t_hi=600)
+
     def pmp_discords_small_query(sf_dir: str):
         """Greedy top-2 PMP discords per bounded-slice doc through the
         real pmp_top_k_discords kernel (row-major argmax, frozen exclusion
@@ -961,6 +981,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lines_by_status": order_join_query,
         "prev_event_asof": asof_query,
         "open_order_lines_semi": semi_join_query,
+        # retention engine: epoch-partitioned tiered store -> expiry ->
+        # stitched tier serving (north rule "downsample + retention";
+        # value-verified against the oracle-green rollups in
+        # tests/test_retention.py — the store build itself is not
+        # SQL-replayable, so this entry is rows-only)
+        "tiered_retention_read": tiered_retention_query,
     }
     # The driver verifies only the FIRST 50 dict entries against
     # ``oracle_sql()``.  Reorder so every oracle-backed key (50) leads and

@@ -23,6 +23,13 @@ from .events import session_windows, sliding_window_counts
 from .join import asof_join, broadcast_semi_join, hash_join
 from .multimodal import media_features_stage
 from .pairs import ab_join_stage, mass_search_stage, mpdist_pairs
+from .retention import (
+    RetentionPolicy,
+    apply_retention,
+    downsample_read,
+    tiered_read,
+    write_tiered_store,
+)
 from .pmp import pmp_stage, pick_mp_stage
 from .summarize import corrected_profile_batch, snippets_batch
 from .text_stage import (
