@@ -107,6 +107,23 @@ def test_tiered_read_values_match_rollup_pipeline(store, corpus):
                                       merged[f"{col}_ref"].to_numpy())
 
 
+def test_tiered_read_serves_mp_kind(store):
+    from matrixprofile_1_ray.stages.retention import (
+        RetentionPolicy,
+        tiered_read,
+    )
+
+    path, _ = store
+    pol = RetentionPolicy(POLICY_AGES)
+    df = tiered_read(path, "mp", NOW, pol, t_lo=0, t_hi=NOW).to_pandas()
+    assert set(df["tier"]) == {"1m", "1h", "1d"}
+    assert {"mp_min", "mp_mean", "mp_count", "mp_argmin", "w"} \
+        <= set(df.columns)
+    g = df.groupby("tier")["bucket_start"]
+    assert g.min()["1m"] >= H_1M and g.max()["1h"] < H_1M \
+        and g.max()["1d"] < H_1H
+
+
 def test_apply_retention_deletes_only_expired_epochs(store):
     from matrixprofile_1_ray.stages.retention import (
         RetentionPolicy,
