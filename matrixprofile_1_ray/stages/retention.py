@@ -238,6 +238,30 @@ def _read_tier_range(store_dir: str, kind: str, tier: str, lo: float,
     return ds.map_batches(clip, batch_format="pyarrow")
 
 
+def stitch_plan(policy: RetentionPolicy, now_sec: float, t_lo: float,
+                t_hi: float, tier_order=("1m", "1h", "1d")) -> list:
+    """Pure serving plan for :func:`tiered_read`: ``[(tier, lo, hi), ...]``
+    walking fine -> coarse, each tier serving ``[max(t_lo, horizon),
+    finer tier's horizon)``.  Intervals are disjoint, descend in time, and
+    jointly cover everything of ``[t_lo, t_hi)`` the policy still retains
+    (property-tested in tests/test_retention.py)."""
+    plan = []
+    upper = t_hi
+    for tier in tier_order:
+        if upper <= t_lo:
+            break
+        horizon = policy.horizon(tier, now_sec)
+        lo = t_lo if horizon is None else max(t_lo, horizon)
+        if lo < upper:
+            cap = now_sec if math.isinf(upper) else upper
+            if lo < cap:
+                plan.append((tier, lo, cap))
+            upper = lo
+        if horizon is None:   # keep-forever tier serves everything left
+            break
+    return plan
+
+
 def tiered_read(store_dir: str, kind: str, now_sec: float,
                 policy: RetentionPolicy = None, t_lo: float = 0.0,
                 t_hi: float = None, tier_order=("1m", "1h", "1d")):
@@ -255,22 +279,9 @@ def tiered_read(store_dir: str, kind: str, now_sec: float,
     epoch_sec = store_meta(store_dir)["epoch_sec"]
     t_hi = float("inf") if t_hi is None else t_hi
 
-    parts = []
-    upper = t_hi
-    for tier in tier_order:
-        if upper <= t_lo:
-            break
-        horizon = policy.horizon(tier, now_sec)
-        lo = t_lo if horizon is None else max(t_lo, horizon)
-        if lo < upper:
-            cap = now_sec if math.isinf(upper) else upper
-            parts.append(_read_tier_range(store_dir, kind, tier, lo, cap,
-                                          epoch_sec))
-            upper = lo
-        # a keep-forever tier serves everything left; stop descending
-        if horizon is None:
-            break
-
+    parts = [_read_tier_range(store_dir, kind, tier, lo, hi, epoch_sec)
+             for tier, lo, hi in stitch_plan(policy, now_sec, t_lo, t_hi,
+                                             tier_order)]
     if not parts:
         raise ValueError("requested range is entirely past every tier's "
                          "retention horizon")

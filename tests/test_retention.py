@@ -175,6 +175,51 @@ def test_downsample_read_picks_finest_fitting_tier(store):
     assert set(coarse["tier"]) == {"1h"}
 
 
+def test_stitch_plan_properties():
+    """Pure-plan properties under random policies/ranges: intervals are
+    non-empty, disjoint, time-descending with tier coarseness, each tier
+    starts at/after its horizon, and the union covers exactly
+    [effective_lo, t_hi) where effective_lo is the retained floor."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from matrixprofile_1_ray.stages.retention import (
+        RetentionPolicy,
+        stitch_plan,
+    )
+
+    ages = st.one_of(st.none(), st.integers(min_value=1, max_value=10**6))
+
+    @settings(max_examples=200, deadline=None, derandomize=True)
+    @given(a_m=ages, a_h=ages, a_d=ages,
+           now=st.integers(min_value=0, max_value=10**6),
+           lo=st.integers(min_value=0, max_value=10**6),
+           span=st.integers(min_value=1, max_value=10**6))
+    def check(a_m, a_h, a_d, now, lo, span):
+        pol = RetentionPolicy({"1m": a_m, "1h": a_h, "1d": a_d})
+        hi = lo + span
+        plan = stitch_plan(pol, now, lo, hi)
+        order = ("1m", "1h", "1d")
+        for tier, p_lo, p_hi in plan:
+            assert p_lo < p_hi
+            h = pol.horizon(tier, now)
+            if h is not None:
+                assert p_lo >= h
+        # disjoint + descending: each entry abuts or precedes the previous
+        for (t1, lo1, hi1), (t2, lo2, hi2) in zip(plan, plan[1:]):
+            assert order.index(t2) > order.index(t1)
+            assert hi2 == lo1
+        if plan:
+            assert plan[0][2] == hi
+            # coverage floor: the coarsest planned tier reaches down to
+            # max(lo, its own horizon)
+            t_last, lo_last, _ = plan[-1]
+            h_last = pol.horizon(t_last, now)
+            assert lo_last == (lo if h_last is None else max(lo, h_last))
+
+    check()
+
+
 def test_write_tiered_store_guards_foreign_dirs(ray_session, corpus,
                                                 tmp_path):
     from matrixprofile_1_ray.stages.retention import write_tiered_store
