@@ -12,6 +12,7 @@ Column names and types match between engine output and SQL aliases.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -222,8 +223,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ident, tag = ivf_index_ident(path, n_centroids=8, seed=-1)
         index_dir = f"/tmp/ivf_gate_build_{tag}"
         ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
-        build_ivf_index(ds, index_dir, centroids=cents,
-                        input_fingerprint=ident)
+        # same cross-process build mutex as ivf_topk: two concurrent
+        # drivers sharing the dir must not clean+rebuild over each other
+        from matrixprofile_1_ray.stages.ann import (
+            _locked_build,
+            ivf_index_fingerprint,
+        )
+
+        marker = os.path.join(index_dir, "_centroids.parquet")
+        _locked_build(
+            index_dir,
+            lambda: (not os.path.exists(marker)
+                     or ivf_index_fingerprint(index_dir) != ident),
+            lambda: build_ivf_index(ds, index_dir, centroids=cents,
+                                    input_fingerprint=ident))
         # hive key present <=> a data partition (excludes _centroids.parquet)
         pf = PathPartitionFilter.of(
             lambda kv: kv.get("centroid") is not None, style="hive")
@@ -502,23 +515,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             both, batch_format="pyarrow")
 
     def tiered_retention_query(sf_dir: str):
-        """Build the kind/tier/epoch store, expire the fine tier past a
-        300 s horizon, then serve [0, 600) stitched: recent from 1m, the
-        rest from the keep-forever 1h tier (stages/retention.py)."""
+        """Build the kind/tier/epoch store on a 1m/5m ladder, expire the
+        fine tier past its (coarse-aligned) horizon, then serve [0, 600)
+        stitched exactly: [300, 600) from 1m, [0, 300) from the
+        keep-forever 5m tier (stages/retention.py).  The store dir is
+        keyed by the corpus fingerprint and built once under the same
+        cross-process mutex the IVF cache uses."""
         import hashlib
 
+        from matrixprofile_1_ray.stages.ann import _locked_build
         from matrixprofile_1_ray.stages.retention import (
             RetentionPolicy,
             apply_retention,
             tiered_read,
             write_tiered_store,
         )
+        from matrixprofile_1_ray.state.manifest import file_fingerprint
 
-        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        ident = file_fingerprint(f"{sf_dir}/documents.parquet")
+        tag = hashlib.sha1(f"{sf_dir}|{ident}|v2".encode()).hexdigest()[:10]
         store = f"/tmp/tiered_store_{tag}"
-        write_tiered_store(sf_dir, store, w=32, epoch_sec=60)
-        pol = RetentionPolicy({"1m": 300, "1h": None, "1d": None})
-        apply_retention(store, 600, pol)
+        pol = RetentionPolicy({"1m": 240, "5m": None})
+
+        def build():
+            write_tiered_store(sf_dir, store, w=32,
+                               tiers={"1m": 60, "5m": 300}, epoch_sec=60)
+            apply_retention(store, 600, pol)
+
+        _locked_build(
+            store, lambda: not os.path.exists(f"{store}/_retention_log.jsonl"),
+            build)
         return tiered_read(store, "token", 600, pol, t_lo=0, t_hi=600)
 
     def pmp_discords_small_query(sf_dir: str):

@@ -252,7 +252,9 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
             return batch.append_column(
                 "centroid", pa.array(assign.astype(np.int64)))
 
-    (strip_schema_metadata(ds)
+    # no strip_schema_metadata(ds) wrapper here: Assign already strips
+    # per batch, so the extra pass would be dead weight
+    (ds
      .map_batches(Assign, batch_format="pyarrow", batch_size=4096,
                   concurrency=auto_concurrency())
      .write_parquet(index_dir, partition_cols=["centroid"]))
@@ -407,49 +409,43 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
 
 def _locked_build(index_dir: str, needs_build, build_fn,
                   timeout_s: float = 600.0):
-    """Run ``build_fn`` under an exclusive lock file next to the index;
-    re-checks ``needs_build()`` after acquiring (the previous holder may
-    have already built it).  Stale locks older than ``timeout_s`` are
-    stolen (dead builder)."""
+    """Run ``build_fn`` under an exclusive ``flock`` on a persistent lock
+    file next to the index; re-checks ``needs_build()`` after acquiring
+    (the previous holder may have already built it).
+
+    ``flock`` is released by the kernel when the holder dies, so there is
+    no stale-lock state and therefore no steal path — the earlier
+    mtime-check-then-steal scheme was a TOCTOU no matter how the steal
+    itself was made atomic (two waiters observing the same stale lock
+    could retire each other's FRESH locks).  The lock file itself is
+    never unlinked (unlinking would let a late waiter lock a dead inode
+    while a new waiter locks the fresh one).  Advisory-lock caveat: on
+    network filesystems without flock semantics this degrades to
+    best-effort, same as any local lock would."""
+    import fcntl
     import time as _time
 
     lock = index_dir.rstrip("/") + ".build_lock"
     parent = os.path.dirname(lock)
     if parent:
         os.makedirs(parent, exist_ok=True)
+    fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
     t0 = _time.time()
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            my_ino = os.fstat(fd).st_ino
-            os.close(fd)
-            break
-        except FileExistsError:
-            try:
-                if _time.time() - os.path.getmtime(lock) > timeout_s:
-                    # atomic steal: rename-then-unlink so only ONE waiter
-                    # retires the stale lock — a bare unlink here races a
-                    # concurrent stealer and can delete the FRESH lock it
-                    # just created, letting two builders run at once
-                    stale = f"{lock}.stale.{os.getpid()}.{_time.monotonic_ns()}"
-                    os.rename(lock, stale)
-                    os.unlink(stale)
-                    continue
-            except FileNotFoundError:
-                continue
-            if _time.time() - t0 > timeout_s:
-                raise TimeoutError(f"IVF build lock held too long: {lock}")
-            _time.sleep(0.2)
     try:
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except (BlockingIOError, InterruptedError):
+                if _time.time() - t0 > timeout_s:
+                    raise TimeoutError(
+                        f"IVF build lock held too long: {lock}")
+                _time.sleep(0.2)
         if needs_build():
             build_fn()
     finally:
         try:
-            # only release a lock we still own — if ours went stale and was
-            # stolen, the path now holds ANOTHER builder's lock (different
-            # inode); deleting it would re-open the concurrent-build race
-            if os.stat(lock).st_ino == my_ino:
-                os.unlink(lock)
-        except FileNotFoundError:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+        except OSError:
             pass
+        os.close(fd)

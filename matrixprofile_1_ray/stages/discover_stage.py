@@ -126,13 +126,20 @@ def _block_topk(batch: pa.Table, col: str, k: int, descending: bool) -> pa.Table
     if len(batch) <= k:
         return batch
     v = batch[col].to_numpy(zero_copy_only=False)
+    nan = np.isnan(v)
+    finite = v[~nan]
+    # NaNs poison np.partition's threshold (NaN thresh drops EVERY row);
+    # rank only the comparable values and pass NaN rows through untouched
+    # so the prune stays a no-op w.r.t. the unpruned global sort
+    if finite.shape[0] <= k:
+        return batch
     if descending:
-        thresh = np.partition(v, len(v) - k)[len(v) - k]
+        thresh = np.partition(finite, len(finite) - k)[len(finite) - k]
         mask = v >= thresh
     else:
-        thresh = np.partition(v, k - 1)[k - 1]
+        thresh = np.partition(finite, k - 1)[k - 1]
         mask = v <= thresh
-    return batch.filter(pa.array(mask))
+    return batch.filter(pa.array(mask | nan))
 
 
 def corpus_top_discords(profiles_ds, k_per_doc: int = 3, k_global: int = 10):

@@ -14,6 +14,17 @@ Time model (SURVEY.md §2.11): token index = seconds, so a tier bucket
 caller-supplied watermark ``now_sec`` (ingest time at 10^12-sequence
 scale; the max series length in tests).
 
+**Horizons are coarse-aligned.**  A tier's raw policy horizon is floored
+to the next-coarser tier's bucket boundary before it is used — by expiry
+AND by serving, through the same :func:`aligned_horizons`.  That single
+rule is what makes stitched reads exact: every seam between two tiers
+falls on a coarse-bucket edge, so no coarse bucket straddles into the
+finer tier's range, each wall-clock instant is aggregated by exactly one
+served bucket, and ``SUM(t_sum)`` over a stitched result equals the raw
+total (pinned by tests/test_retention.py).  It requires each coarser
+tier's width to be a multiple of the next finer one's — validated at
+write time.
+
 Scale design — why the store is partitioned by ``kind/tier/epoch``:
 
 * **Expiry is file-level**: dropping an epoch directory deletes every
@@ -23,9 +34,9 @@ Scale design — why the store is partitioned by ``kind/tier/epoch``:
 * **Reads prune before bytes move**: ``PathPartitionFilter`` keeps only
   the epochs intersecting the query range × tier horizon, so a "last 7
   days from 1m, older from 1h" query never opens a cold epoch file.
-* **Epoch width is stored in the layout** (``_store_meta.json``), so a
-  reader can never prune with a different epoch arithmetic than the
-  writer used.
+* **Epoch width AND the tier->seconds map are stored in the layout**
+  (``_store_meta.json``), so a reader can never prune with different
+  arithmetic than the writer used.
 """
 
 from __future__ import annotations
@@ -39,8 +50,8 @@ import numpy as np
 import pyarrow as pa
 
 from ..io.fsutil import guarded_clean_dir
+from .rollup import TIERS as DEFAULT_TIERS
 
-TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
 _META_NAME = "_store_meta.json"
 _LOG_NAME = "_retention_log.jsonl"
 
@@ -58,9 +69,34 @@ class RetentionPolicy:
         "1m": 7 * 86400, "1h": 90 * 86400, "1d": None})
 
     def horizon(self, tier: str, now_sec: float):
-        """Oldest timestamp tier ``tier`` still retains (None = -inf)."""
+        """Oldest timestamp tier ``tier`` still retains (None = -inf),
+        BEFORE coarse alignment — almost every caller wants
+        :func:`aligned_horizons` instead."""
         age = self.max_age.get(tier)
         return None if age is None else now_sec - age
+
+
+def tier_order_of(widths: dict) -> list:
+    """Tier names fine -> coarse."""
+    return sorted(widths, key=lambda t: widths[t])
+
+
+def aligned_horizons(policy: RetentionPolicy, now_sec: float,
+                     widths: dict) -> dict:
+    """tier -> oldest instant the tier retains/serves, with every horizon
+    except the coarsest tier's floored to the NEXT COARSER tier's bucket
+    boundary.  Shared by expiry and serving so they can never disagree:
+    the finer tier keeps (and serves) down to exactly where the coarser
+    tier's last whole bucket ends."""
+    order = tier_order_of(widths)
+    out = {}
+    for i, tier in enumerate(order):
+        h = policy.horizon(tier, now_sec)
+        if h is not None and i + 1 < len(order):
+            coarser_sec = widths[order[i + 1]]
+            h = math.floor(h / coarser_sec) * coarser_sec
+        out[tier] = h
+    return out
 
 
 def _fs_and_path(path: str):
@@ -71,31 +107,46 @@ def _fs_and_path(path: str):
     return pafs.FileSystem.from_uri(path)
 
 
-def _epoch_of(tier_names, buckets: np.ndarray, epoch_sec: int) -> np.ndarray:
-    tier_sec = np.fromiter((TIER_SECONDS[t] for t in tier_names),
+def _epoch_of(tier_names, buckets: np.ndarray, widths: dict,
+              epoch_sec: int) -> np.ndarray:
+    tier_sec = np.fromiter((widths[t] for t in tier_names),
                            dtype=np.int64, count=len(buckets))
     return (buckets * tier_sec) // epoch_sec
 
 
-def add_epoch_column(batch: pa.Table, epoch_sec: int) -> pa.Table:
+def add_epoch_column(batch: pa.Table, widths: dict,
+                     epoch_sec: int) -> pa.Table:
     """Vectorized ``epoch = bucket_start // epoch_sec`` over a unified
     rollup batch (long format with ``tier`` + ``bucket`` columns)."""
     tiers = batch["tier"].to_pylist()
     buckets = batch["bucket"].to_numpy(zero_copy_only=False)
     return batch.append_column(
-        "epoch", pa.array(_epoch_of(tiers, buckets, epoch_sec), pa.int64()))
+        "epoch",
+        pa.array(_epoch_of(tiers, buckets, widths, epoch_sec), pa.int64()))
 
 
 def write_tiered_store(sf_dir: str, store_dir: str, w: int = 32,
-                       tiers=None, epoch_sec: int = 86400,
+                       tiers: dict = None, epoch_sec: int = 86400,
                        **seq_kwargs) -> dict:
     """One corpus pass -> hive store ``kind=*/tier=*/epoch=*``.
 
     Reuses the fused flagship transform (token + matrix-profile rollups in
     a single streaming pass, pipelines/flagship.py:82) and only appends the
-    epoch partition key.  Returns the store metadata that was persisted.
+    epoch partition key.  ``tiers`` is a name->seconds mapping (default:
+    the raw->1m/1h/1d ladder of stages/rollup.py); each coarser width must
+    be a multiple of the next finer one so retention seams can align.
+    Returns the store metadata that was persisted.
     """
     from ..pipelines.flagship import flagship_batch, sequences_pipeline
+
+    widths = dict(tiers or DEFAULT_TIERS)
+    order = tier_order_of(widths)
+    for fine, coarse in zip(order, order[1:]):
+        if widths[coarse] % widths[fine]:
+            raise ValueError(
+                f"tier {coarse!r} ({widths[coarse]}s) is not a multiple of "
+                f"{fine!r} ({widths[fine]}s); stitched serving needs "
+                f"aligned bucket edges")
 
     guarded_clean_dir(
         store_dir,
@@ -105,14 +156,12 @@ def write_tiered_store(sf_dir: str, store_dir: str, w: int = 32,
 
     ds = sequences_pipeline(sf_dir, **seq_kwargs)
     unified = ds.map_batches(
-        lambda b: add_epoch_column(flagship_batch(b, w=w, tiers=tiers),
-                                   epoch_sec),
+        lambda b: add_epoch_column(flagship_batch(b, w=w, tiers=widths),
+                                   widths, epoch_sec),
         batch_format="pyarrow", batch_size=64)
     unified.write_parquet(store_dir, partition_cols=["kind", "tier", "epoch"])
 
-    meta = {"epoch_sec": int(epoch_sec), "w": int(w),
-            "tiers": sorted((tiers or TIER_SECONDS).keys() if tiers is None
-                            else tiers)}
+    meta = {"epoch_sec": int(epoch_sec), "w": int(w), "tiers": widths}
     filesystem, rel = _fs_and_path(store_dir)
     with filesystem.open_output_stream(f"{rel}/{_META_NAME}") as f:
         f.write(json.dumps(meta).encode())
@@ -149,30 +198,58 @@ def _list_epoch_dirs(store_dir: str):
                        int(ename.split("=", 1)[1]), ep_info.path)
 
 
+def _append_log(filesystem, log_path: str, record: dict) -> None:
+    """Crash-safe audit append: a real O(1) append where the filesystem
+    supports it (local), else write-to-temp + atomic move so a kill can
+    never destroy the prior trail mid-rewrite."""
+    from pyarrow import fs as pafs
+
+    line = json.dumps(record).encode() + b"\n"
+    try:
+        with filesystem.open_append_stream(log_path) as f:
+            f.write(line)
+        return
+    except (NotImplementedError, OSError):
+        pass
+    prior = b""
+    if filesystem.get_file_info(log_path).type != pafs.FileType.NotFound:
+        with filesystem.open_input_stream(log_path) as f:
+            prior = f.read()
+    tmp = f"{log_path}.tmp"
+    with filesystem.open_output_stream(tmp) as f:
+        f.write(prior + line)
+    filesystem.move(tmp, log_path)
+
+
 def apply_retention(store_dir: str, now_sec: float,
                     policy: RetentionPolicy = None) -> dict:
-    """Expire epoch directories entirely older than each tier's horizon.
+    """Expire epoch directories entirely older than each tier's ALIGNED
+    horizon (:func:`aligned_horizons` — the same boundary the read path
+    stitches at, so expiry can never eat a bucket a stitched read still
+    needs).
 
     An epoch is expired iff the latest data instant any of its buckets can
-    reach is <= the tier's horizon.  Epochs are keyed by bucket START, so
-    that end is ``ceil((epoch+1)*epoch_sec / tier_sec) * tier_sec`` — equal
+    reach is <= that horizon.  Epochs are keyed by bucket START, so that
+    end is ``ceil((epoch+1)*epoch_sec / tier_sec) * tier_sec`` — equal
     to ``(epoch+1)*epoch_sec`` when buckets align with epochs, and the
     single bucket's own end when ``tier_sec > epoch_sec``.  A
     partially-retained epoch is kept whole (retention never truncates
-    inside a file; the read path applies the exact horizon).  Deletion is
+    inside a file; the read path applies the exact boundary).  Deletion is
     directory-level: no row is read or rewritten.
     Idempotent — a re-run after a crash deletes nothing new and appends a
     fresh log record, so the ``_retention_log.jsonl`` audit trail shows
     every pass.  Returns ``{"deleted": [...], "kept": n}``.
     """
     policy = policy or RetentionPolicy()
-    epoch_sec = store_meta(store_dir)["epoch_sec"]
+    meta = store_meta(store_dir)
+    epoch_sec, widths = meta["epoch_sec"], meta["tiers"]
+    horizons = aligned_horizons(policy, now_sec, widths)
     filesystem, rel = _fs_and_path(store_dir)
 
     deleted, kept = [], 0
     for kind, tier, epoch, path in _list_epoch_dirs(store_dir):
-        horizon = policy.horizon(tier, now_sec)
-        tier_sec = TIER_SECONDS[tier]
+        horizon = horizons.get(tier)
+        tier_sec = widths[tier]
         data_end = math.ceil((epoch + 1) * epoch_sec / tier_sec) * tier_sec
         if horizon is not None and data_end <= horizon:
             filesystem.delete_dir(path)
@@ -182,28 +259,18 @@ def apply_retention(store_dir: str, now_sec: float,
 
     record = {"now_sec": now_sec, "deleted": deleted, "kept": kept,
               "policy": {k: v for k, v in policy.max_age.items()}}
-    # append-only audit log (read-modify-write; retention runs are serial
-    # maintenance jobs, not concurrent stages)
-    log_path = f"{rel}/{_LOG_NAME}"
-    from pyarrow import fs as pafs
-
-    prior = b""
-    if filesystem.get_file_info(log_path).type != pafs.FileType.NotFound:
-        with filesystem.open_input_stream(log_path) as f:
-            prior = f.read()
-    with filesystem.open_output_stream(log_path) as f:
-        f.write(prior + json.dumps(record).encode() + b"\n")
+    _append_log(filesystem, f"{rel}/{_LOG_NAME}", record)
     return record
 
 
 def _read_tier_range(store_dir: str, kind: str, tier: str, lo: float,
-                     hi: float, epoch_sec: int):
+                     hi: float, widths: dict, epoch_sec: int):
     """Pruned read of one tier restricted to bucket_start in [lo, hi)."""
     import pyarrow.compute as pc
     import ray.data
     from ray.data.datasource.partitioning import PathPartitionFilter
 
-    tier_sec = TIER_SECONDS[tier]
+    tier_sec = widths[tier]
     ep_lo = int(lo // epoch_sec)
     ep_hi = int(math.ceil(hi / epoch_sec))  # exclusive
 
@@ -239,18 +306,23 @@ def _read_tier_range(store_dir: str, kind: str, tier: str, lo: float,
 
 
 def stitch_plan(policy: RetentionPolicy, now_sec: float, t_lo: float,
-                t_hi: float, tier_order=("1m", "1h", "1d")) -> list:
+                t_hi: float, widths: dict = None) -> list:
     """Pure serving plan for :func:`tiered_read`: ``[(tier, lo, hi), ...]``
-    walking fine -> coarse, each tier serving ``[max(t_lo, horizon),
-    finer tier's horizon)``.  Intervals are disjoint, descend in time, and
-    jointly cover everything of ``[t_lo, t_hi)`` the policy still retains
-    (property-tested in tests/test_retention.py)."""
+    walking fine -> coarse, each tier serving ``[max(t_lo, aligned
+    horizon), finer tier's lower bound)``.  Because the horizons are
+    coarse-aligned, every seam falls on a coarse-bucket edge: intervals
+    are disjoint, abut exactly, respect each tier's horizon, and no served
+    bucket's SPAN crosses a seam — so aggregating across the stitched
+    result counts each wall-clock instant exactly once (property-tested in
+    tests/test_retention.py)."""
+    widths = widths or dict(DEFAULT_TIERS)
+    horizons = aligned_horizons(policy, now_sec, widths)
     plan = []
     upper = t_hi
-    for tier in tier_order:
+    for tier in tier_order_of(widths):
         if upper <= t_lo:
             break
-        horizon = policy.horizon(tier, now_sec)
+        horizon = horizons[tier]
         lo = t_lo if horizon is None else max(t_lo, horizon)
         if lo < upper:
             cap = now_sec if math.isinf(upper) else upper
@@ -264,24 +336,25 @@ def stitch_plan(policy: RetentionPolicy, now_sec: float, t_lo: float,
 
 def tiered_read(store_dir: str, kind: str, now_sec: float,
                 policy: RetentionPolicy = None, t_lo: float = 0.0,
-                t_hi: float = None, tier_order=("1m", "1h", "1d")):
+                t_hi: float = None):
     """Serve ``[t_lo, t_hi)`` stitching the FINEST retained tier per range.
 
-    Walking tiers fine -> coarse, each tier serves ``[max(t_lo, horizon),
-    upper)`` where ``upper`` is the previous (finer) tier's horizon — the
-    standard continuous-aggregate read: recent data at 1m grain, older at
-    1h, ancient at 1d.  Ranges never overlap and jointly cover everything
-    the policy still retains.  Each per-tier read prunes epochs at file
+    Walking tiers fine -> coarse (order derived from the store's persisted
+    tier widths), each tier serves down to its coarse-aligned horizon —
+    the standard continuous-aggregate read: recent data at 1m grain, older
+    at 1h, ancient at 1d, with exact non-overlapping wall-clock coverage
+    (see :func:`stitch_plan`).  Each per-tier read prunes epochs at file
     discovery, so the union's cost is proportional to the data actually
     served.  Returns one Dataset tagged by ``tier`` + ``bucket_start``.
     """
     policy = policy or RetentionPolicy()
-    epoch_sec = store_meta(store_dir)["epoch_sec"]
+    meta = store_meta(store_dir)
+    epoch_sec, widths = meta["epoch_sec"], meta["tiers"]
     t_hi = float("inf") if t_hi is None else t_hi
 
-    parts = [_read_tier_range(store_dir, kind, tier, lo, hi, epoch_sec)
-             for tier, lo, hi in stitch_plan(policy, now_sec, t_lo, t_hi,
-                                             tier_order)]
+    parts = [
+        _read_tier_range(store_dir, kind, tier, lo, hi, widths, epoch_sec)
+        for tier, lo, hi in stitch_plan(policy, now_sec, t_lo, t_hi, widths)]
     if not parts:
         raise ValueError("requested range is entirely past every tier's "
                          "retention horizon")
@@ -292,14 +365,30 @@ def tiered_read(store_dir: str, kind: str, now_sec: float,
 
 
 def downsample_read(store_dir: str, kind: str, t_lo: float, t_hi: float,
-                    max_points: int, tier_order=("1m", "1h", "1d")):
-    """Grafana-style serving: the finest tier whose per-doc point count
-    over ``[t_lo, t_hi)`` fits ``max_points`` (the coarsest tier if none
-    does).  One pruned read, no stitching."""
-    epoch_sec = store_meta(store_dir)["epoch_sec"]
-    chosen = tier_order[-1]
-    for tier in tier_order:
-        if math.ceil((t_hi - t_lo) / TIER_SECONDS[tier]) <= max_points:
+                    max_points: int, now_sec: float = None,
+                    policy: RetentionPolicy = None):
+    """Grafana-style serving: the finest tier whose point count over
+    ``[t_lo, t_hi)`` fits ``max_points``.  With ``now_sec`` + ``policy``,
+    tiers whose aligned horizon has expired past ``t_lo`` are skipped, so
+    a post-retention read falls back to a coarser tier that still holds
+    the whole range instead of silently serving a truncated suffix.  One
+    pruned read, no stitching."""
+    meta = store_meta(store_dir)
+    epoch_sec, widths = meta["epoch_sec"], meta["tiers"]
+    order = tier_order_of(widths)
+    horizons = (aligned_horizons(policy, now_sec, widths)
+                if policy is not None and now_sec is not None
+                else {t: None for t in order})
+
+    candidates = [t for t in order
+                  if horizons[t] is None or horizons[t] <= t_lo]
+    if not candidates:
+        raise ValueError("no tier retains the requested range start; "
+                         "raise t_lo past the coarsest tier's horizon")
+    chosen = candidates[-1]
+    for tier in candidates:
+        if math.ceil((t_hi - t_lo) / widths[tier]) <= max_points:
             chosen = tier
             break
-    return _read_tier_range(store_dir, kind, chosen, t_lo, t_hi, epoch_sec)
+    return _read_tier_range(store_dir, kind, chosen, t_lo, t_hi, widths,
+                            epoch_sec)
