@@ -178,6 +178,10 @@ def pmp_top_k_motifs(profile, exclusion_zone=None, k: int = 3,
         dp = np.concatenate((dp, np.full(profile_len - len(dp), np.inf)))
         dp[~np.isfinite(pmp[row])] = np.inf
 
+        # truthiness, NOT `is None`: the reference's PMP variant coerces
+        # an explicit exclusion_zone=0 to floor(w/2) (top_k_motifs.py:108)
+        # while its MP variant honors 0 (top_k_motifs.py:233) — a real
+        # reference asymmetry we preserve for drop-in parity
         if not exclusion_zone:
             exclusion_zone = int(np.floor(window_size / 2))
 

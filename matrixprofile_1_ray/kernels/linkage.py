@@ -129,9 +129,12 @@ def inconsistent(Z, d: int = 2):
     return R
 
 
-def fcluster(Z, t, criterion: str = "distance", depth: int = 2, R=None):
-    """Flat clusters: supported criteria — distance, maxclust, inconsistent,
-    monocrit(=distance on the provided statistic)."""
+def fcluster(Z, t, criterion: str = "distance", depth: int = 2, R=None,
+             monocrit=None):
+    """Flat clusters: supported criteria — distance, maxclust,
+    inconsistent (cut on R[:, 3], computed at ``depth`` when R is None)
+    and monocrit (cut on the caller-provided per-link ``monocrit``
+    vector, as in SciPy — NOT on R, which 'monocrit' ignores there)."""
     Z = np.asarray(Z)
     m = Z.shape[0] + 1
 
@@ -146,11 +149,19 @@ def fcluster(Z, t, criterion: str = "distance", depth: int = 2, R=None):
         return _cut(Z, best, m)
     if criterion == "distance":
         return _cut(Z, t, m)
-    if criterion in ("inconsistent", "monocrit"):
-        stat = (R[:, 3] if criterion == "inconsistent" and R is not None
+    if criterion == "inconsistent":
+        stat = (np.asarray(R)[:, 3] if R is not None
                 else inconsistent(Z, depth)[:, 3])
         # merge links whose statistic is <= t
         return _cut_by_mask(Z, stat <= t, m)
+    if criterion == "monocrit":
+        if monocrit is None:
+            # SciPy cuts 'monocrit' on its monocrit= vector and crashes
+            # without one (R is ignored); silently falling back to the
+            # inconsistency statistic here would cut on the wrong values
+            raise ValueError("criterion='monocrit' needs a monocrit= "
+                             "per-link statistic vector")
+        return _cut_by_mask(Z, np.asarray(monocrit, dtype="d") <= t, m)
     raise ValueError(f"unsupported criterion: {criterion}")
 
 

@@ -144,14 +144,20 @@ def mpx_diag_range(d_lo: int, d_hi: int, seed, df, dg, sig, mp, mpi):
 
         # row side keeps the raw (possibly >1) value, column side clamps —
         # mirroring cympx.pyx:94-102; copyto(where=) avoids the gather/
-        # scatter temporaries of boolean fancy indexing
+        # scatter temporaries of boolean fancy indexing.  COLUMN side goes
+        # first: in the reference's ascending-offset walk an entry k hit
+        # by both sides of one diagonal sees its column candidate (offset
+        # k-d) before its row candidate (offset k), so with strict > the
+        # smaller neighbor index wins exact ties — updating the row side
+        # first would invert that and diverge from the serial/native walk
+        # on tie-heavy (constant/periodic) token windows
+        cc = np.minimum(corr, 1.0, out=u_buf[:L])
+        m2 = np.greater(cc, mp[diag:], out=m_buf[:L])
+        np.copyto(mp[diag:], cc, where=m2)
+        np.copyto(mpi[diag:], offsets[:L], where=m2)
         m1 = np.greater(corr, mp[:L], out=m_buf[:L])
         np.copyto(mp[:L], corr, where=m1)
         np.copyto(mpi[:L], offsets[diag:], where=m1)
-        np.minimum(corr, 1.0, out=corr)
-        m2 = np.greater(corr, mp[diag:], out=m_buf[:L])
-        np.copyto(mp[diag:], corr, where=m2)
-        np.copyto(mpi[diag:], offsets[:L], where=m2)
     return mp, mpi
 
 
@@ -305,13 +311,20 @@ def mpx_ab(ts, query, w: int, cross_correlation: bool = False):
     return mp, mpi, mpb, mpib
 
 
-def tile_pair_partials(strip_a, strip_b, w: int, delta: int, minlag: int):
+def tile_pair_partials(strip_a, strip_b, w: int, delta: int, minlag: int,
+                       merged_tile: bool = False):
     """Pearson partial profiles for one tile pair of a SELF-join
     decomposition (SCAMP-style): ``strip_a``/``strip_b`` are overlapping
     slices of one series whose window starts differ by ``delta``
     (a_global - b_global).  Returns (mp_a, mpi_a, mp_b, mpi_b) with
     b-relative / a-relative neighbor indices; the caller rebases to global
-    indices and merges by max-correlation."""
+    indices and merges by max-correlation.
+
+    ``merged_tile=True`` declares that the caller merges BOTH returned
+    sides into one global profile (a self-join diagonal tile, r == c) —
+    only then may the mirror pass be skipped; an AB join keeps the sides
+    as separate outputs, so identical-content strips there still need
+    both passes."""
     strip_a = np.ascontiguousarray(strip_a, dtype="d")
     strip_b = np.ascontiguousarray(strip_b, dtype="d")
     mua, siga = muinvn(strip_a, w)
@@ -327,10 +340,31 @@ def tile_pair_partials(strip_a, strip_b, w: int, delta: int, minlag: int):
     seed_ab = _seed_products(strip_a, strip_b[:w]) - w * mua * mub[0]
     _ab_one_side(seed_ab, df_a, dg_a, df_b, dg_b, siga, sigb,
                  mp_a, mpi_a, mp_b, mpi_b, delta=delta, minlag=minlag)
-    seed_ba = _seed_products(strip_b, strip_a[:w]) - w * mub * mua[0]
-    _ab_one_side(seed_ba, df_b, dg_b, df_a, dg_a, sigb, siga,
-                 mp_b, mpi_b, mp_a, mpi_a, delta=-delta, minlag=minlag)
+    # DIAGONAL tiles of a MERGED self-join (identical strips, delta 0):
+    # pass 1's lag-i>0 diagonals already update BOTH profile sides of
+    # every admissible pair (target x<-y via mp_a, y<-x via mp_b); the
+    # mirror pass would recompute the identical values into the swapped
+    # arrays — pure duplicate O(tile^2) work, and diagonal tiles are
+    # ~2/(T+1) of a T-row decomposition.
+    if not (merged_tile and delta == 0):
+        seed_ba = _seed_products(strip_b, strip_a[:w]) - w * mub * mua[0]
+        _ab_one_side(seed_ba, df_b, dg_b, df_a, dg_a, sigb, siga,
+                     mp_b, mpi_b, mp_a, mpi_a, delta=-delta, minlag=minlag)
     return mp_a, mpi_a, mp_b, mpi_b
+
+
+def merge_tile_partial(mp, mpi, lo, hi, part_mp, part_mpi, other_lo):
+    """Max-correlation merge of one rebased tile partial into the global
+    ``(mp, mpi)`` — the single definition of the tile merge law
+    (cympx.pyx:104-112 semantics), shared by the serial tiled self-join,
+    the tiled AB join and the distributed absorb so the three can never
+    drift."""
+    vals = part_mp[: hi - lo]
+    idxs = part_mpi[: hi - lo] + other_lo
+    seg = slice(lo, hi)
+    better = vals > mp[seg]
+    mp[seg][better] = vals[better]
+    mpi[seg][better] = idxs[better]
 
 
 def tiled_mpx_self(ts, w: int, tile: int):
@@ -359,17 +393,11 @@ def tiled_mpx_self(ts, w: int, tile: int):
             strip_a = ts[a_lo : a_hi - 1 + w]
             strip_b = ts[b_lo : b_hi - 1 + w]
             mp_a, mpi_a, mp_b, mpi_b = tile_pair_partials(
-                strip_a, strip_b, w, delta=a_lo - b_lo, minlag=minlag)
+                strip_a, strip_b, w, delta=a_lo - b_lo, minlag=minlag,
+                merged_tile=(a_lo == b_lo))
             # rebase neighbor indices to global window starts and merge
-            for (lo, hi, pmp_, pmpi_, other_lo) in (
-                    (a_lo, a_hi, mp_a, mpi_a, b_lo),
-                    (b_lo, b_hi, mp_b, mpi_b, a_lo)):
-                seg = slice(lo, hi)
-                vals = pmp_[: hi - lo]
-                idxs = pmpi_[: hi - lo] + other_lo
-                better = vals > mp[seg]
-                mp[seg][better] = vals[better]
-                mpi[seg][better] = idxs[better]
+            merge_tile_partial(mp, mpi, a_lo, a_hi, mp_a, mpi_a, b_lo)
+            merge_tile_partial(mp, mpi, b_lo, b_hi, mp_b, mpi_b, a_lo)
 
     np.minimum(mp, 1.0, out=mp)
     return np.sqrt(2.0 * w * (1.0 - mp)), mpi
@@ -398,15 +426,8 @@ def tiled_mpx_ab(ts, query, w: int, tile: int):
             strip_b = query[c : b_hi - 1 + w]
             mp_a, mpi_a, mp_b, mpi_b = tile_pair_partials(
                 strip_a, strip_b, w, delta=0, minlag=-1)
-            for (lo, hi, pmp_, pmpi_, other_lo, gmp, gmpi) in (
-                    (r, a_hi, mp_a, mpi_a, c, mp, mpi),
-                    (c, b_hi, mp_b, mpi_b, r, mpb, mpib)):
-                vals = pmp_[: hi - lo]
-                idxs = pmpi_[: hi - lo] + other_lo
-                seg = slice(lo, hi)
-                better = vals > gmp[seg]
-                gmp[seg][better] = vals[better]
-                gmpi[seg][better] = idxs[better]
+            merge_tile_partial(mp, mpi, r, a_hi, mp_a, mpi_a, c)
+            merge_tile_partial(mpb, mpib, c, b_hi, mp_b, mpi_b, r)
 
     # same snap-to-1 as mpx_ab, with the SAME shared margin — a wider
     # tiled-only margin would let the two decompositions disagree on pairs

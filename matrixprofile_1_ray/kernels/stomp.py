@@ -79,10 +79,6 @@ def stomp_batch(batch_start, batch_end, ts, query, window_size, exclusion_zone,
     m_buf = np.empty(profile_length, dtype=bool)
 
     for i in range(batch_start, batch_end):
-        if skip_locs[i]:
-            # reference skips without touching the rolling state
-            continue
-
         query_window = query[i : i + window_size]
         last = query_window[-1]
         query_sum = query_sum - drop_value + last
@@ -96,6 +92,19 @@ def stomp_batch(batch_start, batch_end, ts, query, window_size, exclusion_zone,
         last_product[1:] = lp_head
         last_product[0] = first_product[i]
         drop_value = query_window[0]
+
+        if skip_locs[i]:
+            # Advance the rolling state, emit nothing.  The reference
+            # `continue`s BEFORE the updates (stomp.py:143-145), which
+            # desynchronizes query_sum/last_product for every later window
+            # of the batch — so its NaN-series output depends on how the
+            # query range was batched (each batch reseeds exactly via
+            # fft_convolve).  Keeping the state exact through skips makes
+            # every emitted distance correct and the range partials
+            # partition-invariant, which the distributed fan-out
+            # (state/chunked.py) requires; deliberate divergence, covered
+            # by tests/test_round4_review.py.
+            continue
 
         # distance profile, in place (core.py:447-478 arithmetic)
         denom = data_sig * query_sig

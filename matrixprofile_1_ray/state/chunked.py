@@ -221,22 +221,18 @@ def distributed_tiled_mpx(ts, w: int, tile: int, max_in_flight: int = 64):
     @ray.remote
     def run_pair(a_lo, a_hi, b_lo, b_hi, strip_a, strip_b):
         return (a_lo, a_hi, b_lo, b_hi) + tile_pair_partials(
-            strip_a, strip_b, w, delta=a_lo - b_lo, minlag=minlag)
+            strip_a, strip_b, w, delta=a_lo - b_lo, minlag=minlag,
+            merged_tile=(a_lo == b_lo))
 
     mp = np.full(pl, -1.0)
     mpi = np.full(pl, -1, dtype=np.int64)
 
     def absorb(result):
+        from ..kernels.mpx import merge_tile_partial
+
         a_lo, a_hi, b_lo, b_hi, mp_a, mpi_a, mp_b, mpi_b = result
-        for (lo, hi, pmp_, pmpi_, other_lo) in (
-                (a_lo, a_hi, mp_a, mpi_a, b_lo),
-                (b_lo, b_hi, mp_b, mpi_b, a_lo)):
-            vals = pmp_[: hi - lo]
-            idxs = pmpi_[: hi - lo] + other_lo
-            seg = slice(lo, hi)
-            better = vals > mp[seg]
-            mp[seg][better] = vals[better]
-            mpi[seg][better] = idxs[better]
+        merge_tile_partial(mp, mpi, a_lo, a_hi, mp_a, mpi_a, b_lo)
+        merge_tile_partial(mp, mpi, b_lo, b_hi, mp_b, mpi_b, a_lo)
 
     pending = []
     for r in starts:
@@ -262,11 +258,16 @@ def distributed_stomp(ts, w: int, n_partitions: int = 8):
     import ray
     import ray.data
 
-    ts = clean_nan_inf(np.asarray(ts, dtype="d"))
+    ts = np.asarray(ts, dtype="d")
     n = ts.shape[0]
     profile_length = n - w + 1
     ez = int(np.ceil(w / 2.0))
+    # skip locations come from the RAW series, BEFORE the NaN/Inf
+    # zero-fill — same order as kernels.stomp.stomp; computing them after
+    # the clean yields an all-False mask and lets zero-filled windows
+    # contribute spurious distances
     skip_locs = find_skip_locations(ts, profile_length, w)
+    ts = clean_nan_inf(ts)
     data_mu, data_sig = moving_avg_std(ts, w)
     first_product = fft_convolve(ts, ts[:w])
 

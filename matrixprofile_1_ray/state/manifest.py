@@ -15,6 +15,7 @@ mid-partition leaves no partially-visible output.
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
 import shutil
@@ -38,8 +39,11 @@ class LineageManifest:
                     done[entry["key"]] = entry
         return done
 
-    def is_done(self, key: str, fingerprint: str) -> bool:
-        entry = self.entries().get(key)
+    def is_done(self, key: str, fingerprint: str,
+                entries: dict | None = None) -> bool:
+        """``entries`` lets a caller scanning MANY keys parse the JSONL
+        once instead of once per key (O(P) instead of O(P^2))."""
+        entry = (entries if entries is not None else self.entries()).get(key)
         return (entry is not None
                 and entry["fingerprint"] == fingerprint
                 and entry["version"] == __version__
@@ -91,9 +95,10 @@ def run_partitioned(out_dir: str, partitions: dict[str, str], make_dataset,
     status = {}
     lock = threading.Lock()
 
+    done_entries = manifest.entries()   # one JSONL parse for all keys
     todo = []
     for key, fingerprint in partitions.items():
-        if manifest.is_done(key, fingerprint):
+        if manifest.is_done(key, fingerprint, entries=done_entries):
             status[key] = "skipped"
         else:
             todo.append((key, fingerprint))
@@ -101,6 +106,11 @@ def run_partitioned(out_dir: str, partitions: dict[str, str], make_dataset,
     def run_one(key: str, fingerprint: str):
         final = os.path.join(out_dir, key)
         tmp = f"{final}.tmp-{os.getpid()}-{threading.get_ident()}"
+        # clear THIS run's tmp name plus any orphan a crashed earlier run
+        # left under a different pid/tid — they would otherwise accumulate
+        # in out_dir forever
+        for stale in _glob.glob(_glob.escape(final) + ".tmp-*"):
+            shutil.rmtree(stale, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(final, ignore_errors=True)
 
