@@ -86,8 +86,16 @@ def minhash_signatures(flat_hashes: np.ndarray, shingle_offsets: np.ndarray,
 
 
 def band_keys(signatures: np.ndarray, bands: int = 16) -> np.ndarray:
-    """[n_rows, bands] uint64 LSH band keys (hash of each band's slice)."""
+    """[n_rows, bands] uint64 LSH band keys (hash of each band's slice).
+
+    ``bands`` must evenly divide the permutation count: a remainder would
+    silently drop tail permutations (weaker recall than requested), and
+    ``bands > num_perm`` gives zero-width bands whose constant keys put
+    EVERY row in every bucket — an O(n^2) candidate blowup."""
     n_rows, num_perm = signatures.shape
+    if bands <= 0 or num_perm % bands:
+        raise ValueError(
+            f"bands={bands} must evenly divide num_perm={num_perm}")
     rows_per_band = num_perm // bands
     out = np.zeros((n_rows, bands), dtype=np.uint64)
     for b in range(bands):

@@ -88,3 +88,15 @@ def numpy_to_list_column(values: np.ndarray, offsets: np.ndarray,
     """Build a list column back from flat values + offsets."""
     arr = pa.array(values, type=value_type) if value_type else pa.array(values)
     return pa.ListArray.from_arrays(pa.array(offsets - offsets[0], type=pa.int32()), arr)
+
+
+def list_column_from_parts(parts: list, value_type) -> pa.ListArray:
+    """List column from per-row numpy arrays WITHOUT per-element Python
+    boxing: one concatenate + one offsets array, zero ``.tolist()``."""
+    flat = (np.concatenate(parts) if parts
+            else np.empty(0, pa.DataType.to_pandas_dtype(value_type)))
+    offsets = np.zeros(len(parts) + 1, dtype=np.int64)
+    if parts:
+        np.cumsum([p.shape[0] for p in parts], out=offsets[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(flat, type=value_type))

@@ -15,20 +15,31 @@ from __future__ import annotations
 from collections.abc import Callable
 
 
+def fs_and_path(path: str):
+    """Resolve ``path`` to ``(pyarrow FileSystem, fs-relative path)``.
+
+    from_uri rejects relative local paths ("URI has empty scheme"), so
+    anything without a scheme is absolutized first.  The ONE place this
+    rule lives — writers (guarded_clean_dir), the retention store and the
+    flagship pruned reads all resolve through it, so they can never apply
+    different URI handling to the same target."""
+    import os
+
+    from pyarrow import fs as pafs
+
+    if "://" not in path:
+        path = os.path.abspath(path)
+    return pafs.FileSystem.from_uri(path)
+
+
 def guarded_clean_dir(path: str, is_ours: Callable[[list[str]], bool],
                       what: str) -> None:
     """Delete ``path`` (file tree) iff it does not exist, is empty, or
     ``is_ours(basenames)`` accepts its top-level entries; raise
     ``ValueError`` otherwise.  ``what`` names the layout in the error."""
-    import os
-
     from pyarrow import fs as pafs
 
-    # from_uri rejects relative local paths ("URI has empty scheme");
-    # anything without a scheme is a local path — absolutize it first
-    if "://" not in path:
-        path = os.path.abspath(path)
-    filesystem, rel = pafs.FileSystem.from_uri(path)
+    filesystem, rel = fs_and_path(path)
     info = filesystem.get_file_info(rel)
     if info.type == pafs.FileType.NotFound:
         return

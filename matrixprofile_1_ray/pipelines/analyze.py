@@ -47,6 +47,9 @@ def compute(ds, windows=None, sample_pct: float = 1.0,
     # (compute.py:103-104)
     if not np.isscalar(windows):
         windows = [int(w) for w in np.asarray(windows).reshape(-1)]
+        if not windows:
+            raise ValueError("windows must be a non-empty iterable, an "
+                             "int, or None (threshold dispatch)")
         if len(windows) > 1:
             return ds.map_batches(lambda b: pmp_batch(b, windows),
                                   batch_format="pyarrow")

@@ -125,9 +125,10 @@ def _read_kind_dir(out_dir: str, kind: str, cols):
     import ray.data
     from pyarrow import fs as pafs
 
+    from ..io.fsutil import fs_and_path
+
     sub = f"{out_dir}/kind={kind}"
-    probe = sub if "://" in sub else os.path.abspath(sub)
-    filesystem, rel = pafs.FileSystem.from_uri(probe)
+    filesystem, rel = fs_and_path(sub)
     if filesystem.get_file_info(rel).type == pafs.FileType.NotFound:
         empty = pa.table(
             {c: pa.array([], type=_ROLLUP_TYPES[c]) for c in cols})

@@ -211,21 +211,13 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
 
     from ..io.fsutil import guarded_clean_dir
 
-    # a partial dir from a crashed build would get appended to — rebuild
-    # from clean (the centroids file is written LAST, so its presence is
-    # the build-complete marker ivf_topk keys on).  Refuse to clobber a
-    # directory that is not recognizably an index (marker or hive
-    # centroid=* layout): --index-dir pointed at the wrong place must
-    # raise, not silently delete an unrelated tree.
-    guarded_clean_dir(
-        index_dir,
-        lambda names: ("_centroids.parquet" in names
-                       or any(n.startswith("centroid=") for n in names)),
-        "an IVF index (no _centroids.parquet marker, no centroid=* "
-        "partitions)")
-
     if centroids is None:
+        # sample BEFORE clearing any prior index: an empty corpus must
+        # fail here with a clear error, not after the old index is gone
         sample_rows = ds.limit(sample_size).take_all()
+        if not sample_rows:
+            raise ValueError("cannot build an IVF index over an empty "
+                             "embeddings dataset")
         sample = np.stack([np.asarray(r["embedding"], dtype="d")
                            for r in sample_rows])
         centroids = fit_centroids(sample, n_centroids=n_centroids, seed=seed)
@@ -233,6 +225,21 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 16,
         # caller-supplied centroids (e.g. the SQL-replayable gate seeds)
         # still flow through the identical Assign/persist path below
         centroids = _normalize(np.asarray(centroids, dtype="d"))
+
+    # a partial dir from a crashed build would get appended to — rebuild
+    # from clean (the centroids file is written LAST, so its presence is
+    # the build-complete marker ivf_topk keys on).  Refuse to clobber a
+    # directory that is not recognizably an index (marker or hive
+    # centroid=* layout): --index-dir pointed at the wrong place must
+    # raise, not silently delete an unrelated tree.  Runs AFTER the
+    # centroid fit so a failed fit never destroys the previous index.
+    guarded_clean_dir(
+        index_dir,
+        lambda names: ("_centroids.parquet" in names
+                       or any(n.startswith("centroid=") for n in names)),
+        "an IVF index (no _centroids.parquet marker, no centroid=* "
+        "partitions)")
+
     cent_ref = ray.put(centroids)
 
     class Assign:

@@ -280,6 +280,11 @@ def verify_jaccard_bucketed(pairs_ds, sequences_ds, k: int = 5,
         lookup = dict(zip(sh["doc_id"], sh["shingles"]))
         hv = g[g["_side"] == "h"].copy()
         hv["shingles"] = hv["doc_id"].map(lookup)
+        # a candidate pair can reference a doc absent from the sequences
+        # view (stale candidates, filtered corpus); its half maps to NaN
+        # and would crash np.frombuffer in judge — drop the orphan half
+        # here, which drops the pair (judge intersects the two halves)
+        hv = hv[hv["shingles"].notna()]
         hv["_part"] = _hash_part(hv["pair_id"], num_partitions)
         return hv[["pair_id", "doc_a", "doc_b", "slot", "shingles", "_part"]]
 
@@ -509,6 +514,14 @@ def embedding_near_dup(ds, threshold: float = 0.95, planes: int = 16,
     hyper = rng.normal(size=(dim, planes))
 
     def bucket(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            # reshape(0, -1) cannot infer the row width on empty input
+            return pa.table({
+                "vec_id": batch["vec_id"],
+                "bucket": pa.array([], pa.int64()),
+                "_part": pa.array([], pa.int64()),
+                "embedding": batch["embedding"],
+            })
         emb, offsets = list_column_to_numpy(batch["embedding"])
         mat = emb.astype("d").reshape(len(batch), -1)
         signs = (mat @ hyper) > 0

@@ -14,7 +14,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.tokenize import list_column_to_numpy
+from ..functions.tokenize import (
+    list_column_from_parts,
+    list_column_to_numpy,
+)
 from ..kernels.hierarchical import hierarchical_clusters
 from ..kernels.mpdist import mpdist
 from .ann import auto_concurrency
@@ -180,10 +183,8 @@ def ab_join_stage(ds, query: np.ndarray, w: int):
             return pa.table({
                 "doc_id": batch["doc_id"].take(take),
                 "w": pa.array(np.full(len(keep), w, np.int32)),
-                "mp": pa.array([m.tolist() for m in out_mp],
-                               pa.list_(pa.float64())),
-                "pi": pa.array([p.tolist() for p in out_pi],
-                               pa.list_(pa.int64())),
+                "mp": list_column_from_parts(out_mp, pa.float64()),
+                "pi": list_column_from_parts(out_pi, pa.int64()),
             })
 
     return ds.map_batches(ABJoin, batch_format="pyarrow", concurrency=auto_concurrency())

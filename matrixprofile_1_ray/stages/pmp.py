@@ -12,7 +12,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.tokenize import list_column_to_numpy
+from ..functions.tokenize import (
+    list_column_from_parts,
+    list_column_to_numpy,
+)
 from ..kernels.mpx import mpx_self
 from ..kernels.skimp import binary_split, maximum_subsequence
 
@@ -37,8 +40,8 @@ def _pmp_rows(batch: pa.Table, select_windows) -> pa.Table:
         "doc_id": batch["doc_id"].take(take),
         "source": batch["source"].take(take),
         "w": pa.array(out_w, pa.int32()),
-        "mp": pa.array([m.tolist() for m in out_mp], pa.list_(pa.float64())),
-        "pi": pa.array([p.tolist() for p in out_pi], pa.list_(pa.int64())),
+        "mp": list_column_from_parts(out_mp, pa.float64()),
+        "pi": list_column_from_parts(out_pi, pa.int64()),
     })
 
 

@@ -48,6 +48,12 @@ def compute_profiles_batch(batch: pa.Table, w: int = 32,
     if keep_lr and algorithm != "stomp":
         raise ValueError("left/right profiles require algorithm='stomp' "
                          "(reference stomp.py:90-94)")
+    if cross_correlation and algorithm != "mpx":
+        # stomp/scrimp++ never receive the flag; silently labeling their
+        # euclidean output 'cross_correlation' would poison downstream
+        # metric-dependent conversions
+        raise ValueError("cross_correlation output requires "
+                         "algorithm='mpx' (reference mpx.py:24-31)")
     values, offsets = list_column_to_numpy(batch["tokens"])
     n_rows = len(batch)
 

@@ -100,11 +100,9 @@ def aligned_horizons(policy: RetentionPolicy, now_sec: float,
 
 
 def _fs_and_path(path: str):
-    from pyarrow import fs as pafs
+    from ..io.fsutil import fs_and_path
 
-    if "://" not in path:
-        path = os.path.abspath(path)
-    return pafs.FileSystem.from_uri(path)
+    return fs_and_path(path)
 
 
 def _epoch_of(tier_names, buckets: np.ndarray, widths: dict,

@@ -113,7 +113,6 @@ def moving_stats_batch(batch: pa.Table, window: int = 8) -> pa.Table:
         seg = values[offsets[i] : offsets[i + 1]].astype("d")
         if seg.shape[0] < window:
             continue
-        mu, _sig = moving_avg_std(seg, window)
         mmins.append(moving_min(seg, window))
         mmaxs.append(moving_max(seg, window))
         # exact integer mean: windowed integer sum / window

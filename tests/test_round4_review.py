@@ -174,6 +174,120 @@ def test_fcluster_monocrit_uses_provided_vector():
     assert len(set(T1)) == 1
 
 
+def test_band_keys_rejects_nondivisible_bands():
+    from matrixprofile_1_ray.functions.dedup import band_keys
+
+    sig = np.arange(8, dtype=np.uint64).reshape(2, 4)
+    assert band_keys(sig, bands=2).shape == (2, 2)
+    with pytest.raises(ValueError, match="divide"):
+        band_keys(sig, bands=3)   # tail perm silently dropped before
+    with pytest.raises(ValueError, match="divide"):
+        band_keys(sig, bands=8)   # zero-width bands -> constant keys
+
+
+def test_embedding_near_dup_survives_empty_blocks(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from matrixprofile_1_ray.stages.dedup import embedding_near_dup
+
+    empty = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64())),
+    })
+    some = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [1.0, 0.0]],
+                              pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow([empty, some])
+    out = embedding_near_dup(ds, dim=2, threshold=0.9).to_pandas()
+    assert len(out) == 1  # the planted exact-dup pair, no reshape crash
+
+
+def test_jaccard_verify_drops_orphan_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from matrixprofile_1_ray.stages.dedup import verify_jaccard_bucketed
+
+    seqs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "b"], pa.string()),
+        "tokens": pa.array([[1, 2, 3, 4, 5, 6]] * 2, pa.list_(pa.int64())),
+    }))
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(["a", "a"], pa.string()),
+        "doc_b": pa.array(["b", "ghost"], pa.string()),  # ghost: no doc
+    }))
+    out = verify_jaccard_bucketed(pairs, seqs, threshold=0.5).to_pandas()
+    # the real pair verifies; the orphan pair is dropped, not a crash
+    assert out[["doc_a", "doc_b"]].values.tolist() == [["a", "b"]]
+
+
+def test_profiles_batch_rejects_cross_correlation_mislabel():
+    import pyarrow as pa
+
+    from matrixprofile_1_ray.stages.profile import compute_profiles_batch
+
+    batch = pa.table({
+        "doc_id": pa.array(["d"], pa.string()),
+        "source": pa.array(["s"], pa.string()),
+        "n_tok": pa.array([64], pa.int32()),
+        "tokens": pa.array([list(range(64))], pa.list_(pa.int64())),
+    })
+    with pytest.raises(ValueError, match="cross_correlation"):
+        compute_profiles_batch(batch, w=8, algorithm="stomp",
+                               cross_correlation=True)
+    out = compute_profiles_batch(batch, w=8, algorithm="mpx",
+                                 cross_correlation=True)
+    assert out["metric"][0].as_py() == "cross_correlation"
+
+
+def test_compute_rejects_empty_windows(ray_session):
+    import ray.data
+
+    from matrixprofile_1_ray.pipelines.analyze import compute as compute_ds
+
+    import pyarrow as pa
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["d"], pa.string()),
+        "source": pa.array(["s"], pa.string()),
+        "n_tok": pa.array([64], pa.int32()),
+        "tokens": pa.array([list(range(64))], pa.list_(pa.int64())),
+    }))
+    with pytest.raises(ValueError, match="non-empty"):
+        compute_ds(ds, windows=[])
+
+
+def test_ivf_build_refuses_empty_corpus_without_destroying_index(
+        ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from matrixprofile_1_ray.stages.ann import build_ivf_index
+
+    index_dir = str(tmp_path / "idx")
+    full = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(list(range(8)), pa.int64()),
+        "embedding": pa.array([[float(i), 1.0] for i in range(8)],
+                              pa.list_(pa.float64())),
+    }))
+    build_ivf_index(full, index_dir, n_centroids=2)
+    import os
+
+    assert os.path.exists(os.path.join(index_dir, "_centroids.parquet"))
+
+    empty = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64())),
+    }))
+    with pytest.raises(ValueError, match="empty"):
+        build_ivf_index(empty, index_dir, n_centroids=2)
+    # the failed rebuild must NOT have deleted the existing index
+    assert os.path.exists(os.path.join(index_dir, "_centroids.parquet"))
+
+
 def test_run_partitioned_cleans_orphan_tmp_dirs(ray_session, tmp_path):
     import os
 
