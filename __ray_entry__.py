@@ -1020,7 +1020,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # itself so the window can never silently drop a green-capable row
     # again (round-3 verdict item #1).
     _oracle_keys = oracle_sql()
-    qs = {**{k: qs[k] for k in _oracle_keys if k in qs},
+    _orphans = set(_oracle_keys) - set(qs)
+    if _orphans:
+        # fail LOUDLY: a key present in oracle_sql() but missing from the
+        # dict above would otherwise silently shrink the oracle-backed
+        # prefix and let a rows-only query slide into the driver's
+        # 50-entry check window
+        raise KeyError(f"oracle_sql keys with no queries() entry: "
+                       f"{sorted(_orphans)}")
+    qs = {**{k: qs[k] for k in _oracle_keys},
           **{k: v for k, v in qs.items() if k not in _oracle_keys}}
     return qs
 

@@ -46,13 +46,43 @@ def synth_path(rows: int = None, rows_per_block: int = 250) -> str:
     would silently skew read parallelism."""
     rows = SYNTH_ROWS if rows is None else rows
     path = f"/tmp/graft_synth_{rows}_{SYNTH_SEED}_b{rows_per_block}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        from matrixprofile_1_ray.sources import write_synthetic_sequences
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
 
-        write_synthetic_sequences(path, rows, seed=SYNTH_SEED,
+    # crash/concurrency safety: generate into a temp dir and atomically
+    # rename under the shared flock mutex.  A bare write-into-place would
+    # leave partial files on an interrupted run, and the rerun's
+    # write_parquet APPENDS alongside them before stamping _SUCCESS —
+    # silently doubling the corpus (and every throughput number) forever.
+    from matrixprofile_1_ray.sources import write_synthetic_sequences
+    from matrixprofile_1_ray.stages.ann import _locked_build
+
+    def build():
+        import shutil
+
+        tmp = f"{path}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_synthetic_sequences(tmp, rows, seed=SYNTH_SEED,
                                   rows_per_block=rows_per_block)
-        open(os.path.join(path, "_SUCCESS"), "w").close()
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)
+
+    _locked_build(path, lambda: not os.path.exists(marker), build)
     return path
+
+
+def synth_token_count(spath: str) -> int:
+    """Total n_tok over a synthetic corpus dir — one definition shared by
+    the headline bench and the scaling legs so the two throughput numbers
+    can never diverge on a layout change."""
+    import pyarrow.parquet as pq
+
+    return int(sum(
+        pq.read_table(os.path.join(spath, f), columns=["n_tok"])["n_tok"]
+        .to_numpy().sum()
+        for f in os.listdir(spath) if f.endswith(".parquet")))
 
 
 def throttle_probe() -> float:
@@ -219,10 +249,7 @@ def run_bench() -> dict:
     doc_points, n_docs = duckdb.sql(
         f"SELECT sum(length(text)), count(*) FROM "
         f"read_parquet('{SF_DIR}/documents.parquet')").fetchone()
-    synth_points = sum(
-        pq.read_table(f, columns=["n_tok"])["n_tok"].to_numpy().sum()
-        for f in [os.path.join(spath, f) for f in os.listdir(spath)
-                  if f.endswith(".parquet")])
+    synth_points = synth_token_count(spath)
     rollup_secs = timings["rollup_tiers"] + timings["mp_rollup"]
     counters["points_per_sec"] = round(
         (doc_points * 4) / max(rollup_secs, 1e-9))      # 4 passes: raw+3 tiers
@@ -273,10 +300,7 @@ def run_flagship_scaled(num_cpus: int, spath: str) -> dict:
     from matrixprofile_1_ray.stages.codec_stage import verify_roundtrip_batch
     from matrixprofile_1_ray.stages.gapfill import gapfill_batch
 
-    points = sum(
-        pq.read_table(os.path.join(spath, f), columns=["n_tok"])["n_tok"]
-        .to_numpy().sum()
-        for f in os.listdir(spath) if f.endswith(".parquet"))
+    points = synth_token_count(spath)
 
     t0 = time.perf_counter()
     # corpus files are 125-row blocks -> plenty of parallelism at both

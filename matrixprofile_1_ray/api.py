@@ -32,8 +32,14 @@ def compute(ts, windows=None, query=None, sample_pct: float = 1,
     # so the dispatch below never crashes on e.g. a single-element range
     if windows is not None and not isinstance(windows, (int, np.integer)):
         windows = [int(w) for w in windows]
+    if windows == []:
+        # the reference errors on an empty window list (inside mpx for
+        # compute, RuntimeError for analyze) — silently taking the
+        # threshold-PMP path would mask the caller's bug at full PMP cost
+        raise ValueError("windows must be a non-empty iterable, an int, "
+                         "or None (threshold dispatch)")
     multiple_windows = isinstance(windows, list) and len(windows) > 1
-    no_windows = windows is None or windows == []
+    no_windows = windows is None
 
     if no_windows and threshold is None:
         raise ValueError("compute requires a threshold or window(s) to be set!")
@@ -87,7 +93,11 @@ def analyze(ts, query=None, windows=None, sample_pct: float = 1.0,
             or (isinstance(windows, list) and any(w < 4 for w in windows))):
         raise ValueError("Compute requires all window sizes to be greater than 3!")
 
-    no_window = windows is None or windows == []
+    if windows == []:
+        # reference analyze.py:271 raises on this param combination
+        raise ValueError("windows must be a non-empty iterable, an int, "
+                         "or None (threshold dispatch)")
+    no_window = windows is None
     many_windows = isinstance(windows, list) and len(windows) > 1
     if isinstance(windows, list) and len(windows) == 1:
         windows = windows[0]

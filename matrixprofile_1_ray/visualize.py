@@ -590,7 +590,8 @@ def plot_discords_pmp(profile):
 
 
 def plot_motifs_pmp(profile):
-    """reference visualize.py:517-597 — one figure per motif."""
+    """reference visualize.py:517-597 — exactly TWO figures regardless of
+    motif count (per-pair subsequence grid + whole-series overlay)."""
     return _named_figs(profile, "motifs_pmp")
 
 
