@@ -183,6 +183,41 @@ def cmd_ann(args):
                       "rows": len(out)}))
 
 
+def cmd_retention(args):
+    """Tiered-store maintenance: build the kind/tier/epoch store from a
+    documents directory, apply the expiry policy, or serve a stitched
+    range — the retention half of the north rule's rollup + downsample +
+    retention engine (stages/retention.py)."""
+    from .stages.retention import (
+        RetentionPolicy,
+        apply_retention,
+        tiered_read,
+        write_tiered_store,
+    )
+
+    _init_ray(args.num_cpus)
+    keep = {k: (None if v in ("none", "inf") else float(v))
+            for k, v in (spec.split("=", 1) for spec in args.keep or [])}
+    policy = RetentionPolicy(keep) if keep else RetentionPolicy()
+
+    report = {"store": args.store}
+    if args.build_from:
+        meta = write_tiered_store(args.build_from, args.store, w=args.window,
+                                  epoch_sec=args.epoch_sec)
+        report["built"] = meta
+    if args.expire:
+        report["expired"] = apply_retention(args.store, args.now, policy)
+    if args.serve is not None:
+        lo, hi = (float(x) for x in args.serve.split(":", 1))
+        ds = tiered_read(args.store, args.kind, args.now, policy,
+                         t_lo=lo, t_hi=hi)
+        if args.output:
+            ds.write_parquet(args.output)
+            report["served_to"] = args.output
+        report["served_rows"] = ds.count()
+    print(json.dumps(report))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="matrixprofile_1_ray")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -239,7 +274,35 @@ def main(argv=None):
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     p.set_defaults(fn=cmd_ann)
 
+    p = sub.add_parser("retention",
+                       help="tiered store: build / expire / serve")
+    p.add_argument("--store", required=True, help="kind/tier/epoch store dir")
+    p.add_argument("--build-from", default=None,
+                   help="documents dir: (re)build the store first")
+    p.add_argument("--window", type=int, default=32)
+    p.add_argument("--epoch-sec", type=int, default=86400)
+    p.add_argument("--expire", action="store_true",
+                   help="apply the retention policy (directory-level)")
+    p.add_argument("--now", type=float, default=None,
+                   help="watermark in seconds (token index = time)")
+    p.add_argument("--keep", action="append", default=None,
+                   metavar="TIER=SECONDS",
+                   help="per-tier max age, e.g. --keep 1m=604800 "
+                        "--keep 1d=none (repeatable; default ladder "
+                        "keeps 1m 7d, 1h 90d, 1d forever)")
+    p.add_argument("--serve", default=None, metavar="LO:HI",
+                   help="stitched tiered read of [LO, HI)")
+    p.add_argument("--kind", default="token", choices=["token", "mp"])
+    p.add_argument("--output", default=None,
+                   help="write the served range as parquet")
+    p.add_argument("--num-cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    p.set_defaults(fn=cmd_retention)
+
     args = parser.parse_args(argv)
+    if args.cmd == "retention" and (args.expire or args.serve) \
+            and args.now is None:
+        parser.error("--expire/--serve need --now (the ingest watermark)")
     args.fn(args)
 
 

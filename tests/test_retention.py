@@ -253,6 +253,39 @@ def test_stitch_plan_properties():
     check()
 
 
+def test_cli_retention_build_expire_serve(ray_session, corpus, tmp_path):
+    """`ray job submit`-able maintenance entry: build the store, expire on
+    a custom keep ladder, serve a stitched range to parquet."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pyarrow.parquet as pq
+
+    from matrixprofile_1_ray.cli import main
+
+    store = str(tmp_path / "store")
+    served = str(tmp_path / "served")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["retention", "--store", store, "--build-from", corpus,
+              "--epoch-sec", "600", "--expire", "--now", str(NOW),
+              "--keep", "1m=2600", "--keep", "1h=13400",
+              "--keep", "1d=none",
+              "--serve", f"0:{NOW}", "--output", served,
+              "--num-cpus", "4"])
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["built"]["epoch_sec"] == 600
+    # default 1m/1h/1d ladder: 1m aligned horizon floor(16400/3600)*3600
+    # = 14400 -> epochs ending <= 14400 (e <= 23) expire
+    gone_1m = {d["epoch"] for d in report["expired"]["deleted"]
+               if d["tier"] == "1m"}
+    assert gone_1m == set(range(24))
+    assert report["served_rows"] > 0
+    df = pq.read_table(served).to_pandas()
+    assert report["served_rows"] == len(df)
+    assert set(df["tier"]) == {"1m", "1h"}
+
+
 def test_write_tiered_store_guards_foreign_dirs(ray_session, corpus,
                                                 tmp_path):
     from matrixprofile_1_ray.stages.retention import write_tiered_store
