@@ -174,6 +174,30 @@ def test_fcluster_monocrit_uses_provided_vector():
     assert len(set(T1)) == 1
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_stomp_partition_invariance_random_nan_patterns(seed):
+    """Randomized differential: any NaN/Inf pattern, any range batching —
+    same profile.  (Pre-fix, every post-skip window in a batch was
+    computed from desynced rolling sums.)"""
+    from matrixprofile_1_ray.kernels.stomp import stomp
+
+    rng = np.random.default_rng(seed)
+    ts = rng.uniform(size=300)
+    for _ in range(rng.integers(1, 4)):
+        a = int(rng.integers(0, 280))
+        ts[a : a + int(rng.integers(1, 8))] = np.nan
+    if rng.random() < 0.5:
+        ts[int(rng.integers(0, 300))] = np.inf
+    w = int(rng.integers(8, 24))
+    base = stomp(ts.copy(), w)
+    for n_ranges in (2, 3, 7):
+        alt = stomp(ts.copy(), w, n_ranges=n_ranges)
+        np.testing.assert_allclose(alt["mp"], base["mp"], atol=1e-9)
+        np.testing.assert_array_equal(alt["pi"], base["pi"])
+        np.testing.assert_allclose(alt["lmp"], base["lmp"], atol=1e-9)
+        np.testing.assert_allclose(alt["rmp"], base["rmp"], atol=1e-9)
+
+
 def test_band_keys_rejects_nondivisible_bands():
     from matrixprofile_1_ray.functions.dedup import band_keys
 
