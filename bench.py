@@ -243,6 +243,29 @@ def run_bench() -> dict:
 
     timed("ann_ivf_q10k", ann_ivf_q10k())
 
+    # 9. retention engine: build the kind/tier/epoch store in one corpus
+    # pass, expire the fine tier, serve a stitched range (reported on its
+    # own, excluded from the headline total — new in round 4)
+    def retention_run():
+        import shutil
+
+        from matrixprofile_1_ray.stages.retention import (
+            RetentionPolicy,
+            apply_retention,
+            tiered_read,
+            write_tiered_store,
+        )
+
+        store = "/tmp/graft_bench_tiered"
+        shutil.rmtree(store, ignore_errors=True)
+        write_tiered_store(SF_DIR, store, w=32, epoch_sec=60)
+        pol = RetentionPolicy({"1m": 300, "1h": None, "1d": None})
+        apply_retention(store, 600, pol)
+        return tiered_read(store, "token", 600, pol, t_lo=0,
+                           t_hi=600).count()
+
+    timed("retention_store", retention_run)
+
     # throughput counters (aggregate in duckdb — no driver text copy)
     import duckdb
 
@@ -265,7 +288,8 @@ def run_bench() -> dict:
     # reported on their own so adding them doesn't read as a regression in
     # round deltas)
     total = round(sum(v for k, v in timings.items()
-                      if k not in ("synth_mp_rollup_5x", "ann_ivf_q10k")), 3)
+                      if k not in ("synth_mp_rollup_5x", "ann_ivf_q10k",
+                                   "retention_store")), 3)
     return {
         "metric": "flagship pipelines wall time (rollups, mp, codec, dedup, ann)",
         "value": total,
