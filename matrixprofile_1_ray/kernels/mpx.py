@@ -31,12 +31,25 @@ from .moving_stats import muinvn
 # golden tolerance of 1e-4 once scaled by 1/(w*sigma^2)).
 _EXACT_SDP_LIMIT = 1 << 25
 
+# Self-joins with profiles up to this length use one BLAS gram-matrix
+# (z-normalized windows @ transpose) instead of the per-diagonal walk —
+# ~3x faster in the short-sequence regime that dominates the corpus
+# (measured crossover ~pl=700 on this hardware; beyond it the per-diagonal
+# cumsum walk wins because the pl^2 matrix falls out of cache).
+_MATMUL_PL_LIMIT = 700
+
 # Profile lengths >= this use the compiled streaming walk when available
-# (kernels/_native.py, ~5x the NumPy diagonal path — np.cumsum alone is
-# ~40% of it); below it the NumPy path runs bit-for-bit as before, which
-# keeps every small conformance vector byte-stable.  The two paths agree
-# to ~1e-13 (seed-first vs cumsum-then-seed accumulation order).
-_NATIVE_MIN_PL = 2048
+# (kernels/_native.py).  Set to the matmul crossover: measured on this
+# hardware the NumPy diagonal walk costs 17-41 ms across pl 770-1570
+# where the native walk takes 1-2.5 ms (15x) — and ~1 ktok sequences are
+# exactly the corpus's hot band, so leaving a NumPy-walk window between
+# the matmul and native regimes taxed the flagship profile stage ~8x.
+# The NumPy walk remains the exact no-native fallback.  The two paths
+# agree to ~1e-13 (seed-first vs cumsum-then-seed accumulation order) and
+# share the reference's tie ORDER (column side first per diagonal); every
+# bounded-slice oracle runs at pl <= 225, inside the unchanged matmul
+# path.
+_NATIVE_MIN_PL = _MATMUL_PL_LIMIT + 1
 # AB joins dispatch on the pl_a*pl_b product instead (both operands small
 # in the tiny exact-index conformance tests).
 _NATIVE_MIN_AB = 1 << 21
@@ -51,12 +64,6 @@ _NATIVE_MIN_AB = 1 << 21
 # below any genuinely distinct pair in double precision.
 _SNAP_MARGIN = 1e-11
 
-# Self-joins with profiles up to this length use one BLAS gram-matrix
-# (z-normalized windows @ transpose) instead of the per-diagonal walk —
-# ~3x faster in the short-sequence regime that dominates the corpus
-# (measured crossover ~pl=700 on this hardware; beyond it the per-diagonal
-# cumsum walk wins because the pl^2 matrix falls out of cache).
-_MATMUL_PL_LIMIT = 700
 
 
 def _seed_products(ts: np.ndarray, query_w: np.ndarray) -> np.ndarray:

@@ -198,6 +198,32 @@ def test_stomp_partition_invariance_random_nan_patterns(seed):
         np.testing.assert_allclose(alt["rmp"], base["rmp"], atol=1e-9)
 
 
+def test_native_dispatch_crossover_agrees_with_numpy_walk():
+    """pl just above the matmul limit now dispatches to the native walk;
+    it must agree with the NumPy fallback to accumulation-order tolerance
+    (~1e-13) with identical neighbor indices on generic data."""
+    import importlib
+
+    M = importlib.import_module("matrixprofile_1_ray.kernels.mpx")
+    from matrixprofile_1_ray.kernels import _native
+
+    if not _native.AVAILABLE:
+        pytest.skip("native kernel unavailable")
+    rng = np.random.default_rng(17)
+    for n in (760, 1000, 1500):
+        ts = rng.uniform(size=n)
+        w = 32
+        mp_nat, mpi_nat = M.mpx_self(ts, w)        # native (pl >= 701)
+        old = M._NATIVE_MIN_PL
+        M._NATIVE_MIN_PL = 1 << 30                 # force NumPy walk
+        try:
+            mp_np, mpi_np = M.mpx_self(ts, w)
+        finally:
+            M._NATIVE_MIN_PL = old
+        np.testing.assert_allclose(mp_nat, mp_np, atol=1e-9)
+        np.testing.assert_array_equal(mpi_nat, mpi_np)
+
+
 def test_band_keys_rejects_nondivisible_bands():
     from matrixprofile_1_ray.functions.dedup import band_keys
 
