@@ -18,6 +18,8 @@ from typing import Any
 
 import numpy as np
 
+from matrixprofile_1_ray.io.readers import read_parquet_clean
+
 # SQL fragment shared by every sequences-derived oracle: the deterministic
 # documents -> sequences tokenization (matches functions/tokenize.py).
 _SEQ_CTE = """
@@ -156,7 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         queries_mat = _query_head_embeddings(sf_dir, 8)
         import ray.data
 
-        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+        ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                    columns=["vec_id", "embedding"])
         out = brute_force_topk(ds, queries_mat, k=5)
         # round for cross-engine float stability in the value-hash compare
@@ -168,7 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from matrixprofile_1_ray.stages.ann import ivf_index_ident
 
         queries_mat = _query_head_embeddings(sf_dir, 4)
-        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+        ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                    columns=["vec_id", "embedding"])
         # persisted index with a recorded identity (path + size + mtime +
         # build params): the build is a one-time corpus pass; every query
@@ -190,7 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from matrixprofile_1_ray.stages.ann import ivf_index_ident
 
         queries_mat = _query_head_embeddings(sf_dir, 4)
-        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+        ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                    columns=["vec_id", "embedding"])
         ident, tag = ivf_index_ident(f"{sf_dir}/embeddings.parquet",
                                      n_centroids=16)
@@ -222,7 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cents = seed_centroids_by_vec_id(path, 8)
         ident, tag = ivf_index_ident(path, n_centroids=8, seed=-1)
         index_dir = f"/tmp/ivf_gate_build_{tag}"
-        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
         # same cross-process build mutex as ivf_topk: two concurrent
         # drivers sharing the dir must not clean+rebuild over each other
         from matrixprofile_1_ray.stages.ann import (
@@ -308,7 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from matrixprofile_1_ray.functions.tokenize import list_column_to_numpy
         from matrixprofile_1_ray.stages.dedup import embedding_near_dup
 
-        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+        ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                    columns=["vec_id", "embedding"])
 
         def plant(batch: pa.Table) -> pa.Table:
@@ -340,7 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pandas as pd
         import ray.data
 
-        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+        ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                    columns=["event_type", "ts", "value"])
 
         def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -714,7 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from matrixprofile_1_ray.stages.events import session_windows
 
-        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+        ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                    columns=["user_id", "ts"])
         return session_windows(ds, gap_minutes=30)
 
@@ -727,9 +729,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from matrixprofile_1_ray.stages.join import hash_join
 
-        li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+        li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                                    columns=["l_orderkey", "l_quantity"])
-        orders = ray.data.read_parquet(
+        orders = read_parquet_clean(
             f"{sf_dir}/orders.parquet",
             columns=["o_orderkey", "o_orderstatus"]).map_batches(
             lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
@@ -765,7 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["o_orderkey"],
             filter=pads.field("o_orderstatus") == "O",
         )["o_orderkey"].to_numpy()
-        li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+        li = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                                    columns=["l_orderkey", "l_quantity"])
         semi = broadcast_semi_join(li, open_keys, "l_orderkey")
 
@@ -800,7 +802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from matrixprofile_1_ray.stages.join import asof_join
 
-        left = ray.data.read_parquet(
+        left = read_parquet_clean(
             f"{sf_dir}/events.parquet",
             columns=["event_id", "user_id", "ts"]).map_batches(
             lambda df: pd.DataFrame({
@@ -808,7 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "user_id": df["user_id"],
                 "ts": df["ts"].values.astype("datetime64[us]").astype(np.int64),
             }), batch_format="pandas")
-        right = ray.data.read_parquet(
+        right = read_parquet_clean(
             f"{sf_dir}/events.parquet", columns=["user_id", "ts"]).map_batches(
             lambda df: pd.DataFrame({
                 "user_id": df["user_id"],
@@ -830,7 +832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from matrixprofile_1_ray.stages.events import sliding_window_counts
 
-        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+        ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                    columns=["event_type", "ts"])
         return sliding_window_counts(ds, window_minutes=60, slide_minutes=15)
 

@@ -19,6 +19,8 @@ import subprocess
 import sys
 import time
 
+from matrixprofile_1_ray.io.readers import read_parquet_clean
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SYNTH_ROWS = int(os.environ.get("GRAFT_SYNTH_ROWS", "4000"))
@@ -221,7 +223,7 @@ def run_bench() -> dict:
         head = parquet_head(f"{SF_DIR}/embeddings.parquet", 16, ["embedding"])
         qm = np.stack([np.asarray(v, dtype="d")
                        for v in head["embedding"].to_pylist()])
-        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet",
+        ds = read_parquet_clean(f"{SF_DIR}/embeddings.parquet",
                                    columns=["vec_id", "embedding"])
         return brute_force_topk(ds, qm, k=10).count()
 
@@ -241,7 +243,7 @@ def run_bench() -> dict:
         reps = int(np.ceil(n_q / base.shape[0]))
         qm = np.tile(base, (reps, 1))[:n_q]
         ident, tag = ivf_index_ident(f"{SF_DIR}/embeddings.parquet")
-        ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet",
+        ds = read_parquet_clean(f"{SF_DIR}/embeddings.parquet",
                                    columns=["vec_id", "embedding"])
         kwargs = dict(index_dir=f"/tmp/ivf_bench_{tag}",
                       input_fingerprint=ident)

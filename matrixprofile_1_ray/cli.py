@@ -166,8 +166,8 @@ def cmd_ann(args):
     emb_path = f"{args.input}/embeddings.parquet"
     if args.build or not os.path.exists(
             os.path.join(args.index_dir, "_centroids.parquet")):
-        ds = ray.data.read_parquet(emb_path,
-                                   columns=["vec_id", "embedding"])
+        from .io.readers import read_parquet_clean
+        ds = read_parquet_clean(emb_path, columns=["vec_id", "embedding"])
         build_ivf_index(ds, args.index_dir, n_centroids=args.centroids)
     from .sources.sequences import parquet_head
 

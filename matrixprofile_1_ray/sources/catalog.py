@@ -39,7 +39,8 @@ def load(root: str, name: str):
 
     for entry in fetch_available(root):
         if entry["name"] == name:
-            return ray.data.read_parquet(entry["path"])
+            from ..io.readers import read_parquet_clean
+            return read_parquet_clean(entry["path"])
     raise ValueError(f"dataset {name!r} not found under {root}")
 
 

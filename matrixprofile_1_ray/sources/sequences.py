@@ -40,10 +40,10 @@ def tokenize_documents_batch(batch: pa.Table) -> pa.Table:
 def sequences_from_documents(sf_dir: str):
     """Lazy Ray Dataset of sequences derived from documents.parquet
     (columns pruned at the read)."""
-    import ray.data
+    from ..io.readers import read_parquet_clean
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id", "text", "source"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "source"])
     return ds.map_batches(tokenize_documents_batch, batch_format="pyarrow")
 
 
