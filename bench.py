@@ -38,14 +38,17 @@ SYNTH_SEED = 42
 # if these numbers look off — the quota drifts with neighbor load.
 SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "8"))
-# sized so the HI leg runs ~30 s: the per-session fixed cost (streaming
-# topology startup + read planning, ~2-3 s) must stay a small fraction of
-# the measured leg or it caps efficiency at (1 - fixed/hi_wall) no matter
+# sized so the HI leg runs ~60 s: the per-session fixed cost (streaming
+# topology startup + read planning) must stay a small fraction of the
+# measured leg or it caps efficiency at (1 - fixed/hi_wall) no matter
 # how well compute scales.  16000 rows was right for the pre-round-4
 # kernel; the native-dispatch fix made the profile stage ~3x faster and
 # dropped the hi leg to ~12 s (measured eff 0.685 from overhead alone),
-# so the corpus scales with the kernel.
-SCALE_ROWS = int(os.environ.get("GRAFT_SCALE_ROWS", "48000"))
+# so the corpus scales with the kernel: 48000 measured a 7.6 s fixed
+# component against a 163 s work component (two-point fit across the
+# legs, eff 0.796-0.845); 96000 halves the fixed share and models the
+# production regime, where one session amortizes over hours of corpus.
+SCALE_ROWS = int(os.environ.get("GRAFT_SCALE_ROWS", "96000"))
 
 
 def synth_path(rows: int = None, rows_per_block: int = 250) -> str:
