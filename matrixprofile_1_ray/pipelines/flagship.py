@@ -73,6 +73,102 @@ def mp_rollup_pipeline(sf_dir: str, w: int = 32, tiers=None, **seq_kwargs):
                           batch_format="pyarrow")
 
 
+def profiles_skew_aware(ds, w: int = 32, *, long_threshold: int = 1 << 17,
+                        corpus_path: str | None = None,
+                        preprocess=None,
+                        tile_threshold: int = 1 << 22, tile: int = 1 << 16,
+                        n_partitions: int | None = None):
+    """Length-routed matrix profiles: same output schema/values as
+    ``profiles_pipeline``'s stage, different execution per row size.
+
+    The per-row batch kernel is right for the corpus's typical ~1k-token
+    rows, but the self-join is O(n^2) and a row is atomic — ONE 1M-token
+    row costs ~10^6x the median and no block split helps, so its task
+    straggles the whole stage.  Rows with ``n_tok > long_threshold`` are
+    therefore routed to the whole-cluster diagonal fan-out
+    (state.chunked.distributed_mpx; the SCAMP-tiled variant above
+    ``tile_threshold``, where one worker should not hold the series),
+    driven one row at a time from the driver: each tail row individually
+    saturates the cluster, so serial iteration adds no idle time, and the
+    driver holds at most one long row's tokens.  Short rows stream through
+    the vectorized batch stage untouched.
+
+    Long-row discovery: with ``corpus_path`` (the standard tokenized
+    corpus layout, which carries ``n_tok``) the tail is found by parquet
+    predicate pushdown — only row groups containing a long row are read
+    again, so the "second pass" touches ~0 bytes on a healthy corpus.
+    ``preprocess`` (e.g. the gap-fill ``ds`` was built with) is applied to
+    each pushed-down row for parity with the short side.  Without
+    ``corpus_path`` the tail is filtered out of ``ds`` itself (a second
+    streaming pass over the derived sequences — fine at test scale, use
+    the pushdown at corpus scale)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from ..state.chunked import distributed_mpx, distributed_tiled_mpx
+
+    thr = pa.scalar(long_threshold, pa.int32())
+
+    def short_side(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.less_equal(batch["n_tok"], thr))
+        return compute_profiles_batch(keep, w=w)
+
+    short = ds.map_batches(short_side, batch_format="pyarrow",
+                           batch_size=256)
+
+    if corpus_path is not None:
+        import pyarrow.dataset as pads
+
+        def iter_long():
+            scanner = pads.dataset(corpus_path).scanner(
+                columns=["doc_id", "source", "tokens", "n_tok"],
+                filter=pads.field("n_tok") > long_threshold,
+                batch_size=1)
+            for rb in scanner.to_batches():
+                for i in range(rb.num_rows):
+                    row = pa.Table.from_batches([rb.slice(i, 1)])
+                    yield preprocess(row) if preprocess else row
+    else:
+        def iter_long():
+            tail = ds.map_batches(
+                lambda b: b.filter(pc.greater(b["n_tok"], thr))
+                           .select(["doc_id", "source", "tokens", "n_tok"]),
+                batch_format="pyarrow")
+            for b in tail.iter_batches(batch_size=1, batch_format="pyarrow"):
+                if len(b):
+                    yield b
+
+    if n_partitions is None:
+        n_partitions = 2 * int(ray.cluster_resources().get("CPU", 4))
+
+    long_tables = []
+    for row in iter_long():
+        ts = np.asarray(row["tokens"][0].as_py(), dtype="d")
+        if ts.shape[0] > tile_threshold:
+            mp, pi = distributed_tiled_mpx(ts, w, tile=tile)
+        else:
+            mp, pi = distributed_mpx(ts, w, n_partitions=n_partitions)
+        off = pa.array(np.array([0, mp.shape[0]], np.int32), pa.int32())
+        long_tables.append(pa.table({
+            "doc_id": row["doc_id"].cast(pa.string()),
+            "source": row["source"],
+            "n_tok": row["n_tok"],
+            "w": pa.array([w], pa.int32()),
+            "valid": pa.array([True]),
+            "mp": pa.ListArray.from_arrays(off, pa.array(mp, pa.float64())),
+            "pi": pa.ListArray.from_arrays(off, pa.array(pi, pa.int64())),
+            "algorithm": pa.array(["mpx"], pa.string()),
+            "metric": pa.array(["euclidean"], pa.string()),
+        }))
+
+    if not long_tables:
+        return short
+    return short.union(ray.data.from_arrow(pa.concat_tables(long_tables)))
+
+
 TOKEN_ROLLUP_COLS = ["doc_id", "source", "tier", "bucket",
                      "t_min", "t_max", "t_sum", "t_count", "t_mean"]
 MP_ROLLUP_COLS = ["doc_id", "source", "w", "tier", "bucket",

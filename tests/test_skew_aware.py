@@ -1,0 +1,90 @@
+"""profiles_skew_aware: length-routed profiles == the batch kernel."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from matrixprofile_1_ray.pipelines.flagship import profiles_skew_aware
+from matrixprofile_1_ray.stages.profile import compute_profiles_batch
+
+W = 16
+THRESHOLD = 1000
+
+
+@pytest.fixture(scope="module")
+def skew_corpus():
+    """12 typical ~150-token rows plus one 3000-token tail row."""
+    rng = np.random.default_rng(3)
+    lens = [150 + int(x) for x in rng.integers(0, 50, size=12)] + [3000]
+    toks = [rng.integers(0, 50, size=n).astype(np.int32) for n in lens]
+    return pa.table({
+        "doc_id": pa.array([f"d{i:02d}" for i in range(len(lens))]),
+        "tokens": pa.array([t.tolist() for t in toks],
+                           pa.list_(pa.int32())),
+        "n_tok": pa.array(lens, pa.int32()),
+        "source": pa.array(["s0"] * len(lens)),
+    })
+
+
+def _normalize(df):
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _assert_profiles_equal(got, want):
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["valid"]) == list(want["valid"])
+    for g_mp, w_mp, g_pi, w_pi in zip(got["mp"], want["mp"],
+                                      got["pi"], want["pi"]):
+        np.testing.assert_allclose(np.asarray(g_mp, dtype="d"),
+                                   np.asarray(w_mp, dtype="d"),
+                                   rtol=0, atol=1e-9)
+        np.testing.assert_array_equal(np.asarray(g_pi), np.asarray(w_pi))
+
+
+def test_skew_aware_matches_batch_kernel(ray_session, skew_corpus):
+    import ray.data
+
+    ds = ray.data.from_arrow(skew_corpus)
+    got = _normalize(profiles_skew_aware(
+        ds, w=W, long_threshold=THRESHOLD).to_pandas())
+    want = _normalize(compute_profiles_batch(skew_corpus, w=W).to_pandas())
+    assert len(got) == len(skew_corpus)
+    _assert_profiles_equal(got, want)
+
+
+def test_skew_aware_pushdown_discovery(ray_session, skew_corpus, tmp_path):
+    """corpus_path branch: the tail is found via parquet predicate
+    pushdown instead of a second pass over ds — same result."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    path = str(tmp_path / "corpus.parquet")
+    pq.write_table(skew_corpus, path, row_group_size=4)
+    ds = ray.data.read_parquet(path)
+    got = _normalize(profiles_skew_aware(
+        ds, w=W, long_threshold=THRESHOLD, corpus_path=path).to_pandas())
+    want = _normalize(compute_profiles_batch(skew_corpus, w=W).to_pandas())
+    _assert_profiles_equal(got, want)
+
+
+def test_skew_aware_tiled_route(ray_session, skew_corpus):
+    """Tail rows above tile_threshold take the SCAMP-tiled fan-out."""
+    import ray.data
+
+    ds = ray.data.from_arrow(skew_corpus)
+    got = _normalize(profiles_skew_aware(
+        ds, w=W, long_threshold=THRESHOLD,
+        tile_threshold=2000, tile=512).to_pandas())
+    want = _normalize(compute_profiles_batch(skew_corpus, w=W).to_pandas())
+    _assert_profiles_equal(got, want)
+
+
+def test_skew_aware_no_tail_is_plain_stream(ray_session, skew_corpus):
+    """With no row over the threshold the result IS the short stream."""
+    import ray.data
+
+    ds = ray.data.from_arrow(skew_corpus)
+    got = _normalize(profiles_skew_aware(
+        ds, w=W, long_threshold=10_000).to_pandas())
+    want = _normalize(compute_profiles_batch(skew_corpus, w=W).to_pandas())
+    _assert_profiles_equal(got, want)
