@@ -66,9 +66,18 @@ def cmd_rollup(args):
     }
 
     def make(key):
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        from .pipelines.flagship import (
+            compute_long_row_profile,
+            flagship_tail_rows,
+        )
+
         grp = groups[int(key.split("-")[1])]
-        ds = ray.data.read_parquet(
-            [os.path.join(args.input, f) for f in grp])
+        paths = [os.path.join(args.input, f) for f in grp]
+        ds = ray.data.read_parquet(paths)
         if len(grp) < args.num_cpus:
             # single files read as single blocks — split so the kernel
             # stages can use every core inside this partition
@@ -78,8 +87,36 @@ def cmd_rollup(args):
         if args.verify_codec:
             ds = ds.map_batches(verify_roundtrip_batch, batch_format="pyarrow")
             ds = ds.drop_columns(["tokens_enc"])
-        return ds.map_batches(lambda b: flagship_batch(b, w=args.window),
-                              batch_format="pyarrow", batch_size=32)
+        thr = args.long_threshold
+
+        def fused(b):
+            return flagship_batch(b.filter(pc.less_equal(b["n_tok"], thr)),
+                                  w=args.window)
+
+        out = ds.map_batches(fused, batch_format="pyarrow", batch_size=32)
+
+        # skew tail: rows a block split can't help (the row is atomic and
+        # its self-join O(n^2)) each get the whole-cluster fan-out instead
+        # of straggling one map task.  Parquet predicate pushdown finds
+        # them without rereading the partition (~0 extra bytes when no row
+        # group holds a long row); one row at a time on the driver — each
+        # saturates the cluster by itself.
+        import pyarrow as pa
+
+        scanner = pads.dataset(paths).scanner(
+            columns=["doc_id", "source", "tokens", "n_tok"],
+            filter=pads.field("n_tok") > thr, batch_size=1)
+        tails = []
+        for rb in scanner.to_batches():
+            for i in range(rb.num_rows):
+                row = pa.Table.from_batches([rb.slice(i, 1)])
+                row = gapfill_batch(row, mode=args.gapfill)
+                ts = np.asarray(row["tokens"][0].as_py(), dtype="d")
+                mp, pi = compute_long_row_profile(ts, args.window)
+                tails.append(flagship_tail_rows(row, mp, pi, args.window))
+        if tails:
+            out = out.union(ray.data.from_arrow(pa.concat_tables(tails)))
+        return out
 
     status = run_partitioned(args.output, partitions, make,
                              progress=lambda k: print(f"done {k}", file=sys.stderr),
@@ -239,6 +276,10 @@ def main(argv=None):
     p.add_argument("--jobs", type=int, default=2,
                    help="overlapped partition executions (hides per-"
                         "partition fixed startup; keep small)")
+    p.add_argument("--long-threshold", type=int, default=1 << 17,
+                   help="rows with n_tok above this take the whole-"
+                        "cluster diagonal fan-out instead of straggling "
+                        "one map task (self-join cost is O(n_tok^2))")
     p.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
     p.set_defaults(fn=cmd_rollup)

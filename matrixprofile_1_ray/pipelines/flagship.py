@@ -73,6 +73,61 @@ def mp_rollup_pipeline(sf_dir: str, w: int = 32, tiers=None, **seq_kwargs):
                           batch_format="pyarrow")
 
 
+def _profile_row_table(row, mp, pi, w: int):
+    """One profiles-schema row (same columns as compute_profiles_batch)
+    from an externally-computed (mp, pi) — the assembly shared by the
+    skew-aware pipeline and the rollup job's tail path."""
+    import numpy as np
+    import pyarrow as pa
+
+    off = pa.array(np.array([0, mp.shape[0]], np.int32), pa.int32())
+    return pa.table({
+        "doc_id": row["doc_id"].cast(pa.string()),
+        "source": row["source"],
+        "n_tok": row["n_tok"],
+        "w": pa.array([w], pa.int32()),
+        "valid": pa.array([True]),
+        "mp": pa.ListArray.from_arrays(off, pa.array(mp, pa.float64())),
+        "pi": pa.ListArray.from_arrays(off, pa.array(pi, pa.int64())),
+        "algorithm": pa.array(["mpx"], pa.string()),
+        "metric": pa.array(["euclidean"], pa.string()),
+    })
+
+
+def compute_long_row_profile(ts, w: int, *, tile_threshold: int = 1 << 22,
+                             tile: int = 1 << 16,
+                             n_partitions: int | None = None):
+    """(mp, pi) for one giant series via the whole-cluster fan-out:
+    diagonal-range tasks normally, the SCAMP-tile decomposition above
+    ``tile_threshold`` (no single worker ever holds the series)."""
+    import ray
+
+    from ..state.chunked import distributed_mpx, distributed_tiled_mpx
+
+    if ts.shape[0] > tile_threshold:
+        return distributed_tiled_mpx(ts, w, tile=tile)
+    if n_partitions is None:
+        n_partitions = 2 * int(ray.cluster_resources().get("CPU", 4))
+    return distributed_mpx(ts, w, n_partitions=n_partitions)
+
+
+def flagship_tail_rows(row, mp, pi, w: int, tiers=None):
+    """Unified flagship rollup rows (token + mp kinds) for ONE long row
+    whose profile came from the distributed fan-out — the tail-side
+    counterpart of ``flagship_batch``."""
+    import pyarrow as pa
+
+    token_rolls = rollup_batch(row, tiers=tiers)
+    token_rolls = token_rolls.append_column(
+        "kind", pa.array(["token"] * len(token_rolls), pa.string()))
+    mp_rolls = mp_rollup_batch(_profile_row_table(row, mp, pi, w),
+                               tiers=tiers)
+    mp_rolls = mp_rolls.append_column(
+        "kind", pa.array(["mp"] * len(mp_rolls), pa.string()))
+    return pa.concat_tables([token_rolls, mp_rolls],
+                            promote_options="default")
+
+
 def profiles_skew_aware(ds, w: int = 32, *, long_threshold: int = 1 << 17,
                         corpus_path: str | None = None,
                         preprocess=None,
@@ -105,10 +160,7 @@ def profiles_skew_aware(ds, w: int = 32, *, long_threshold: int = 1 << 17,
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray
     import ray.data
-
-    from ..state.chunked import distributed_mpx, distributed_tiled_mpx
 
     thr = pa.scalar(long_threshold, pa.int32())
 
@@ -141,28 +193,13 @@ def profiles_skew_aware(ds, w: int = 32, *, long_threshold: int = 1 << 17,
                 if len(b):
                     yield b
 
-    if n_partitions is None:
-        n_partitions = 2 * int(ray.cluster_resources().get("CPU", 4))
-
     long_tables = []
     for row in iter_long():
         ts = np.asarray(row["tokens"][0].as_py(), dtype="d")
-        if ts.shape[0] > tile_threshold:
-            mp, pi = distributed_tiled_mpx(ts, w, tile=tile)
-        else:
-            mp, pi = distributed_mpx(ts, w, n_partitions=n_partitions)
-        off = pa.array(np.array([0, mp.shape[0]], np.int32), pa.int32())
-        long_tables.append(pa.table({
-            "doc_id": row["doc_id"].cast(pa.string()),
-            "source": row["source"],
-            "n_tok": row["n_tok"],
-            "w": pa.array([w], pa.int32()),
-            "valid": pa.array([True]),
-            "mp": pa.ListArray.from_arrays(off, pa.array(mp, pa.float64())),
-            "pi": pa.ListArray.from_arrays(off, pa.array(pi, pa.int64())),
-            "algorithm": pa.array(["mpx"], pa.string()),
-            "metric": pa.array(["euclidean"], pa.string()),
-        }))
+        mp, pi = compute_long_row_profile(
+            ts, w, tile_threshold=tile_threshold, tile=tile,
+            n_partitions=n_partitions)
+        long_tables.append(_profile_row_table(row, mp, pi, w))
 
     if not long_tables:
         return short

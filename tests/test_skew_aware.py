@@ -79,6 +79,47 @@ def test_skew_aware_tiled_route(ray_session, skew_corpus):
     _assert_profiles_equal(got, want)
 
 
+def test_rollup_job_long_threshold_output_parity(ray_session, skew_corpus,
+                                                 tmp_path):
+    """The job CLI's tail routing changes execution, never the rollups:
+    the same corpus run with the tail engaged (low --long-threshold) and
+    disengaged (default) produces identical unified rollup rows."""
+    import io
+    import json
+    import os
+    from contextlib import redirect_stdout
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from matrixprofile_1_ray.cli import main
+
+    in_dir = str(tmp_path / "seqs")
+    os.makedirs(in_dir)
+    pq.write_table(skew_corpus, os.path.join(in_dir, "shard0.parquet"))
+
+    results = {}
+    for tag, extra in (("plain", []),
+                       ("routed", ["--long-threshold", str(THRESHOLD)])):
+        out_dir = str(tmp_path / f"out_{tag}")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            main(["rollup", "--input", in_dir, "--output", out_dir,
+                  "--window", str(W), "--num-cpus", "4"] + extra)
+        status = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert status["done"] == 1
+        df = pads.dataset(os.path.join(out_dir, "part-00000")).to_table() \
+            .to_pandas()
+        key = [c for c in ("kind", "tier", "doc_id", "bucket") if c in df]
+        results[tag] = df.sort_values(key).reset_index(drop=True) \
+                         .sort_index(axis=1)
+
+    assert len(results["routed"]) == len(results["plain"]) > 0
+    pd.testing.assert_frame_equal(results["routed"], results["plain"],
+                                  check_like=True)
+
+
 def test_skew_aware_no_tail_is_plain_stream(ray_session, skew_corpus):
     """With no row over the threshold the result IS the short stream."""
     import ray.data
