@@ -364,16 +364,51 @@ def tile_pair_partials(strip_a, strip_b, w: int, delta: int, minlag: int,
     return mp_a, mpi_a, mp_b, mpi_b
 
 
-def merge_tile_partial(mp, mpi, lo, hi, part_mp, part_mpi, other_lo):
+def merge_tile_partial(mp, mpi, lo, hi, part_mp, part_mpi, other_lo,
+                       self_join_ties: bool = False):
     """Max-correlation merge of one rebased tile partial into the global
     ``(mp, mpi)`` — the single definition of the tile merge law
     (cympx.pyx:104-112 semantics), shared by the serial tiled self-join,
     the tiled AB join and the distributed absorb so the three can never
-    drift."""
+    drift.
+
+    ``self_join_ties``: on EXACT correlation ties (constant / periodic
+    windows — real token streams repeat exactly) a bare strict-greater
+    merge keeps whichever tile happened to land first, making the result
+    depend on tile size and visitation order.  The serial self-join walk
+    resolves ties deterministically — ascending diagonals with the column
+    side updated first mean the CLOSEST partner wins and, at equal
+    distance, the smaller index — so the self-join merge applies that law
+    explicitly across tiles.  CAVEAT: this makes the merge tie-stable but
+    cannot make the tiled result tie-IDENTICAL to the serial walk — a
+    cross-tile pair's internal two-pass walk already collapses each entry
+    to one partner before the merge sees it, and for the pass-2 side that
+    first encounter is the FARTHEST tied candidate (flipping strict to
+    non-strict would fix that side and break the other: their iteration
+    orders oppose).  The tiled decomposition therefore guarantees exact
+    VALUES with deterministic-given-tile-size indices; paths that need
+    tie-exact indices (the skew router below its memory threshold, every
+    conformance oracle) use the diagonal fan-out, which matches the
+    serial walk exactly, ties included.  AB joins keep the plain
+    strict-greater law: the reference's AB tie order is pass-structured
+    (all a-against-b diagonals before b-against-a, cympx.pyx:214-284),
+    not distance-based, so the self-join rule must not be applied there."""
     vals = part_mp[: hi - lo]
     idxs = part_mpi[: hi - lo] + other_lo
     seg = slice(lo, hi)
-    better = vals > mp[seg]
+    cur_mp = mp[seg]
+    better = vals > cur_mp
+    if self_join_ties:
+        # vals > -1 excludes unmatched partial entries (sentinel mpi=-1
+        # would otherwise be rebased into a bogus index on a -1/-1 "tie")
+        tie = (vals == cur_mp) & (vals > -1.0)
+        if tie.any():
+            cur_pi = mpi[seg]
+            pos = np.arange(lo, hi, dtype=np.int64)
+            nd = np.abs(idxs - pos)
+            cd = np.abs(cur_pi - pos)
+            better = better | (tie & ((nd < cd)
+                                      | ((nd == cd) & (idxs < cur_pi))))
     mp[seg][better] = vals[better]
     mpi[seg][better] = idxs[better]
 
@@ -407,8 +442,8 @@ def tiled_mpx_self(ts, w: int, tile: int):
                 strip_a, strip_b, w, delta=a_lo - b_lo, minlag=minlag,
                 merged_tile=(a_lo == b_lo))
             # rebase neighbor indices to global window starts and merge
-            merge_tile_partial(mp, mpi, a_lo, a_hi, mp_a, mpi_a, b_lo)
-            merge_tile_partial(mp, mpi, b_lo, b_hi, mp_b, mpi_b, a_lo)
+            merge_tile_partial(mp, mpi, a_lo, a_hi, mp_a, mpi_a, b_lo, self_join_ties=True)
+            merge_tile_partial(mp, mpi, b_lo, b_hi, mp_b, mpi_b, a_lo, self_join_ties=True)
 
     np.minimum(mp, 1.0, out=mp)
     return np.sqrt(2.0 * w * (1.0 - mp)), mpi

@@ -231,8 +231,8 @@ def distributed_tiled_mpx(ts, w: int, tile: int, max_in_flight: int = 64):
         from ..kernels.mpx import merge_tile_partial
 
         a_lo, a_hi, b_lo, b_hi, mp_a, mpi_a, mp_b, mpi_b = result
-        merge_tile_partial(mp, mpi, a_lo, a_hi, mp_a, mpi_a, b_lo)
-        merge_tile_partial(mp, mpi, b_lo, b_hi, mp_b, mpi_b, a_lo)
+        merge_tile_partial(mp, mpi, a_lo, a_hi, mp_a, mpi_a, b_lo, self_join_ties=True)
+        merge_tile_partial(mp, mpi, b_lo, b_hi, mp_b, mpi_b, a_lo, self_join_ties=True)
 
     pending = []
     for r in starts:
