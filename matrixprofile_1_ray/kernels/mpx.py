@@ -93,6 +93,14 @@ def mpx_self(ts, w: int, cross_correlation: bool = False):
     ``mp`` is Euclidean distance by default or Pearson correlation when
     ``cross_correlation`` is set; unmatched entries are -1 in Pearson mode
     (converted like any other value in ED mode, as the reference does).
+
+    PRECONDITION: ``ts`` must be finite — the streaming covariance cumsum
+    propagates any NaN/Inf down its whole diagonal, and each execution
+    path (serial / native / tiled) propagates it differently, so raw
+    gappy input gets path-dependent garbage.  Every pipeline gap-fills
+    upstream (stages/gapfill.py); the public ``compute()`` preprocesses
+    exactly as the reference does (STOMP is the one kernel with explicit
+    skip-location NaN semantics, kernels/stomp.py).
     """
     ts = np.ascontiguousarray(ts, dtype="d")
     n = ts.shape[0]
