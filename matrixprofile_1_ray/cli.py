@@ -66,13 +66,11 @@ def cmd_rollup(args):
     }
 
     def make(key):
-        import numpy as np
         import pyarrow.compute as pc
-        import pyarrow.dataset as pads
 
         from .pipelines.flagship import (
-            compute_long_row_profile,
             flagship_tail_rows,
+            iter_long_corpus_rows,
         )
 
         grp = groups[int(key.split("-")[1])]
@@ -90,8 +88,10 @@ def cmd_rollup(args):
         thr = args.long_threshold
 
         def fused(b):
-            return flagship_batch(b.filter(pc.less_equal(b["n_tok"], thr)),
-                                  w=args.window)
+            # null n_tok stays short-routed (the tail predicate never
+            # matches null) — no row may vanish from both routes
+            keep = pc.fill_null(pc.less_equal(b["n_tok"], thr), True)
+            return flagship_batch(b.filter(keep), w=args.window)
 
         out = ds.map_batches(fused, batch_format="pyarrow", batch_size=32)
 
@@ -100,22 +100,15 @@ def cmd_rollup(args):
         # of straggling one map task.  Parquet predicate pushdown finds
         # them without rereading the partition (~0 extra bytes when no row
         # group holds a long row); one row at a time on the driver — each
-        # saturates the cluster by itself.
-        import pyarrow as pa
-
-        scanner = pads.dataset(paths).scanner(
-            columns=["doc_id", "source", "tokens", "n_tok"],
-            filter=pads.field("n_tok") > thr, batch_size=1)
-        tails = []
-        for rb in scanner.to_batches():
-            for i in range(rb.num_rows):
-                row = pa.Table.from_batches([rb.slice(i, 1)])
-                row = gapfill_batch(row, mode=args.gapfill)
-                ts = np.asarray(row["tokens"][0].as_py(), dtype="d")
-                mp, pi = compute_long_row_profile(ts, args.window)
-                tails.append(flagship_tail_rows(row, mp, pi, args.window))
-        if tails:
-            out = out.union(ray.data.from_arrow(pa.concat_tables(tails)))
+        # saturates the cluster by itself, and each finished row's rollups
+        # move to the object store immediately (the driver keeps refs only).
+        tail_refs = []
+        for row in iter_long_corpus_rows(
+                paths, thr,
+                preprocess=lambda t: gapfill_batch(t, mode=args.gapfill)):
+            tail_refs.append(ray.put(flagship_tail_rows(row, args.window)))
+        if tail_refs:
+            out = out.union(ray.data.from_arrow_refs(tail_refs))
         return out
 
     status = run_partitioned(args.output, partitions, make,

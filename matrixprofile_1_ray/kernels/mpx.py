@@ -226,7 +226,10 @@ def _mpx_self_matmul(ts, w, pl, minlag, mu, sig, cross_correlation):
         js = np.flatnonzero(ties[i])
         order = np.lexsort((js, np.abs(js - i)))
         mpi[i] = js[order[0]]
-    unmatched = np.isinf(mp)
+    # corr == exactly -1.0 (exact window negation) counts as unmatched: the
+    # diagonal walk's strict > against the -1.0 init never records it, so
+    # argmax keeping a partner here would diverge between the two paths
+    unmatched = np.isinf(mp) | (mp == -1.0)
     mp[unmatched] = -1.0
     mpi[unmatched] = -1
     np.minimum(mp, 1.0, out=mp)
@@ -408,7 +411,12 @@ def merge_tile_partial(mp, mpi, lo, hi, part_mp, part_mpi, other_lo,
     better = vals > cur_mp
     if self_join_ties:
         # vals > -1 excludes unmatched partial entries (sentinel mpi=-1
-        # would otherwise be rebased into a bogus index on a -1/-1 "tie")
+        # would otherwise be rebased into a bogus index on a -1/-1 "tie").
+        # Exact: a partial can never carry a GENUINE corr of -1.0 with a
+        # valid index — every producer (diag walk, native walk, tile pass)
+        # updates with strict > against the -1.0 init, so vals == -1.0
+        # always means unmatched (and the matmul path, which argmax WOULD
+        # record such a partner, marks it unmatched for the same law)
         tie = (vals == cur_mp) & (vals > -1.0)
         if tie.any():
             cur_pi = mpi[seg]

@@ -73,20 +73,22 @@ def mp_rollup_pipeline(sf_dir: str, w: int = 32, tiers=None, **seq_kwargs):
                           batch_format="pyarrow")
 
 
-def _profile_row_table(row, mp, pi, w: int):
-    """One profiles-schema row (same columns as compute_profiles_batch)
-    from an externally-computed (mp, pi) — the assembly shared by the
-    skew-aware pipeline and the rollup job's tail path."""
+def _profile_row_table(row, mp, pi, w: int, valid: bool = True):
+    """One profiles-schema row (same columns AND column types as
+    compute_profiles_batch — doc_id/source/n_tok pass through untouched so
+    short- and long-routed blocks always unify) from an externally-computed
+    (mp, pi) — the assembly shared by the skew-aware pipeline and the
+    rollup job's tail path."""
     import numpy as np
     import pyarrow as pa
 
     off = pa.array(np.array([0, mp.shape[0]], np.int32), pa.int32())
     return pa.table({
-        "doc_id": row["doc_id"].cast(pa.string()),
+        "doc_id": row["doc_id"],
         "source": row["source"],
         "n_tok": row["n_tok"],
         "w": pa.array([w], pa.int32()),
-        "valid": pa.array([True]),
+        "valid": pa.array([valid]),
         "mp": pa.ListArray.from_arrays(off, pa.array(mp, pa.float64())),
         "pi": pa.ListArray.from_arrays(off, pa.array(pi, pa.int64())),
         "algorithm": pa.array(["mpx"], pa.string()),
@@ -111,16 +113,56 @@ def compute_long_row_profile(ts, w: int, *, tile_threshold: int = 1 << 22,
     return distributed_mpx(ts, w, n_partitions=n_partitions)
 
 
-def flagship_tail_rows(row, mp, pi, w: int, tiers=None):
-    """Unified flagship rollup rows (token + mp kinds) for ONE long row
-    whose profile came from the distributed fan-out — the tail-side
-    counterpart of ``flagship_batch``."""
+def long_row_profile_table(row, w: int, *, tile_threshold: int = 1 << 22,
+                           tile: int = 1 << 16,
+                           n_partitions: int | None = None):
+    """Profiles-schema table for ONE long row via the cluster fan-out,
+    under the same lossless-row contract as ``compute_profiles_batch``:
+    a row shorter than ``2*w`` (possible when ``long_threshold < 2*w - 1``)
+    is emitted with an empty profile and ``valid=False`` instead of being
+    dropped or crashing the fan-out kernels."""
+    import numpy as np
+
+    ts = np.asarray(row["tokens"][0].as_py(), dtype="d")
+    if ts.shape[0] < 2 * w:
+        return _profile_row_table(row, np.empty(0, "d"),
+                                  np.empty(0, np.int64), w, valid=False)
+    mp, pi = compute_long_row_profile(ts, w, tile_threshold=tile_threshold,
+                                      tile=tile, n_partitions=n_partitions)
+    return _profile_row_table(row, mp, pi, w)
+
+
+def iter_long_corpus_rows(source, long_threshold: int, preprocess=None):
+    """Pushdown scan of the tail rows (``n_tok > long_threshold``) of a
+    tokenized-corpus parquet layout, one single-row table at a time — the
+    shared discovery loop of the skew-aware pipeline and the rollup job's
+    tail path.  Parquet row-group statistics prune the scan, so a corpus
+    with no long row reads ~0 bytes.  Null ``n_tok`` never matches the
+    predicate: those rows belong to the short (streaming) side."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    scanner = pads.dataset(source).scanner(
+        columns=["doc_id", "source", "tokens", "n_tok"],
+        filter=pads.field("n_tok") > long_threshold,
+        batch_size=1)
+    for rb in scanner.to_batches():
+        for i in range(rb.num_rows):
+            row = pa.Table.from_batches([rb.slice(i, 1)])
+            yield preprocess(row) if preprocess else row
+
+
+def flagship_tail_rows(row, w: int, tiers=None, **fan_kwargs):
+    """Unified flagship rollup rows (token + mp kinds) for ONE long row,
+    profile computed via the distributed fan-out — the tail-side
+    counterpart of ``flagship_batch`` (a too-short row contributes its
+    token rollups only, exactly as the batch path's invalid rows do)."""
     import pyarrow as pa
 
     token_rolls = rollup_batch(row, tiers=tiers)
     token_rolls = token_rolls.append_column(
         "kind", pa.array(["token"] * len(token_rolls), pa.string()))
-    mp_rolls = mp_rollup_batch(_profile_row_table(row, mp, pi, w),
+    mp_rolls = mp_rollup_batch(long_row_profile_table(row, w, **fan_kwargs),
                                tiers=tiers)
     mp_rolls = mp_rolls.append_column(
         "kind", pa.array(["mp"] * len(mp_rolls), pa.string()))
@@ -157,53 +199,56 @@ def profiles_skew_aware(ds, w: int = 32, *, long_threshold: int = 1 << 17,
     ``corpus_path`` the tail is filtered out of ``ds`` itself (a second
     streaming pass over the derived sequences — fine at test scale, use
     the pushdown at corpus scale)."""
-    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
+    import ray
     import ray.data
 
-    thr = pa.scalar(long_threshold, pa.int32())
+    # untyped scalar: pyarrow promotes the comparison to the wider type, so
+    # a huge threshold (the natural way to disable routing) compares instead
+    # of overflowing an int32 cast
+    thr = pa.scalar(long_threshold)
 
     def short_side(batch: pa.Table) -> pa.Table:
-        keep = batch.filter(pc.less_equal(batch["n_tok"], thr))
+        # null n_tok stays on the short side (fill_null True): the pushdown
+        # predicate below never matches null, so without this the row would
+        # vanish from BOTH routes — compute_profiles_batch's lossless-row
+        # contract forbids that
+        keep = batch.filter(
+            pc.fill_null(pc.less_equal(batch["n_tok"], thr), True))
         return compute_profiles_batch(keep, w=w)
 
     short = ds.map_batches(short_side, batch_format="pyarrow",
                            batch_size=256)
 
     if corpus_path is not None:
-        import pyarrow.dataset as pads
-
         def iter_long():
-            scanner = pads.dataset(corpus_path).scanner(
-                columns=["doc_id", "source", "tokens", "n_tok"],
-                filter=pads.field("n_tok") > long_threshold,
-                batch_size=1)
-            for rb in scanner.to_batches():
-                for i in range(rb.num_rows):
-                    row = pa.Table.from_batches([rb.slice(i, 1)])
-                    yield preprocess(row) if preprocess else row
+            yield from iter_long_corpus_rows(corpus_path, long_threshold,
+                                             preprocess)
     else:
         def iter_long():
             tail = ds.map_batches(
-                lambda b: b.filter(pc.greater(b["n_tok"], thr))
+                lambda b: b.filter(
+                    pc.fill_null(pc.greater(b["n_tok"], thr), False))
                            .select(["doc_id", "source", "tokens", "n_tok"]),
                 batch_format="pyarrow")
             for b in tail.iter_batches(batch_size=1, batch_format="pyarrow"):
                 if len(b):
                     yield b
 
-    long_tables = []
+    # each finished long-row table goes straight to the object store
+    # (ray.put) — the driver keeps only ObjectRefs, holding at most the ONE
+    # in-flight row's tokens+profile, however many tail rows exist (the
+    # store spills; a driver-side list of profile tables would not)
+    long_refs = []
     for row in iter_long():
-        ts = np.asarray(row["tokens"][0].as_py(), dtype="d")
-        mp, pi = compute_long_row_profile(
-            ts, w, tile_threshold=tile_threshold, tile=tile,
-            n_partitions=n_partitions)
-        long_tables.append(_profile_row_table(row, mp, pi, w))
+        tbl = long_row_profile_table(row, w, tile_threshold=tile_threshold,
+                                     tile=tile, n_partitions=n_partitions)
+        long_refs.append(ray.put(tbl))
 
-    if not long_tables:
+    if not long_refs:
         return short
-    return short.union(ray.data.from_arrow(pa.concat_tables(long_tables)))
+    return short.union(ray.data.from_arrow_refs(long_refs))
 
 
 TOKEN_ROLLUP_COLS = ["doc_id", "source", "tier", "bucket",

@@ -102,7 +102,12 @@ def compute_profiles_batch(batch: pa.Table, w: int = 32,
         "mp": pa.ListArray.from_arrays(off32, pa.array(flat_mp, pa.float64())),
         "pi": pa.ListArray.from_arrays(off32, pa.array(flat_pi, pa.int64())),
         "algorithm": pa.array([algorithm] * n_rows, pa.string()),
-        "metric": pa.array(["cross_correlation" if cross_correlation else "euclidean"] * n_rows),
+        # explicit type: an all-filtered (0-row) batch must still emit
+        # string-typed metric or its block's schema (metric: null) breaks
+        # unification with the rest of the stream
+        "metric": pa.array(
+            ["cross_correlation" if cross_correlation else "euclidean"]
+            * n_rows, pa.string()),
     }
     if keep_tokens:
         cols["tokens"] = batch["tokens"]

@@ -129,3 +129,77 @@ def test_skew_aware_no_tail_is_plain_stream(ray_session, skew_corpus):
         ds, w=W, long_threshold=10_000).to_pandas())
     want = _normalize(compute_profiles_batch(skew_corpus, w=W).to_pandas())
     _assert_profiles_equal(got, want)
+
+
+def test_skew_aware_huge_threshold_disables_routing(ray_session,
+                                                    skew_corpus):
+    """long_threshold >= 2**31 (the natural opt-out) must compare, not
+    overflow an int32 scalar cast."""
+    import ray.data
+
+    ds = ray.data.from_arrow(skew_corpus)
+    got = _normalize(profiles_skew_aware(
+        ds, w=W, long_threshold=1 << 40).to_pandas())
+    want = _normalize(compute_profiles_batch(skew_corpus, w=W).to_pandas())
+    _assert_profiles_equal(got, want)
+
+
+def test_skew_aware_null_n_tok_routes_short(ray_session):
+    """A null n_tok matches neither route's predicate; it must land on the
+    short side (lossless row accounting), not vanish."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    toks = [rng.integers(0, 50, size=n).tolist() for n in (150, 160, 170)]
+    corpus = pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "tokens": pa.array(toks, pa.list_(pa.int32())),
+        "n_tok": pa.array([150, None, 170], pa.int32()),
+        "source": pa.array(["s0"] * 3),
+    })
+    got = _normalize(profiles_skew_aware(
+        ray.data.from_arrow(corpus), w=W, long_threshold=100).to_pandas())
+    assert list(got["doc_id"]) == ["a", "b", "c"]
+    want = _normalize(compute_profiles_batch(corpus, w=W).to_pandas())
+    _assert_profiles_equal(got, want)
+
+
+def test_skew_aware_short_long_routed_row_invalid(ray_session):
+    """long_threshold < 2*w - 1 can route a too-short row to the fan-out;
+    it must come back valid=False with an empty profile (the batch
+    kernel's contract), not crash the fan-out kernels."""
+    import ray.data
+
+    rng = np.random.default_rng(9)
+    corpus = pa.table({
+        "doc_id": pa.array(["a", "b"]),
+        "tokens": pa.array([rng.integers(0, 50, size=n).tolist()
+                            for n in (20, 300)], pa.list_(pa.int32())),
+        "n_tok": pa.array([20, 300], pa.int32()),
+        "source": pa.array(["s0"] * 2),
+    })
+    got = _normalize(profiles_skew_aware(
+        ray.data.from_arrow(corpus), w=W, long_threshold=10).to_pandas())
+    want = _normalize(compute_profiles_batch(corpus, w=W).to_pandas())
+    assert list(got["valid"]) == [False, True]
+    _assert_profiles_equal(got, want)
+
+
+def test_all_filtered_block_schema_stable(ray_session):
+    """A block whose rows ALL route long still emits the typed profiles
+    schema (string metric, not null) so it unifies with the short stream."""
+    empty = compute_profiles_batch(pa.table({
+        "doc_id": pa.array([], pa.string()),
+        "tokens": pa.array([], pa.list_(pa.int32())),
+        "n_tok": pa.array([], pa.int32()),
+        "source": pa.array([], pa.string()),
+    }), w=W)
+    full = compute_profiles_batch(pa.table({
+        "doc_id": pa.array(["a"]),
+        "tokens": pa.array([list(range(100))], pa.list_(pa.int32())),
+        "n_tok": pa.array([100], pa.int32()),
+        "source": pa.array(["s0"]),
+    }), w=W)
+    assert empty.schema.field("metric").type == pa.string()
+    merged = pa.concat_tables([empty, full])  # raises on schema drift
+    assert len(merged) == 1

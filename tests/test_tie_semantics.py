@@ -129,3 +129,35 @@ def test_tiled_merge_law_keeps_closest_across_tiles():
                        np.array([-1], dtype=np.int64), 7,
                        self_join_ties=True)
     assert mpiu[0] == -1 and mpu[0] == -1.0
+
+
+def test_exact_anticorrelation_unmatched_on_every_path():
+    """corr == exactly -1.0 (exact window negation) is never recorded:
+    the walk's strict > against the -1.0 init skips it, and the matmul
+    path marks it unmatched for the same law.  ts = (-1)^j with w=16
+    makes every odd-shift pair an EXACT float -1.0 (mean 0, ssq 16, sig
+    1/4 — all dyadic), and n = w + minlag + 1 leaves window 0 exactly one
+    admissible partner, the -1.0 one."""
+    from matrixprofile_1_ray.kernels.mpx import (
+        mpx_diag_range,
+        mpx_precompute,
+    )
+
+    w = 16
+    minlag = int(np.ceil(w / 4.0))
+    n = w + minlag + 1
+    ts = np.array([(-1.0) ** j for j in range(n)])
+    pl = n - w + 1
+
+    # matmul path (pl = 6 is far under the dispatch limit)
+    mp_m, pi_m = mpx_self(ts, w, True)
+    np.testing.assert_array_equal(pi_m, np.full(pl, -1))
+    np.testing.assert_array_equal(mp_m, np.full(pl, -1.0))
+
+    # diagonal walk on the same input
+    seed, df, dg, sig, _ = mpx_precompute(ts, w)
+    mp_d = np.full(pl, -1.0)
+    pi_d = np.full(pl, -1, dtype=np.int64)
+    mpx_diag_range(minlag + 1, pl, seed, df, dg, sig, mp_d, pi_d)
+    np.testing.assert_array_equal(pi_d, pi_m)
+    np.testing.assert_array_equal(mp_d, mp_m)
