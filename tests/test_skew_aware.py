@@ -203,3 +203,32 @@ def test_all_filtered_block_schema_stable(ray_session):
     assert empty.schema.field("metric").type == pa.string()
     merged = pa.concat_tables([empty, full])  # raises on schema drift
     assert len(merged) == 1
+
+
+def test_skew_aware_route_invariance_fuzz(ray_session):
+    """Property: for ANY corpus and ANY threshold, the length-routed
+    result is exactly the batch kernel's (values, indices, validity,
+    row accounting) — including thresholds that route too-short rows
+    long and corpora with null n_tok."""
+    import ray.data
+
+    rng = np.random.default_rng(0xC0FFEE)
+    w = 8
+    for trial in range(6):
+        n_rows = int(rng.integers(1, 7))
+        lens = rng.integers(5, 80, size=n_rows)
+        toks = [rng.integers(0, 9, size=n).tolist() for n in lens]
+        n_tok = [int(n) if rng.random() > 0.15 else None for n in lens]
+        corpus = pa.table({
+            "doc_id": pa.array([f"t{trial}d{i}" for i in range(n_rows)]),
+            "tokens": pa.array(toks, pa.list_(pa.int32())),
+            "n_tok": pa.array(n_tok, pa.int32()),
+            "source": pa.array(["s"] * n_rows),
+        })
+        thr = int(rng.integers(5, 80))
+        got = _normalize(profiles_skew_aware(
+            ray.data.from_arrow(corpus), w=w,
+            long_threshold=thr).to_pandas())
+        want = _normalize(compute_profiles_batch(corpus, w=w).to_pandas())
+        assert len(got) == n_rows, (trial, thr)
+        _assert_profiles_equal(got, want)
