@@ -1,0 +1,210 @@
+"""Pure-NumPy codecs for self-contained media formats.
+
+PPM/PGM (netpbm binary), uncompressed BMP, and PCM WAV need no external
+library — just header parsing and ``np.frombuffer`` — so the multimodal
+stages can REALLY decode, feature-extract and resample these formats
+inside this container.  Formats whose codecs genuinely require absent
+libraries (PNG/JPEG/MP4) stay behind the honest strict-mode stub in
+stages/multimodal.py.
+
+Everything here is deterministic (no rng, no floats in the parse path),
+so decode -> features is bit-reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- netpbm
+
+def _pnm_tokens(payload: bytes, n: int, start: int = 0):
+    """First ``n`` whitespace-separated header tokens after ``start``,
+    skipping '#' comments; returns (tokens, offset_past_last_whitespace)."""
+    toks = []
+    i = start
+    length = len(payload)
+    while len(toks) < n:
+        while i < length and payload[i : i + 1].isspace():
+            i += 1
+        if i < length and payload[i : i + 1] == b"#":
+            while i < length and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+            continue
+        j = i
+        while j < length and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        toks.append(payload[i:j])
+        i = j
+    # exactly ONE whitespace byte separates the header from raster data
+    return toks, i + 1
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 (RGB) -> (h, w, 3) uint8; P5 (gray) -> (h, w) uint8."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary netpbm payload")
+    channels = 3 if payload[:2] == b"P6" else 1
+    toks, off = _pnm_tokens(payload, 3, start=2)
+    w, h, maxval = (int(t) for t in toks)
+    if maxval != 255:
+        raise ValueError(f"unsupported netpbm maxval {maxval}")
+    need = w * h * channels
+    raster = np.frombuffer(payload, np.uint8, count=need, offset=off)
+    return raster.reshape((h, w, 3) if channels == 3 else (h, w))
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) -> P6 bytes; (h, w) -> P5 bytes."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 3 and img.shape[2] == 3:
+        magic = b"P6"
+        h, w = img.shape[:2]
+    elif img.ndim == 2:
+        magic = b"P5"
+        h, w = img.shape
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    return b"%s\n%d %d\n255\n" % (magic, w, h) + img.tobytes()
+
+
+# ------------------------------------------------------------------ BMP
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP -> (h, w, 3) uint8 (RGB order)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or compression != 0 or bpp not in (24, 32):
+        raise ValueError("only uncompressed 24/32-bit BI_RGB supported")
+    bottom_up = h > 0
+    h = abs(h)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    px = rows[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    rgb = px[:, :, 2::-1]  # stored BGR(A) -> RGB
+    return (rgb[::-1] if bottom_up else rgb).copy()
+
+
+# ------------------------------------------------------------------ WAV
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV (8/16-bit) -> (samples [n, channels] float64 in [-1, 1],
+    sample_rate).  Walks RIFF chunks; ignores non-fmt/data chunks."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError("only 8/16-bit PCM supported")
+    if bits == 16:
+        raw = np.frombuffer(data, "<i2", count=len(data) // 2)
+        samples = raw.astype(np.float64) / 32768.0
+    else:
+        raw = np.frombuffer(data, np.uint8)
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    n = samples.shape[0] // channels
+    return samples[: n * channels].reshape(n, channels), int(rate)
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """float samples in [-1, 1] (n,) or (n, channels) -> 16-bit PCM WAV."""
+    samples = np.atleast_2d(np.asarray(samples, np.float64).T).T
+    n, channels = samples.shape
+    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    block = channels * 2
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                   rate * block, block, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+# -------------------------------------------------- dispatch + transforms
+
+_IMAGE_MIMES = {"image/x-portable-pixmap": decode_ppm,
+                "image/x-portable-graymap": decode_ppm,
+                "image/bmp": decode_bmp}
+_AUDIO_MIMES = {"audio/wav": decode_wav, "audio/x-wav": decode_wav}
+
+
+def decode_any(mime: str, payload: bytes):
+    """Real decode when the format is self-contained: returns
+    ``("image", ndarray)`` or ``("audio", (samples, rate))``; ``None`` for
+    formats that need an external codec (PNG/JPEG/video/text)."""
+    if mime in _IMAGE_MIMES:
+        return "image", _IMAGE_MIMES[mime](payload)
+    if mime in _AUDIO_MIMES:
+        return "audio", _AUDIO_MIMES[mime](payload)
+    return None
+
+
+def resize_nearest(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (the deterministic, library-free kernel;
+    matches PIL's Image.NEAREST source-pixel selection)."""
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(new_h) * (h / new_h)).astype(np.int64), h - 1)
+    cols = np.minimum((np.arange(new_w) * (w / new_w)).astype(np.int64), w - 1)
+    return img[rows][:, cols]
+
+
+def _luminance(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 2:
+        return img.astype(np.float64)
+    # ITU-R BT.601 integer-weight luma — exact in float64
+    return (299.0 * img[:, :, 0] + 587.0 * img[:, :, 1]
+            + 114.0 * img[:, :, 2]) / 1000.0
+
+
+def image_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic ``dim``-length feature vector: mean luminance over a
+    ~sqrt(dim)-square grid of cells (box means via reduceat — exact),
+    scaled to [0, 1]."""
+    g = max(1, int(np.sqrt(dim)))
+    lum = _luminance(img)
+    h, w = lum.shape
+    r_edges = np.minimum((np.arange(g) * h) // g, h - 1)
+    c_edges = np.minimum((np.arange(g) * w) // g, w - 1)
+    cells = np.add.reduceat(np.add.reduceat(lum, r_edges, axis=0),
+                            c_edges, axis=1)
+    r_cnt = np.diff(np.append(r_edges, h))
+    c_cnt = np.diff(np.append(c_edges, w))
+    grid = cells / np.outer(r_cnt, c_cnt)
+    out = np.zeros(dim, np.float64)
+    out[: g * g] = (grid / 255.0).reshape(-1)
+    return out
+
+
+def audio_features(samples: np.ndarray, rate: int, dim: int) -> np.ndarray:
+    """Deterministic ``dim``-length feature vector: RMS energy over
+    ``dim`` equal time segments of the mixed-down signal."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = mono.shape[0]
+    if n == 0:
+        return np.zeros(dim, np.float64)
+    edges = np.minimum((np.arange(dim) * n) // dim, n - 1)
+    sums = np.add.reduceat(mono * mono, edges)
+    counts = np.diff(np.append(edges, n))
+    return np.sqrt(sums / counts)

@@ -2,14 +2,17 @@
 
 Image/audio/video travel as Arrow ``binary`` columns with sidecar metadata
 (mime, width/height or sample rate, frame count).  Decode / feature-extract
-/ resize / frame-sample run as actor-pool ``map_batches`` stages whose
-Ray-side plumbing (schema, batch sizing for large payloads, actor
-signature, output layout) is real and tested; the *codec* itself is
-stubbed: the image/audio libraries are not in this container, so
-``DecodeStub`` either raises ``NotImplementedError`` (strict mode) or
-produces a deterministic fake decode keyed on the payload hash (test mode).
-Swap ``_decode_payload`` for a real PIL/libav call on a cluster that has
-the libraries — nothing else changes.
+/ resize / frame-sample run as actor-pool ``map_batches`` stages.
+
+Self-contained formats — netpbm PPM/PGM, uncompressed BMP, PCM WAV — are
+REALLY decoded, featurized and resampled (functions/media_codec.py, pure
+NumPy header parsing; no external library needed).  Formats whose codecs
+genuinely require libraries absent from this container (PNG/JPEG/MP4) go
+through the honest stub: ``DecodeStub`` either raises
+``NotImplementedError`` (strict mode) or produces a deterministic fake
+decode keyed on the payload hash (test mode).  Swap ``_decode_payload``'s
+fallback for a real PIL/libav call on a cluster that has the libraries —
+nothing else changes.
 """
 
 from __future__ import annotations
@@ -18,6 +21,15 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from ..functions.media_codec import (
+    audio_features,
+    decode_any,
+    decode_ppm,
+    encode_ppm,
+    image_features,
+    resize_nearest,
+)
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.string()),
@@ -65,19 +77,29 @@ def media_from_documents(sf_dir: str, n: int = 64) -> pa.Table:
 
 
 class DecodeStub:
-    """Actor-pool decode stage.  strict=True raises (the honest stub);
-    strict=False emits a deterministic fake feature vector per payload so
-    downstream stages are testable end-to-end."""
+    """Actor-pool decode stage.  Self-contained formats (PPM/PGM/BMP/WAV)
+    are REALLY decoded and featurized — grid luminance means for images,
+    segment RMS energy for audio.  For everything else strict=True raises
+    (the honest stub) and strict=False emits a deterministic fake feature
+    vector per payload so downstream stages are testable end-to-end."""
 
     def __init__(self, feature_dim: int = 16, strict: bool = False):
         self.feature_dim = feature_dim
         self.strict = strict
 
-    def _decode_payload(self, payload: bytes) -> np.ndarray:
+    def _decode_payload(self, payload: bytes, mime: str) -> np.ndarray:
+        decoded = decode_any(mime, payload)
+        if decoded is not None:
+            kind, value = decoded
+            if kind == "image":
+                return image_features(value, self.feature_dim)
+            samples, rate = value
+            return audio_features(samples, rate, self.feature_dim)
         if self.strict:
             raise NotImplementedError(
-                "image/audio codecs are not available in this container; "
-                "plug a real decoder here (PIL.Image.open / av.open)")
+                f"no codec for {mime!r} in this container; PPM/PGM/BMP/WAV "
+                "decode natively — plug a real decoder here for the rest "
+                "(PIL.Image.open / av.open)")
         # feature d = first 32 bits of sha256(payload || str(d)), scaled to
         # [0, 1).  Division by 2^32 is exact in float64, so the fake decode
         # is bit-reproducible in ANY engine with sha256 — the gate's DuckDB
@@ -94,8 +116,9 @@ class DecodeStub:
                 "mime": batch["mime"],
                 "features": pa.array([], pa.list_(pa.float64())),
             })
-        feats = np.stack([self._decode_payload(p.as_py())
-                          for p in batch["payload"].combine_chunks()])
+        feats = np.stack([self._decode_payload(p.as_py(), m)
+                          for p, m in zip(batch["payload"].combine_chunks(),
+                                          batch["mime"].to_pylist())])
         off = pa.array(np.arange(len(batch) + 1, dtype=np.int32)
                        * self.feature_dim, pa.int32())
         return pa.table({
@@ -117,13 +140,28 @@ def media_features_stage(ds, feature_dim: int = 16, strict: bool = False,
         concurrency=concurrency)
 
 
+_NETPBM_MIMES = {"image/x-portable-pixmap", "image/x-portable-graymap"}
+
+
+def _clamp_dims(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
+    """Aspect-preserving fit of (w, h) inside (max_w, max_h), never
+    upscaling.  A zero dim stays zero (unknown declared size) while the
+    other still clamps by its own axis."""
+    scale = min(1.0,
+                max_w / w if w > 0 else 1.0,
+                max_h / h if h > 0 else 1.0)
+    return (max(1, int(np.floor(w * scale))) if w > 0 else 0,
+            max(1, int(np.floor(h * scale))) if h > 0 else 0)
+
+
 class ResizeStub:
-    """Resize plumbing as an actor-pool stage: clamps each image's
-    declared dims to fit inside ``(max_w, max_h)`` preserving aspect ratio
-    and rewrites the metadata; the payload passes through opaque.  In
-    strict mode the pixel-level resample raises like ``DecodeStub`` (no
-    image codec in this container) — swap ``_resize_payload`` for a real
-    PIL ``Image.resize`` call on a cluster that has it."""
+    """Resize as an actor-pool stage: netpbm payloads are REALLY
+    resampled (decode -> nearest-neighbor -> re-encode, pure NumPy) using
+    the header's actual dims; other formats have their declared metadata
+    clamped to fit inside ``(max_w, max_h)`` aspect-preserved while the
+    payload passes through opaque (strict mode raises instead — no PNG/
+    JPEG codec in this container; swap the fallback for a real
+    ``PIL.Image.resize`` on a cluster that has it)."""
 
     def __init__(self, max_w: int = 224, max_h: int = 224,
                  strict: bool = False):
@@ -131,32 +169,40 @@ class ResizeStub:
         self.max_h = int(max_h)
         self.strict = strict
 
-    def _resize_payload(self, payload: bytes, w: int, h: int) -> bytes:
+    def _resize_payload(self, payload: bytes, mime: str,
+                        w: int, h: int) -> tuple[bytes, int, int]:
+        """-> (payload, new_w, new_h); real pixels for netpbm, declared
+        metadata clamp otherwise."""
+        if mime in _NETPBM_MIMES:
+            img = decode_ppm(payload)
+            ih, iw = img.shape[:2]          # trust the header, not sidecar
+            nw, nh = _clamp_dims(iw, ih, self.max_w, self.max_h)
+            if (nw, nh) != (iw, ih):
+                img = resize_nearest(img, nw, nh)
+            return encode_ppm(img), nw, nh
         if self.strict:
             raise NotImplementedError(
-                "image codecs are not available in this container; plug a "
-                "real resampler here (PIL.Image.open(...).resize(...))")
-        return payload  # opaque pass-through in stub mode
+                f"no codec for {mime!r} in this container; netpbm resamples "
+                "natively — plug a real resampler here for the rest "
+                "(PIL.Image.open(...).resize(...))")
+        nw, nh = _clamp_dims(int(w), int(h), self.max_w, self.max_h)
+        return payload, nw, nh  # opaque pass-through, metadata-only clamp
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return batch
-        w = batch["width"].to_numpy().astype(np.float64)
-        h = batch["height"].to_numpy().astype(np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            scale = np.minimum(1.0, np.minimum(
-                np.where(w > 0, self.max_w / w, 1.0),
-                np.where(h > 0, self.max_h / h, 1.0)))
-        new_w = np.maximum(1, np.floor(w * scale)).astype(np.int32)
-        new_h = np.maximum(1, np.floor(h * scale)).astype(np.int32)
-        new_w[w == 0] = 0
-        new_h[h == 0] = 0
-        payloads = pa.array(
-            [self._resize_payload(p.as_py(), int(nw), int(nh))
-             for p, nw, nh in zip(batch["payload"].combine_chunks(),
-                                  new_w, new_h)], pa.binary())
+        payloads, new_w, new_h = [], [], []
+        for p, m, w, h in zip(batch["payload"].combine_chunks(),
+                              batch["mime"].to_pylist(),
+                              batch["width"].to_pylist(),
+                              batch["height"].to_pylist()):
+            body, nw, nh = self._resize_payload(p.as_py(), m,
+                                                w or 0, h or 0)
+            payloads.append(body)
+            new_w.append(nw)
+            new_h.append(nh)
         out = batch.set_column(batch.schema.get_field_index("payload"),
-                               "payload", payloads)
+                               "payload", pa.array(payloads, pa.binary()))
         out = out.set_column(out.schema.get_field_index("width"), "width",
                              pa.array(new_w, pa.int32()))
         return out.set_column(out.schema.get_field_index("height"), "height",

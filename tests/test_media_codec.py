@@ -1,0 +1,183 @@
+"""Pure-NumPy media codecs + their wiring into the multimodal stages.
+
+PPM/PGM/BMP/WAV are self-contained formats (header + raw raster/samples),
+so decode / featurize / resample are REAL here — only PNG/JPEG/video stay
+behind the strict-mode stub.
+"""
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from matrixprofile_1_ray.functions.media_codec import (
+    audio_features,
+    decode_any,
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+    image_features,
+    resize_nearest,
+)
+
+
+def _rand_img(h, w, channels=3, seed=0):
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if channels == 3 else (h, w)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+def test_ppm_roundtrip():
+    img = _rand_img(17, 23)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+def test_pgm_roundtrip():
+    img = _rand_img(9, 11, channels=1, seed=4)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+def test_ppm_header_comments():
+    img = _rand_img(3, 4, seed=2)
+    body = encode_ppm(img)
+    commented = (b"P6\n# a comment\n4 3\n# another\n255\n"
+                 + body[body.index(b"255\n") + 4:])
+    np.testing.assert_array_equal(decode_ppm(commented), img)
+
+
+def _encode_bmp24(img: np.ndarray) -> bytes:
+    """Minimal bottom-up 24-bit BI_RGB writer (test-local oracle)."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), np.uint8)
+    raster[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # BGR, bottom-up
+    data = raster.tobytes()
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                         2835, 2835, 0, 0))
+    return hdr + data
+
+
+def test_bmp_decode():
+    img = _rand_img(5, 6, seed=7)   # width 6 -> stride has padding
+    np.testing.assert_array_equal(decode_bmp(_encode_bmp24(img)), img)
+
+
+def test_bmp_decode_odd_width_padding():
+    img = _rand_img(4, 3, seed=8)   # 3*3=9 bytes/row -> 3 pad bytes
+    np.testing.assert_array_equal(decode_bmp(_encode_bmp24(img)), img)
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    rng = np.random.default_rng(5)
+    mono = rng.uniform(-1, 1, 480)
+    got, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and got.shape == (480, 1)
+    np.testing.assert_allclose(got[:, 0], mono, atol=1.0 / 16384)
+
+    stereo = rng.uniform(-1, 1, (240, 2))
+    got2, rate2 = decode_wav(encode_wav(stereo, 16000))
+    assert rate2 == 16000 and got2.shape == (240, 2)
+    np.testing.assert_allclose(got2, stereo, atol=1.0 / 16384)
+
+
+def test_decode_any_dispatch():
+    img = _rand_img(4, 4, seed=1)
+    kind, val = decode_any("image/x-portable-pixmap", encode_ppm(img))
+    assert kind == "image"
+    np.testing.assert_array_equal(val, img)
+    kind, (samples, rate) = decode_any("audio/wav",
+                                       encode_wav(np.zeros(16), 8000))
+    assert kind == "audio" and rate == 8000
+    assert decode_any("image/png", b"\x89PNG...") is None
+    assert decode_any("text/plain", b"hello") is None
+
+
+def test_resize_nearest_exact_downscale():
+    """2x downscale of a checkerboard keeps the top-left source pixel of
+    each 2x2 cell (PIL NEAREST source selection)."""
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[::2, ::2] = 255
+    out = resize_nearest(img, 2, 2)
+    assert out.shape == (2, 2, 3)
+    np.testing.assert_array_equal(out, np.full((2, 2, 3), 255, np.uint8))
+
+
+def test_image_features_grid_means():
+    """Constant image -> every grid cell is its luminance / 255."""
+    img = np.full((8, 8, 3), 100, np.uint8)
+    f = image_features(img, 16)
+    assert f.shape == (16,)
+    np.testing.assert_allclose(f, 100.0 / 255.0, atol=1e-12)
+
+
+def test_audio_features_segment_rms():
+    """Constant-amplitude signal -> every segment RMS equals |amp|."""
+    f = audio_features(np.full(100, 0.5), 8000, 8)
+    np.testing.assert_allclose(f, 0.5, atol=1e-12)
+
+
+def test_decode_stage_real_formats(ray_session):
+    """The actor-pool decode stage REALLY decodes ppm/wav rows and only
+    falls back to the hash stub for library-needing formats."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.multimodal import media_features_stage
+
+    img = np.full((6, 6, 3), 128, np.uint8)
+    wav = encode_wav(np.full(64, 0.25), 8000)
+    media = pa.table({
+        "media_id": pa.array(["img", "wav", "png"], pa.string()),
+        "mime": pa.array(["image/x-portable-pixmap", "audio/wav",
+                          "image/png"], pa.string()),
+        "payload": pa.array([encode_ppm(img), wav, b"\x89PNG fake"],
+                            pa.binary()),
+        "width": pa.array([6, 0, 32], pa.int32()),
+        "height": pa.array([6, 0, 32], pa.int32()),
+    })
+    out = (media_features_stage(ray.data.from_arrow(media), feature_dim=4)
+           .to_pandas().set_index("media_id"))
+    np.testing.assert_allclose(np.asarray(out.loc["img", "features"]),
+                               128.0 / 255.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.loc["wav", "features"]),
+                               0.25, atol=1.0 / 16384)
+    # png falls back to the sha256 stub (still in [0, 1))
+    png_f = np.asarray(out.loc["png", "features"])
+    assert ((png_f >= 0) & (png_f < 1)).all()
+
+    # strict mode: real formats decode, png raises
+    real_only = media.filter(pa.array([True, True, False]))
+    strict_out = media_features_stage(ray.data.from_arrow(real_only),
+                                      feature_dim=4, strict=True).to_pandas()
+    assert len(strict_out) == 2
+    with pytest.raises(Exception):
+        media_features_stage(ray.data.from_arrow(media), feature_dim=4,
+                             strict=True).take_all()
+
+
+def test_resize_stage_real_resample(ray_session):
+    """Netpbm rows get REAL pixel resampling: payload re-encoded at the
+    clamped dims, header dims trusted over sidecar metadata."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.multimodal import resize_stage
+
+    img = _rand_img(100, 200, seed=11)
+    media = pa.table({
+        "media_id": pa.array(["a"], pa.string()),
+        "mime": pa.array(["image/x-portable-pixmap"], pa.string()),
+        "payload": pa.array([encode_ppm(img)], pa.binary()),
+        # deliberately wrong sidecar dims: the header must win
+        "width": pa.array([999], pa.int32()),
+        "height": pa.array([999], pa.int32()),
+    })
+    out = (resize_stage(ray.data.from_arrow(media), max_w=64, max_h=48)
+           .to_pandas().iloc[0])
+    # scale = min(64/200, 48/100) = 0.32 -> 64 x 32
+    assert (out.width, out.height) == (64, 32)
+    back = decode_ppm(out.payload)
+    assert back.shape == (32, 64, 3)
+    np.testing.assert_array_equal(back, resize_nearest(img, 64, 32))
