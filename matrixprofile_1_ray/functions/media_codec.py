@@ -109,6 +109,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         size = struct.unpack_from("<I", payload, i + 4)[0]
         body = payload[i + 8 : i + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -118,6 +120,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     audio_format, channels, rate, _, _, bits = fmt
     if audio_format != 1 or bits not in (8, 16):
         raise ValueError("only 8/16-bit PCM supported")
+    if channels <= 0:
+        raise ValueError("fmt chunk declares zero channels")
     if bits == 16:
         raw = np.frombuffer(data, "<i2", count=len(data) // 2)
         samples = raw.astype(np.float64) / 32768.0
@@ -162,11 +166,17 @@ def decode_any(mime: str, payload: bytes):
 
 
 def resize_nearest(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
-    """Nearest-neighbor resample (the deterministic, library-free kernel;
-    matches PIL's Image.NEAREST source-pixel selection)."""
+    """Nearest-neighbor resample with PIL's center-based source mapping
+    (dst pixel i reads src ``floor((i + 0.5) * scale)``), so a cluster that
+    swaps in a real ``PIL.Image.resize(..., NEAREST)`` for the other
+    formats produces the same pixels for these."""
     h, w = img.shape[:2]
-    rows = np.minimum((np.arange(new_h) * (h / new_h)).astype(np.int64), h - 1)
-    cols = np.minimum((np.arange(new_w) * (w / new_w)).astype(np.int64), w - 1)
+    if h <= 0 or w <= 0 or new_h <= 0 or new_w <= 0:
+        raise ValueError(f"cannot resample {w}x{h} to {new_w}x{new_h}")
+    rows = np.minimum(((np.arange(new_h) + 0.5) * (h / new_h)).astype(np.int64),
+                      h - 1)
+    cols = np.minimum(((np.arange(new_w) + 0.5) * (w / new_w)).astype(np.int64),
+                      w - 1)
     return img[rows][:, cols]
 
 
@@ -181,30 +191,40 @@ def _luminance(img: np.ndarray) -> np.ndarray:
 def image_features(img: np.ndarray, dim: int) -> np.ndarray:
     """Deterministic ``dim``-length feature vector: mean luminance over a
     ~sqrt(dim)-square grid of cells (box means via reduceat — exact),
-    scaled to [0, 1]."""
-    g = max(1, int(np.sqrt(dim)))
+    scaled to [0, 1].  The grid never exceeds the image (an image smaller
+    than the grid gets one cell per pixel row/column; unused feature slots
+    stay 0), so every cell has >= 1 pixel and the means are always finite."""
     lum = _luminance(img)
     h, w = lum.shape
-    r_edges = np.minimum((np.arange(g) * h) // g, h - 1)
-    c_edges = np.minimum((np.arange(g) * w) // g, w - 1)
+    out = np.zeros(dim, np.float64)
+    if h == 0 or w == 0:
+        return out
+    g_want = max(1, int(np.sqrt(dim)))
+    gr, gc = min(g_want, h), min(g_want, w)
+    r_edges = (np.arange(gr) * h) // gr
+    c_edges = (np.arange(gc) * w) // gc
     cells = np.add.reduceat(np.add.reduceat(lum, r_edges, axis=0),
                             c_edges, axis=1)
     r_cnt = np.diff(np.append(r_edges, h))
     c_cnt = np.diff(np.append(c_edges, w))
     grid = cells / np.outer(r_cnt, c_cnt)
-    out = np.zeros(dim, np.float64)
-    out[: g * g] = (grid / 255.0).reshape(-1)
+    out[: gr * gc] = (grid / 255.0).reshape(-1)
     return out
 
 
-def audio_features(samples: np.ndarray, rate: int, dim: int) -> np.ndarray:
-    """Deterministic ``dim``-length feature vector: RMS energy over
-    ``dim`` equal time segments of the mixed-down signal."""
+def audio_features(samples: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic ``dim``-length feature vector: RMS energy over up to
+    ``dim`` equal time segments of the mixed-down signal.  A clip shorter
+    than ``dim`` samples gets one segment per sample (remaining feature
+    slots stay 0), so every segment is non-empty and the RMS is finite."""
     mono = samples.mean(axis=1) if samples.ndim == 2 else samples
     n = mono.shape[0]
+    out = np.zeros(dim, np.float64)
     if n == 0:
-        return np.zeros(dim, np.float64)
-    edges = np.minimum((np.arange(dim) * n) // dim, n - 1)
+        return out
+    g = min(dim, n)
+    edges = (np.arange(g) * n) // g
     sums = np.add.reduceat(mono * mono, edges)
     counts = np.diff(np.append(edges, n))
-    return np.sqrt(sums / counts)
+    out[:g] = np.sqrt(sums / counts)
+    return out

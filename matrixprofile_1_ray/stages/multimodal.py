@@ -88,13 +88,21 @@ class DecodeStub:
         self.strict = strict
 
     def _decode_payload(self, payload: bytes, mime: str) -> np.ndarray:
-        decoded = decode_any(mime, payload)
+        try:
+            decoded = decode_any(mime, payload)
+        except Exception:
+            # corrupt payload of a self-contained format: strict mode
+            # surfaces the codec error (honest), test mode falls back to
+            # the deterministic stub so the stage never dies mid-stream
+            if self.strict:
+                raise
+            decoded = None
         if decoded is not None:
             kind, value = decoded
             if kind == "image":
                 return image_features(value, self.feature_dim)
-            samples, rate = value
-            return audio_features(samples, rate, self.feature_dim)
+            samples, _rate = value
+            return audio_features(samples, self.feature_dim)
         if self.strict:
             raise NotImplementedError(
                 f"no codec for {mime!r} in this container; PPM/PGM/BMP/WAV "
@@ -174,13 +182,21 @@ class ResizeStub:
         """-> (payload, new_w, new_h); real pixels for netpbm, declared
         metadata clamp otherwise."""
         if mime in _NETPBM_MIMES:
-            img = decode_ppm(payload)
-            ih, iw = img.shape[:2]          # trust the header, not sidecar
-            nw, nh = _clamp_dims(iw, ih, self.max_w, self.max_h)
-            if (nw, nh) != (iw, ih):
-                img = resize_nearest(img, nw, nh)
-            return encode_ppm(img), nw, nh
-        if self.strict:
+            try:
+                img = decode_ppm(payload)
+                ih, iw = img.shape[:2]      # trust the header, not sidecar
+                nw, nh = _clamp_dims(iw, ih, self.max_w, self.max_h)
+                # degenerate (zero-area) rasters can't resample — metadata
+                # clamp only, payload untouched
+                if (nw, nh) != (iw, ih) and min(ih, iw, nh, nw) > 0:
+                    img = resize_nearest(img, nw, nh)
+                    return encode_ppm(img), nw, nh
+                return payload, nw, nh
+            except Exception:
+                if self.strict:
+                    raise       # corrupt payload: surface the codec error
+                # fall through to the opaque metadata-only clamp
+        elif self.strict:
             raise NotImplementedError(
                 f"no codec for {mime!r} in this container; netpbm resamples "
                 "natively — plug a real resampler here for the rest "

@@ -96,14 +96,60 @@ def test_decode_any_dispatch():
     assert decode_any("text/plain", b"hello") is None
 
 
-def test_resize_nearest_exact_downscale():
-    """2x downscale of a checkerboard keeps the top-left source pixel of
-    each 2x2 cell (PIL NEAREST source selection)."""
-    img = np.zeros((4, 4, 3), np.uint8)
-    img[::2, ::2] = 255
+def test_decode_stage_corrupt_payload_fallback(ray_session):
+    """A corrupt payload of a self-contained format: non-strict mode
+    falls back to the deterministic stub (the stage never dies
+    mid-stream), strict mode surfaces the codec error."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.multimodal import (
+        media_features_stage,
+        resize_stage,
+    )
+
+    media = pa.table({
+        "media_id": pa.array(["bad"], pa.string()),
+        "mime": pa.array(["audio/wav"], pa.string()),
+        "payload": pa.array([b"RIFFxxxxWAVE"], pa.binary()),
+        "width": pa.array([0], pa.int32()),
+        "height": pa.array([0], pa.int32()),
+    })
+    out = (media_features_stage(ray.data.from_arrow(media), feature_dim=4)
+           .to_pandas())
+    f = np.asarray(out.features.iloc[0])
+    assert ((f >= 0) & (f < 1)).all()          # sha256 stub features
+    with pytest.raises(Exception):
+        media_features_stage(ray.data.from_arrow(media), feature_dim=4,
+                             strict=True).take_all()
+
+    bad_ppm = pa.table({
+        "media_id": pa.array(["bad"], pa.string()),
+        "mime": pa.array(["image/x-portable-pixmap"], pa.string()),
+        "payload": pa.array([b"P6 garbage"], pa.binary()),
+        "width": pa.array([500], pa.int32()),
+        "height": pa.array([500], pa.int32()),
+    })
+    out2 = (resize_stage(ray.data.from_arrow(bad_ppm), max_w=64, max_h=48)
+            .to_pandas().iloc[0])
+    # metadata-only clamp, payload untouched
+    assert (out2.width, out2.height) == (48, 48)
+    assert out2.payload == b"P6 garbage"
+    with pytest.raises(Exception):
+        resize_stage(ray.data.from_arrow(bad_ppm), max_w=64, max_h=48,
+                     strict=True).take_all()
+
+
+def test_resize_nearest_pil_source_selection():
+    """Center-based mapping: dst pixel i reads src floor((i+0.5)*scale) —
+    PIL's Image.NEAREST selection, so a 4->2 downscale picks source
+    indices (1, 3), not (0, 2)."""
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
     out = resize_nearest(img, 2, 2)
-    assert out.shape == (2, 2, 3)
-    np.testing.assert_array_equal(out, np.full((2, 2, 3), 255, np.uint8))
+    np.testing.assert_array_equal(out, img[[1, 3]][:, [1, 3]])
+    with pytest.raises(ValueError):
+        resize_nearest(img, 0, 2)
+    with pytest.raises(ValueError):
+        resize_nearest(img[:0], 2, 2)
 
 
 def test_image_features_grid_means():
@@ -114,10 +160,37 @@ def test_image_features_grid_means():
     np.testing.assert_allclose(f, 100.0 / 255.0, atol=1e-12)
 
 
+def test_image_features_smaller_than_grid_finite():
+    """An image smaller than the ~sqrt(dim) grid gets one cell per pixel
+    row/column — finite features, unused slots zero."""
+    f = image_features(np.full((3, 3, 3), 100, np.uint8), 16)
+    assert np.isfinite(f).all()
+    np.testing.assert_allclose(f[:9], 100.0 / 255.0, atol=1e-12)
+    np.testing.assert_array_equal(f[9:], 0.0)
+    assert np.isfinite(image_features(np.zeros((0, 4, 3), np.uint8), 8)).all()
+
+
 def test_audio_features_segment_rms():
     """Constant-amplitude signal -> every segment RMS equals |amp|."""
-    f = audio_features(np.full(100, 0.5), 8000, 8)
+    f = audio_features(np.full(100, 0.5), 8)
     np.testing.assert_allclose(f, 0.5, atol=1e-12)
+
+
+def test_audio_features_short_clip_finite():
+    """Fewer samples than dim: one segment per sample, rest zero."""
+    f = audio_features(np.full(4, 0.5), 16)
+    assert np.isfinite(f).all()
+    np.testing.assert_allclose(f[:4], 0.5, atol=1e-12)
+    np.testing.assert_array_equal(f[4:], 0.0)
+
+
+def test_wav_malformed_payloads_raise_value_error():
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")          # no fmt/data chunks
+    bad_channels = bytearray(encode_wav(np.zeros(8), 8000))
+    struct.pack_into("<H", bad_channels, 22, 0)  # channels = 0
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad_channels))
 
 
 def test_decode_stage_real_formats(ray_session):
