@@ -47,6 +47,38 @@ def sequences_from_documents(sf_dir: str):
     return ds.map_batches(tokenize_documents_batch, batch_format="pyarrow")
 
 
+def sequences_from_jsonl(path, *, source_default: str = "jsonl",
+                         arrow_open_stream_args: dict | None = None):
+    """Lazy Ray Dataset of sequences from a JSONL corpus (one
+    ``{doc_id, text[, source]}`` object per line) — the standard
+    interchange layout of large text-corpus pipelines, tokenized
+    identically to the Parquet path so downstream operators cannot tell
+    the formats apart.
+
+    JSON is row-oriented, so unlike Parquet the read cannot prune columns
+    or push predicates — the projection happens immediately after parse
+    and nothing else of the record survives the first batch hop.  Rows
+    without a ``source`` field get ``source_default``.  Pass
+    ``arrow_open_stream_args={"compression": "gzip"}`` for ``.jsonl.gz``
+    shards."""
+    import ray.data
+
+    kwargs = {}
+    if arrow_open_stream_args:
+        kwargs["arrow_open_stream_args"] = arrow_open_stream_args
+    ds = ray.data.read_json(path, **kwargs)
+
+    def project(batch: pa.Table) -> pa.Table:
+        if "source" not in batch.column_names:
+            batch = batch.append_column(
+                "source", pa.array([source_default] * len(batch),
+                                   pa.string()))
+        return tokenize_documents_batch(
+            batch.select(["doc_id", "text", "source"]))
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def sequences_table_from_documents(sf_dir: str) -> pa.Table:
     """Driver-side (no Ray) variant for unit tests and DuckDB cross-checks."""
     import pyarrow.parquet as pq
