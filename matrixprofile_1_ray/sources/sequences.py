@@ -79,6 +79,31 @@ def sequences_from_jsonl(path, *, source_default: str = "jsonl",
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def sequences_from_csv(path, *, source_default: str = "csv",
+                       arrow_open_stream_args: dict | None = None):
+    """Lazy Ray Dataset of sequences from a CSV documents corpus
+    (``doc_id,text[,source]`` header) — same projection + tokenization as
+    the JSONL and Parquet paths.  CSV cannot prune columns at the read
+    either; pass ``arrow_open_stream_args={"compression": "gzip"}`` for
+    ``.csv.gz`` shards."""
+    import ray.data
+
+    kwargs = {}
+    if arrow_open_stream_args:
+        kwargs["arrow_open_stream_args"] = arrow_open_stream_args
+    ds = ray.data.read_csv(path, **kwargs)
+
+    def project(batch: pa.Table) -> pa.Table:
+        if "source" not in batch.column_names:
+            batch = batch.append_column(
+                "source", pa.array([source_default] * len(batch),
+                                   pa.string()))
+        return tokenize_documents_batch(
+            batch.select(["doc_id", "text", "source"]))
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def sequences_table_from_documents(sf_dir: str) -> pa.Table:
     """Driver-side (no Ray) variant for unit tests and DuckDB cross-checks."""
     import pyarrow.parquet as pq

@@ -70,3 +70,25 @@ def test_jsonl_multi_shard_directory(ray_session, tmp_path):
     got = _norm(sequences_from_jsonl(str(tmp_path)).to_pandas())
     assert len(got) == 15
     assert got.source.nunique() == 3
+
+
+def test_csv_matches_parquet_sequences(ray_session, tmp_path):
+    """CSV documents corpus: identical sequences to the Parquet path."""
+    import csv
+
+    from matrixprofile_1_ray.sources.sequences import sequences_from_csv
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    rows = docs.to_pylist()[:48]
+    path = str(tmp_path / "docs.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["doc_id", "text", "source"])
+        w.writeheader()
+        w.writerows(rows)
+
+    got = _norm(sequences_from_csv(path).to_pandas())
+    want = _norm(sequences_table_from_documents(SF).to_pandas()
+                 .query("doc_id in @got.doc_id"))
+    assert list(got.source) == list(want.source)
+    _assert_same_sequences(got, want)
