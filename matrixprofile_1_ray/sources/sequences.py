@@ -1,11 +1,14 @@
 """Sequences-table sources.
 
-Two constructors for the BASELINE.json input_hint table
+Constructors for the BASELINE.json input_hint table
 ``(doc_id: string, tokens: list<int32>, n_tok: int32, source: string)``:
 
 * :func:`sequences_from_documents` — deterministic derivation from the
   driver's ``documents.parquet`` (char code points; oracle-expressible in
   DuckDB, see functions/tokenize.py), used by the correctness gate.
+* :func:`sequences_from_jsonl` / :func:`sequences_from_csv` — the same
+  derivation over JSONL(.gz) / CSV(.gz) documents corpora (sharded
+  directories welcome), byte-identical to the Parquet path.
 * :func:`synthetic_sequences_table` — the FIXTURES.md F1 corpus: seeded
   per-row RNG, log-uniform lengths, Zipf-skewed sources, planted motifs and
   discords; used by kernels-at-scale tests and the bench harness.
@@ -47,6 +50,26 @@ def sequences_from_documents(sf_dir: str):
     return ds.map_batches(tokenize_documents_batch, batch_format="pyarrow")
 
 
+def _project_documents(ds, source_default: str):
+    """Shared projection of a row-oriented documents read (JSONL/CSV) into
+    sequences: missing OR per-row-null ``source`` becomes
+    ``source_default`` (string-typed whatever the reader inferred), then
+    the same tokenization as the Parquet path."""
+    def project(batch: pa.Table) -> pa.Table:
+        if "source" not in batch.column_names:
+            src = pa.array([source_default] * len(batch), pa.string())
+        else:
+            # a file where only SOME rows carry source parses as a column
+            # with nulls; and JSON/CSV may infer a non-string type
+            src = pc.fill_null(batch["source"].cast(pa.string()),
+                               source_default)
+        batch = pa.table({"doc_id": batch["doc_id"],
+                          "text": batch["text"], "source": src})
+        return tokenize_documents_batch(batch)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def sequences_from_jsonl(path, *, source_default: str = "jsonl",
                          arrow_open_stream_args: dict | None = None):
     """Lazy Ray Dataset of sequences from a JSONL corpus (one
@@ -58,50 +81,37 @@ def sequences_from_jsonl(path, *, source_default: str = "jsonl",
     JSON is row-oriented, so unlike Parquet the read cannot prune columns
     or push predicates — the projection happens immediately after parse
     and nothing else of the record survives the first batch hop.  Rows
-    without a ``source`` field get ``source_default``.  Pass
-    ``arrow_open_stream_args={"compression": "gzip"}`` for ``.jsonl.gz``
-    shards."""
+    without a ``source`` field (or with a null one) get
+    ``source_default``.  Pass ``arrow_open_stream_args={"compression":
+    "gzip"}`` for ``.jsonl.gz`` shards."""
     import ray.data
 
     kwargs = {}
     if arrow_open_stream_args:
         kwargs["arrow_open_stream_args"] = arrow_open_stream_args
-    ds = ray.data.read_json(path, **kwargs)
-
-    def project(batch: pa.Table) -> pa.Table:
-        if "source" not in batch.column_names:
-            batch = batch.append_column(
-                "source", pa.array([source_default] * len(batch),
-                                   pa.string()))
-        return tokenize_documents_batch(
-            batch.select(["doc_id", "text", "source"]))
-
-    return ds.map_batches(project, batch_format="pyarrow")
+    return _project_documents(ray.data.read_json(path, **kwargs),
+                              source_default)
 
 
 def sequences_from_csv(path, *, source_default: str = "csv",
                        arrow_open_stream_args: dict | None = None):
     """Lazy Ray Dataset of sequences from a CSV documents corpus
     (``doc_id,text[,source]`` header) — same projection + tokenization as
-    the JSONL and Parquet paths.  CSV cannot prune columns at the read
-    either; pass ``arrow_open_stream_args={"compression": "gzip"}`` for
-    ``.csv.gz`` shards."""
+    the JSONL and Parquet paths.  Column types are PINNED to string: CSV
+    type inference would otherwise turn numeric-looking text (or doc_id)
+    into int64 and break the cross-format contract.  Pass
+    ``arrow_open_stream_args={"compression": "gzip"}`` for ``.csv.gz``
+    shards."""
     import ray.data
+    from pyarrow import csv as pacsv
 
-    kwargs = {}
+    kwargs = {"convert_options": pacsv.ConvertOptions(
+        column_types={"doc_id": pa.string(), "text": pa.string(),
+                      "source": pa.string()})}
     if arrow_open_stream_args:
         kwargs["arrow_open_stream_args"] = arrow_open_stream_args
-    ds = ray.data.read_csv(path, **kwargs)
-
-    def project(batch: pa.Table) -> pa.Table:
-        if "source" not in batch.column_names:
-            batch = batch.append_column(
-                "source", pa.array([source_default] * len(batch),
-                                   pa.string()))
-        return tokenize_documents_batch(
-            batch.select(["doc_id", "text", "source"]))
-
-    return ds.map_batches(project, batch_format="pyarrow")
+    return _project_documents(ray.data.read_csv(path, **kwargs),
+                              source_default)
 
 
 def sequences_table_from_documents(sf_dir: str) -> pa.Table:

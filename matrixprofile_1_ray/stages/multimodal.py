@@ -186,12 +186,14 @@ class ResizeStub:
                 img = decode_ppm(payload)
                 ih, iw = img.shape[:2]      # trust the header, not sidecar
                 nw, nh = _clamp_dims(iw, ih, self.max_w, self.max_h)
-                # degenerate (zero-area) rasters can't resample — metadata
-                # clamp only, payload untouched
                 if (nw, nh) != (iw, ih) and min(ih, iw, nh, nw) > 0:
                     img = resize_nearest(img, nw, nh)
                     return encode_ppm(img), nw, nh
-                return payload, nw, nh
+                # unchanged or degenerate (zero-area, unresampleable)
+                # raster: payload untouched, so the emitted metadata must
+                # be the HEADER's dims — clamping it would contradict the
+                # payload this very stage says to trust
+                return payload, iw, ih
             except Exception:
                 if self.strict:
                     raise       # corrupt payload: surface the codec error

@@ -92,3 +92,29 @@ def test_csv_matches_parquet_sequences(ray_session, tmp_path):
                  .query("doc_id in @got.doc_id"))
     assert list(got.source) == list(want.source)
     _assert_same_sequences(got, want)
+
+
+def test_csv_numeric_looking_text_stays_string(ray_session, tmp_path):
+    """CSV type inference must not turn numeric-looking text/doc_id into
+    int64 — column types are pinned to string."""
+    from matrixprofile_1_ray.sources.sequences import sequences_from_csv
+
+    path = str(tmp_path / "nums.csv")
+    with open(path, "w") as f:
+        f.write("doc_id,text,source\n1,12345,web\n2,67890,web\n")
+    got = _norm(sequences_from_csv(path).to_pandas())
+    assert list(got.doc_id) == ["1", "2"]
+    assert list(got.n_tok) == [5, 5]
+    np.testing.assert_array_equal(np.asarray(got.tokens.iloc[0]),
+                                  [ord(c) for c in "12345"])
+
+
+def test_jsonl_per_row_missing_source_gets_default(ray_session, tmp_path):
+    """A file where only SOME rows carry source: the null rows get
+    source_default, not null."""
+    path = str(tmp_path / "mixed.jsonl")
+    _write_jsonl([{"doc_id": "a", "text": "hello", "source": "web"},
+                  {"doc_id": "b", "text": "world"}], path)
+    got = _norm(sequences_from_jsonl(path, source_default="dflt")
+                .to_pandas())
+    assert list(got.source) == ["web", "dflt"]

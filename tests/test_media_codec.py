@@ -254,3 +254,24 @@ def test_resize_stage_real_resample(ray_session):
     back = decode_ppm(out.payload)
     assert back.shape == (32, 64, 3)
     np.testing.assert_array_equal(back, resize_nearest(img, 64, 32))
+
+
+def test_resize_stage_degenerate_raster_keeps_header_dims(ray_session):
+    """A zero-area netpbm raster can't resample: the payload passes
+    through untouched and the emitted metadata is the HEADER's dims (the
+    stage's own trust rule), never a clamp the payload contradicts."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.multimodal import resize_stage
+
+    media = pa.table({
+        "media_id": pa.array(["z"], pa.string()),
+        "mime": pa.array(["image/x-portable-pixmap"], pa.string()),
+        "payload": pa.array([b"P6\n0 500\n255\n"], pa.binary()),
+        "width": pa.array([0], pa.int32()),
+        "height": pa.array([500], pa.int32()),
+    })
+    out = (resize_stage(ray.data.from_arrow(media), max_w=64, max_h=48)
+           .to_pandas().iloc[0])
+    assert (out.width, out.height) == (0, 500)
+    assert out.payload == b"P6\n0 500\n255\n"
