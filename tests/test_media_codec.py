@@ -275,3 +275,31 @@ def test_resize_stage_degenerate_raster_keeps_header_dims(ray_session):
            .to_pandas().iloc[0])
     assert (out.width, out.height) == (0, 500)
     assert out.payload == b"P6\n0 500\n255\n"
+
+
+def test_bmp_decode_top_down():
+    """Negative biHeight = top-down row order (no flip)."""
+    img = _rand_img(4, 5, seed=13)
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), np.uint8)
+    raster[:, : w * 3] = img[:, :, ::-1].reshape(h, w * 3)  # BGR, top-down
+    data = raster.tobytes()
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(data),
+                         2835, 2835, 0, 0))
+    np.testing.assert_array_equal(decode_bmp(hdr + data), img)
+
+
+def test_bmp_decode_32bit():
+    """32-bit BI_RGB: alpha byte ignored, BGRA -> RGB."""
+    img = _rand_img(3, 3, seed=14)
+    h, w = img.shape[:2]
+    px = np.zeros((h, w, 4), np.uint8)
+    px[:, :, :3] = img[:, :, ::-1]
+    px[:, :, 3] = 255
+    data = px[::-1].tobytes()           # bottom-up, stride = w*4 (aligned)
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(data),
+                         2835, 2835, 0, 0))
+    np.testing.assert_array_equal(decode_bmp(hdr + data), img)
