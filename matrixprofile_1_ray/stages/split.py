@@ -94,6 +94,24 @@ def assign_split(ds, ratios=DEFAULT_RATIOS, key: str = "doc_id",
         batch_format="pyarrow")
 
 
+def hash_sample(ds, rate: float, key: str = "doc_id", seed: int = 1):
+    """Deterministic corpus sampling: keep rows whose keyed hash fraction
+    falls below ``rate``.  Unlike ``Dataset.random_sample`` the selection
+    is stable across runs, cluster sizes and block layouts, and membership
+    is recomputable from the key alone — the property a training-data
+    ablation needs.  Same hash as :func:`assign_split`, so a sample at
+    rate r is a PREFIX property: sample(0.01) is a subset of sample(0.1)
+    at the same seed."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        frac = keyed_hash_fraction(batch[key].cast(pa.string()), seed=seed)
+        return batch.filter(pa.array(frac < rate))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def split_sql(table: str = "documents", key: str = "doc_id",
               ratios=DEFAULT_RATIOS, seed: int = 1) -> str:
     """The DuckDB replay of :func:`assign_split_batch` (value-hash

@@ -95,3 +95,22 @@ def test_gate_entry_matches_oracle(ray_session):
     want = con.execute(e.oracle_sql()["dataset_split"]).df() \
         .sort_values("doc_id").reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_hash_sample_stable_and_nested(ray_session):
+    """Sampling is deterministic and rate-nested: the 1% sample is a
+    subset of the 10% sample at the same seed."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.split import hash_sample
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet") \
+        .select_columns(["doc_id"])
+    small = set(hash_sample(ds, 0.05).to_pandas().doc_id)
+    big = set(hash_sample(ds, 0.5).to_pandas().doc_id)
+    again = set(hash_sample(ds, 0.05).to_pandas().doc_id)
+    assert small == again
+    assert small <= big
+    assert 0 < len(small) < len(big) < 500
+    with pytest.raises(ValueError):
+        hash_sample(ds, 1.5)
