@@ -63,12 +63,29 @@ def test_ratios_hold_in_expectation():
     assert abs(frac.get("test", 0.0) - 0.01) < 0.005
 
 
-def test_custom_ratios_and_empty_key():
-    tbl = pa.table({"doc_id": pa.array(["", "a", "b", "c"], pa.string())})
-    ratios = (("x", 0.5), ("y", 0.5))
-    out = assign_split_batch(tbl, ratios=ratios).to_pandas()
-    assert set(out.split) <= {"x", "y"}
-    assert len(out) == 4
+def test_custom_ratios_empty_and_null_keys_match_sql():
+    """Empty and null keys hash identically in both engines (zero code
+    points), at ratios where a divergence would flip the bucket."""
+    tbl = pa.table({"doc_id": pa.array(["", "a", None, "b"], pa.string())})
+    ratios = (("x", 0.5), ("y", 0.3), ("z", 0.2))
+    got = assign_split_batch(tbl, ratios=ratios).to_pandas()
+    con = duckdb.connect()
+    con.register("docs", tbl)
+    want = con.execute(split_sql(table="docs", ratios=ratios)).df()
+    assert list(got.split) == list(want.split)
+    assert got.split.iloc[0] == got.split.iloc[2]  # '' and NULL agree
+
+
+def test_frac_exactly_one_clamps_to_last_bucket(monkeypatch):
+    """float64 rounds the top ~127 hash values to exactly 1.0; the engine
+    must clamp to the last bucket exactly as the SQL ELSE branch does."""
+    import matrixprofile_1_ray.stages.split as sp
+
+    monkeypatch.setattr(sp, "keyed_hash_fraction",
+                        lambda keys, seed=1: np.array([1.0, 0.0]))
+    out = sp.assign_split_batch(
+        pa.table({"doc_id": pa.array(["hot", "cold"], pa.string())}))
+    assert list(out["split"].to_pylist()) == ["test", "train"]
 
 
 def test_split_stage_over_dataset(ray_session):
