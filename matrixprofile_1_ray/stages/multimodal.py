@@ -76,6 +76,41 @@ def media_from_documents(sf_dir: str, n: int = 64) -> pa.Table:
     })
 
 
+def ascii_ppm_media_from_documents(sf_dir: str, n: int = 64,
+                                   w: int = 8, h: int = 8) -> pa.Table:
+    """Media corpus whose payloads are REAL PPM images the oracle can
+    replay: the first ``n`` lexicographic ASCII-only docs (the ASCII
+    guard — every code point < 128 — is bit-identical to DuckDB's
+    ``length(text) = octet_length(text::BLOB)``), raster = the text's
+    first ``w*h*3`` bytes zero-padded.  Runs the REAL netpbm decode +
+    grid-luminance featurization downstream, every step of which is pure
+    integer/IEEE arithmetic a SQL engine reproduces exactly."""
+    from ..sources.sequences import iter_docs_lex
+
+    need = w * h * 3
+    ids, payloads = [], []
+    for chunk in iter_docs_lex(sf_dir, ("doc_id", "text")):
+        for doc, text in zip(chunk["doc_id"].to_pylist(),
+                             chunk["text"].to_pylist()):
+            if text is None or any(ord(c) >= 128 for c in text):
+                continue
+            raster = text.encode()[:need].ljust(need, b"\0")
+            ids.append(doc)
+            payloads.append(b"P6\n%d %d\n255\n" % (w, h) + raster)
+            if len(ids) == n:
+                break
+        if len(ids) == n:
+            break
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "mime": pa.array(["image/x-portable-pixmap"] * len(ids),
+                         pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(np.full(len(ids), w, np.int32)),
+        "height": pa.array(np.full(len(ids), h, np.int32)),
+    })
+
+
 class DecodeStub:
     """Actor-pool decode stage.  Self-contained formats (PPM/PGM/BMP/WAV)
     are REALLY decoded and featurized — grid luminance means for images,

@@ -303,3 +303,26 @@ def test_bmp_decode_32bit():
            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(data),
                          2835, 2835, 0, 0))
     np.testing.assert_array_equal(decode_bmp(hdr + data), img)
+
+
+def test_real_decode_gate_entry_matches_oracle(ray_session):
+    """media_real_features: the REAL netpbm decode + grid-luminance
+    featurization hash-matches its DuckDB replay bit-exactly (no
+    rounding) — the oracle for the real image path, parked past the
+    driver's 50-entry window like dataset_split."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["media_real_features"](sf).to_pandas() \
+        .sort_values(["media_id", "dim"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(e.oracle_sql()["media_real_features"]).df() \
+        .sort_values(["media_id", "dim"]).reset_index(drop=True)
+    assert len(got) == 64 * 16
+    assert list(got.media_id) == list(want.media_id)
+    np.testing.assert_array_equal(got.feature.to_numpy(),
+                                  want.feature.to_numpy())  # bit-exact
