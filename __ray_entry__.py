@@ -745,6 +745,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return feats.map_batches(explode, batch_format="pyarrow")
 
+    def media_wav_features_query(sf_dir: str):
+        """REAL audio decode path with a SQL oracle: PCM WAV payloads
+        from ASCII doc text through the actual RIFF-chunk decode +
+        segment-RMS featurization.  Each sample is k/32768 (exact
+        dyadic), squares and 8-term sums stay exact in float64, so the
+        whole chain is order-independent EXACT and the compare needs no
+        rounding."""
+        import pyarrow as pa
+        import ray.data
+
+        from matrixprofile_1_ray.functions.tokenize import (
+            list_column_to_numpy,
+        )
+        from matrixprofile_1_ray.stages.multimodal import (
+            ascii_wav_media_from_documents,
+        )
+
+        media = ray.data.from_arrow(
+            ascii_wav_media_from_documents(sf_dir, n=64))
+        feats = media_features_stage(media, feature_dim=8)
+
+        def explode(batch):
+            values, offsets = list_column_to_numpy(batch["features"])
+            lengths = np.diff(offsets)
+            rows = np.repeat(np.arange(len(batch)), lengths)
+            dims = np.arange(len(values)) - np.repeat(offsets[:-1], lengths)
+            return pa.table({
+                "media_id": batch["media_id"].take(pa.array(rows, pa.int64())),
+                "dim": pa.array(dims, pa.int64()),
+                "feature": pa.array(values.astype("d"), pa.float64()),
+            })
+
+        return feats.map_batches(explode, batch_format="pyarrow")
+
     def user_sessions_query(sf_dir: str):
         import ray.data
 
@@ -1065,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tools/gate_check.py and their pytest suites verify them instead.
         "dataset_split": dataset_split_query,
         "media_real_features": media_real_features_query,
+        "media_wav_features": media_wav_features_query,
     }
     # The driver verifies only the FIRST 50 dict entries against
     # ``oracle_sql()``.  Reorder so every oracle-backed key (50) leads and
@@ -1094,6 +1129,35 @@ def _dataset_split_sql() -> str:
     from matrixprofile_1_ray.stages.split import split_sql
 
     return split_sql()
+
+
+def _media_wav_features_sql() -> str:
+    """DuckDB replay of the REAL WAV decode + segment-RMS features over
+    the ASCII-WAV media corpus.  Sample s is the little-endian int16 of
+    text bytes (2s, 2s+1) zero-padded, scaled by 1/32768 — an exact
+    dyadic, so squares and the 8-term segment sums are EXACT in float64
+    whatever the summation order, and sqrt is correctly rounded in both
+    engines: plain sum() is bit-safe here (unlike the image oracle's
+    order-pinned cell sums)."""
+    byte = ("(CASE WHEN {k} < length(text) "
+            "THEN unicode(substr(text, {k} + 1, 1)) ELSE 0 END)")
+    k = (f"({byte.format(k='2 * s.s')} "
+         f"+ 256 * {byte.format(k='2 * s.s + 1')})")
+    x = f"(CASE WHEN {k} >= 32768 THEN {k} - 65536 ELSE {k} END) / 32768.0"
+    return f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, text
+  FROM documents
+  WHERE length(text) = octet_length(CAST(text AS BLOB))
+  ORDER BY CAST(doc_id AS VARCHAR)
+  LIMIT 64
+), sm AS (
+  SELECT media_id, s.s // 8 AS dim, {x} AS x
+  FROM docs, range(64) s(s)
+)
+SELECT media_id, dim, sqrt(sum(x * x) / 8.0) AS feature
+FROM sm GROUP BY media_id, dim
+"""
 
 
 def _media_real_features_sql() -> str:
@@ -2374,4 +2438,5 @@ GROUP BY seq.source
         # comment.
         "dataset_split": _dataset_split_sql(),
         "media_real_features": _media_real_features_sql(),
+        "media_wav_features": _media_wav_features_sql(),
     }

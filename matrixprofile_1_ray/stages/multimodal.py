@@ -111,6 +111,46 @@ def ascii_ppm_media_from_documents(sf_dir: str, n: int = 64,
     })
 
 
+def ascii_wav_media_from_documents(sf_dir: str, n: int = 64,
+                                   n_samples: int = 64) -> pa.Table:
+    """Media corpus whose payloads are REAL PCM WAVs the oracle can
+    replay: same ASCII doc slice as :func:`ascii_ppm_media_from_documents`,
+    PCM data = the text's first ``2 * n_samples`` bytes zero-padded
+    (little-endian int16).  Every decoded sample is k/32768 with |k| <=
+    32768 — an exact dyadic — so the downstream RMS featurization is
+    EXACT arithmetic end-to-end (order-independent sums), bit-identical
+    in SQL."""
+    import struct
+
+    from ..sources.sequences import iter_docs_lex
+
+    need = 2 * n_samples
+    ids, payloads = [], []
+    for chunk in iter_docs_lex(sf_dir, ("doc_id", "text")):
+        for doc, text in zip(chunk["doc_id"].to_pylist(),
+                             chunk["text"].to_pylist()):
+            if text is None or any(ord(c) >= 128 for c in text):
+                continue
+            data = text.encode()[:need].ljust(need, b"\0")
+            hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                   + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                           16000, 2, 16)
+                   + b"data" + struct.pack("<I", len(data)))
+            ids.append(doc)
+            payloads.append(hdr + data)
+            if len(ids) == n:
+                break
+        if len(ids) == n:
+            break
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "mime": pa.array(["audio/wav"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(np.zeros(len(ids), np.int32)),
+        "height": pa.array(np.zeros(len(ids), np.int32)),
+    })
+
+
 class DecodeStub:
     """Actor-pool decode stage.  Self-contained formats (PPM/PGM/BMP/WAV)
     are REALLY decoded and featurized — grid luminance means for images,

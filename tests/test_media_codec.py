@@ -326,3 +326,25 @@ def test_real_decode_gate_entry_matches_oracle(ray_session):
     assert list(got.media_id) == list(want.media_id)
     np.testing.assert_array_equal(got.feature.to_numpy(),
                                   want.feature.to_numpy())  # bit-exact
+
+
+def test_real_wav_gate_entry_matches_oracle(ray_session):
+    """media_wav_features: the REAL WAV decode + segment-RMS features
+    hash-match their DuckDB replay bit-exactly (samples are exact
+    dyadics, so sums are order-independent exact)."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = e.queries()["media_wav_features"](sf).to_pandas() \
+        .sort_values(["media_id", "dim"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute(e.oracle_sql()["media_wav_features"]).df() \
+        .sort_values(["media_id", "dim"]).reset_index(drop=True)
+    assert len(got) == 64 * 8
+    assert list(got.media_id) == list(want.media_id)
+    np.testing.assert_array_equal(got.feature.to_numpy(),
+                                  want.feature.to_numpy())  # bit-exact
