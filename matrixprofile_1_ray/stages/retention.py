@@ -15,15 +15,18 @@ caller-supplied watermark ``now_sec`` (ingest time at 10^12-sequence
 scale; the max series length in tests).
 
 **Horizons are coarse-aligned.**  A tier's raw policy horizon is floored
-to the next-coarser tier's bucket boundary before it is used — by expiry
-AND by serving, through the same :func:`aligned_horizons`.  That single
-rule is what makes stitched reads exact: every seam between two tiers
-falls on a coarse-bucket edge, so no coarse bucket straddles into the
-finer tier's range, each wall-clock instant is aggregated by exactly one
-served bucket, and ``SUM(t_sum)`` over a stitched result equals the raw
-total (pinned by tests/test_retention.py).  It requires each coarser
-tier's width to be a multiple of the next finer one's — validated at
-write time.
+to the bucket boundary of the tier that actually SERVES below it (the
+first coarser tier retained past the seam — not merely the next width in
+the ladder, which the stitch skips when a finer tier outlives a coarser
+one; a tier with nothing retained below it floors to its own width) —
+by expiry AND by serving, through the same :func:`aligned_horizons`.
+That single rule is what makes stitched reads exact: every seam between
+two tiers falls on the serving tier's bucket edge, so no served bucket
+straddles into the finer tier's range, each wall-clock instant is
+aggregated by exactly one served bucket, and ``SUM(t_sum)`` over a
+stitched result equals the raw total (pinned by
+tests/test_retention.py).  It requires each coarser tier's width to be a
+multiple of the next finer one's — validated at write time.
 
 Scale design — why the store is partitioned by ``kind/tier/epoch``:
 
@@ -49,7 +52,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pyarrow as pa
 
-from ..io.fsutil import guarded_clean_dir
+from ..io.fsutil import fs_and_path, guarded_clean_dir
 from .rollup import TIERS as DEFAULT_TIERS
 
 _META_NAME = "_store_meta.json"
@@ -83,26 +86,57 @@ def tier_order_of(widths: dict) -> list:
 
 def aligned_horizons(policy: RetentionPolicy, now_sec: float,
                      widths: dict) -> dict:
-    """tier -> oldest instant the tier retains/serves, with every horizon
-    except the coarsest tier's floored to the NEXT COARSER tier's bucket
-    boundary.  Shared by expiry and serving so they can never disagree:
-    the finer tier keeps (and serves) down to exactly where the coarser
-    tier's last whole bucket ends."""
+    """tier -> oldest instant the tier retains/serves, each finite
+    horizon floored to the bucket boundary of the tier that will ACTUALLY
+    serve below it.  Shared by expiry and serving so they can never
+    disagree: the finer tier keeps (and serves) down to exactly where the
+    serving coarser tier's last whole bucket ends.
+
+    Walking coarse -> fine: the serving tier below a seam is the first
+    coarser tier whose own (already-aligned) horizon reaches at/below the
+    candidate seam — NOT simply the next tier in the width ladder, which
+    the stitch plan skips whenever a finer tier is retained longer than a
+    coarser one (that skip used to misalign the seam and double-count the
+    straddling bucket).  A tier with nothing retaining below it — the
+    coarsest, or any tier whose coarser neighbors all expire sooner —
+    floors to its OWN width, so the straddling bucket the expiry pass
+    keeps is actually served instead of being clipped away."""
     order = tier_order_of(widths)
     out = {}
-    for i, tier in enumerate(order):
+    for i in range(len(order) - 1, -1, -1):
+        tier = order[i]
         h = policy.horizon(tier, now_sec)
-        if h is not None and i + 1 < len(order):
-            coarser_sec = widths[order[i + 1]]
-            h = math.floor(h / coarser_sec) * coarser_sec
-        out[tier] = h
+        if h is None:
+            out[tier] = None
+            continue
+        aligned = None
+        for j in range(i + 1, len(order)):
+            w_j = widths[order[j]]
+            cand = math.floor(h / w_j) * w_j
+            below = out[order[j]]
+            # strict: a tier whose horizon lands EXACTLY on the candidate
+            # seam retains nothing below it, so the stitch skips it and
+            # some coarser tier serves there instead
+            if below is None or below < cand:
+                aligned = cand
+                break
+        if aligned is None:
+            # Every coarser tier's horizon sits at/above its candidate
+            # seam.  Floor to our own width — but a coarser tier can
+            # still retain BELOW that floor (horizon in [cand, floor)),
+            # and it would then serve under the seam with misaligned
+            # buckets.  The seam must drop to that tier's own (already
+            # aligned) horizon: the only multiple of its width left
+            # at/below h, and aligned by construction to whatever serves
+            # beneath IT.
+            aligned = math.floor(h / widths[tier]) * widths[tier]
+            for j in range(i + 1, len(order)):
+                below = out[order[j]]   # never None here (None matches
+                if below < aligned:     # the main loop above)
+                    aligned = below
+                    break
+        out[tier] = aligned
     return out
-
-
-def _fs_and_path(path: str):
-    from ..io.fsutil import fs_and_path
-
-    return fs_and_path(path)
 
 
 def _epoch_of(tier_names, buckets: np.ndarray, widths: dict,
@@ -160,14 +194,14 @@ def write_tiered_store(sf_dir: str, store_dir: str, w: int = 32,
     unified.write_parquet(store_dir, partition_cols=["kind", "tier", "epoch"])
 
     meta = {"epoch_sec": int(epoch_sec), "w": int(w), "tiers": widths}
-    filesystem, rel = _fs_and_path(store_dir)
+    filesystem, rel = fs_and_path(store_dir)
     with filesystem.open_output_stream(f"{rel}/{_META_NAME}") as f:
         f.write(json.dumps(meta).encode())
     return meta
 
 
 def store_meta(store_dir: str) -> dict:
-    filesystem, rel = _fs_and_path(store_dir)
+    filesystem, rel = fs_and_path(store_dir)
     with filesystem.open_input_stream(f"{rel}/{_META_NAME}") as f:
         return json.loads(f.read().decode())
 
@@ -176,7 +210,7 @@ def _list_epoch_dirs(store_dir: str):
     """Yield (kind, tier, epoch, relative_dir) for every leaf partition."""
     from pyarrow import fs as pafs
 
-    filesystem, rel = _fs_and_path(store_dir)
+    filesystem, rel = fs_and_path(store_dir)
     for kind_info in filesystem.get_file_info(pafs.FileSelector(rel)):
         kname = kind_info.base_name
         if kind_info.type != pafs.FileType.Directory or \
@@ -236,28 +270,62 @@ def apply_retention(store_dir: str, now_sec: float,
     directory-level: no row is read or rewritten.
     Idempotent — a re-run after a crash deletes nothing new and appends a
     fresh log record, so the ``_retention_log.jsonl`` audit trail shows
-    every pass.  Returns ``{"deleted": [...], "kept": n}``.
+    every pass.  Concurrent passes are safe: on a local store the whole
+    pass (deletes + log append) runs under an ``flock`` next to the log,
+    and an epoch a racing pass already removed counts as deleted-by-other
+    instead of aborting this pass.  Returns ``{"deleted": [...],
+    "kept": n}``.
     """
+    import contextlib
+
+    from pyarrow import fs as pafs
+
     policy = policy or RetentionPolicy()
     meta = store_meta(store_dir)
     epoch_sec, widths = meta["epoch_sec"], meta["tiers"]
     horizons = aligned_horizons(policy, now_sec, widths)
-    filesystem, rel = _fs_and_path(store_dir)
+    filesystem, rel = fs_and_path(store_dir)
 
-    deleted, kept = [], 0
-    for kind, tier, epoch, path in _list_epoch_dirs(store_dir):
-        horizon = horizons.get(tier)
-        tier_sec = widths[tier]
-        data_end = math.ceil((epoch + 1) * epoch_sec / tier_sec) * tier_sec
-        if horizon is not None and data_end <= horizon:
-            filesystem.delete_dir(path)
-            deleted.append({"kind": kind, "tier": tier, "epoch": epoch})
-        else:
-            kept += 1
+    @contextlib.contextmanager
+    def pass_mutex():
+        # flock is kernel-released on holder death (no stale state); on
+        # non-local stores this degrades to the tolerate-missing deletes
+        if not isinstance(filesystem, pafs.LocalFileSystem):
+            yield
+            return
+        import fcntl
 
-    record = {"now_sec": now_sec, "deleted": deleted, "kept": kept,
-              "policy": {k: v for k, v in policy.max_age.items()}}
-    _append_log(filesystem, f"{rel}/{_LOG_NAME}", record)
+        fd = os.open(f"{rel}/.retention_lock", os.O_CREAT | os.O_WRONLY,
+                     0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+            except OSError:
+                pass
+            os.close(fd)
+
+    with pass_mutex():
+        deleted, kept = [], 0
+        for kind, tier, epoch, path in _list_epoch_dirs(store_dir):
+            horizon = horizons.get(tier)
+            tier_sec = widths[tier]
+            data_end = math.ceil(
+                (epoch + 1) * epoch_sec / tier_sec) * tier_sec
+            if horizon is not None and data_end <= horizon:
+                try:
+                    filesystem.delete_dir(path)
+                except FileNotFoundError:
+                    pass    # a concurrent pass got there first
+                deleted.append({"kind": kind, "tier": tier, "epoch": epoch})
+            else:
+                kept += 1
+
+        record = {"now_sec": now_sec, "deleted": deleted, "kept": kept,
+                  "policy": {k: v for k, v in policy.max_age.items()}}
+        _append_log(filesystem, f"{rel}/{_LOG_NAME}", record)
     return record
 
 
@@ -284,8 +352,9 @@ def _read_tier_range(store_dir: str, kind: str, tier: str, lo: float,
         file_extensions=["parquet"])
 
     def clip(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return batch
+        # no zero-row early return: an empty batch must still go through
+        # the column rewrite below or its block keeps hive-typed
+        # kind/tier/epoch columns and lacks bucket_start (schema drift)
         start = pc.multiply(batch["bucket"], tier_sec)
         mask = pc.and_(pc.greater_equal(start, int(lo)),
                        pc.less(start, int(hi)))
@@ -354,8 +423,11 @@ def tiered_read(store_dir: str, kind: str, now_sec: float,
         _read_tier_range(store_dir, kind, tier, lo, hi, widths, epoch_sec)
         for tier, lo, hi in stitch_plan(policy, now_sec, t_lo, t_hi, widths)]
     if not parts:
+        if t_hi <= t_lo:
+            raise ValueError(
+                f"empty range: t_lo={t_lo} must be < t_hi={t_hi}")
         raise ValueError("requested range is entirely past every tier's "
-                         "retention horizon")
+                         "retention horizon (or entirely after now_sec)")
     ds = parts[0]
     for p in parts[1:]:
         ds = ds.union(p)
@@ -371,11 +443,17 @@ def downsample_read(store_dir: str, kind: str, t_lo: float, t_hi: float,
     a post-retention read falls back to a coarser tier that still holds
     the whole range instead of silently serving a truncated suffix.  One
     pruned read, no stitching."""
+    if (policy is None) != (now_sec is None):
+        raise ValueError(
+            "pass BOTH now_sec and policy (or neither): with only one, "
+            "retention would be silently ignored and a post-retention "
+            "read would serve exactly the truncated suffix this guard "
+            "exists to prevent")
     meta = store_meta(store_dir)
     epoch_sec, widths = meta["epoch_sec"], meta["tiers"]
     order = tier_order_of(widths)
     horizons = (aligned_horizons(policy, now_sec, widths)
-                if policy is not None and now_sec is not None
+                if policy is not None
                 else {t: None for t in order})
 
     candidates = [t for t in order

@@ -109,6 +109,35 @@ def test_stitched_sums_count_every_instant_once(store):
     assert got == {str(i): n for i, n in enumerate(DOC_LENGTHS)}
 
 
+def test_stitch_fallback_seam_drops_to_coarser_horizon(store):
+    """Pathological ladder: every coarser tier's horizon lands EXACTLY on
+    its candidate seam (so the main alignment loop skips them all), yet
+    the 10m tier still retains below 1m's own-width floor (10980).  The
+    seam must drop to the coarser tier's own horizon (10800) — flooring
+    to 1m's own width would let the 10m bucket [10800, 11400) straddle
+    the seam and double-count [10980, 11400)."""
+    from matrixprofile_1_ray.stages.retention import (
+        RetentionPolicy,
+        aligned_horizons,
+        tiered_read,
+    )
+
+    path, _ = store
+    pol = RetentionPolicy({"1m": 8000, "10m": 7000, "1h": 8200})
+    # raw horizons: 1m 11000, 10m 12000, 1h 10800 (own floor).  10m's
+    # candidate on the 1h grid is 10800 == 1h's horizon -> skip -> own
+    # floor 12000, but 1h retains below it -> 10800.  1m's candidates on
+    # the 10m/1h grids are both 10800 == those horizons -> skip -> own
+    # floor 10980, but 10m retains below it -> 10800.
+    assert aligned_horizons(pol, NOW, WIDTHS) == \
+        {"1m": 10800, "10m": 10800, "1h": 10800}
+    df = tiered_read(path, "token", NOW, pol, t_lo=0, t_hi=NOW).to_pandas()
+    assert set(df["tier"]) == {"1m"}          # nothing serves below 10800
+    got = df.groupby("doc_id")["t_count"].sum().to_dict()
+    assert got == {str(i): max(0, n - 10800)
+                   for i, n in enumerate(DOC_LENGTHS)}
+
+
 def test_tiered_read_values_match_rollup_batch(store, corpus):
     from matrixprofile_1_ray.sources.sequences import (
         sequences_table_from_documents,
@@ -240,10 +269,12 @@ def test_stitch_plan_properties():
         for (t1, lo1, hi1), (t2, lo2, hi2) in zip(plan, plan[1:]):
             assert order.index(t2) > order.index(t1)
             assert hi2 == lo1
-            if lo1 != lo:  # horizon-induced seam: aligned to the tier
-                # immediately coarser than t1 (t2 if none were skipped)
-                coarser = widths[order[order.index(t1) + 1]]
-                assert lo1 % coarser == 0
+            if lo1 != lo:
+                # horizon-induced seam: t2 is the tier that ACTUALLY
+                # serves below it (skips included), so the seam must
+                # fall on t2's bucket edge — that is the whole
+                # straddle-free guarantee
+                assert lo1 % widths[t2] == 0
         if plan:
             assert plan[0][2] == hi
             t_last, lo_last, _ = plan[-1]
