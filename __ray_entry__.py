@@ -516,26 +516,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sequences_pipeline(sf_dir, verify_codec=False).map_batches(
             both, batch_format="pyarrow")
 
-    def tiered_retention_query(sf_dir: str):
-        """Build the kind/tier/epoch store on a 1m/5m ladder, expire the
-        fine tier past its (coarse-aligned) horizon, then serve [0, 600)
-        stitched exactly: [300, 600) from 1m, [0, 300) from the
-        keep-forever 5m tier (stages/retention.py).  The store dir is
-        keyed by the corpus fingerprint and built once under the same
-        cross-process mutex the IVF cache uses."""
+    _RETENTION_COLS = ["doc_id", "source", "tier", "bucket", "t_min",
+                       "t_max", "t_sum", "t_count", "t_mean", "bucket_start"]
+
+    def _retention_store(sf_dir: str):
+        """Build (once, mutex-guarded) the kind/tier/epoch store on a
+        1m/5m ladder, expired at now=600 under {1m: 240s, 5m: forever}.
+        The store dir is keyed by the corpus fingerprint and built under
+        the same cross-process mutex the IVF cache uses."""
         import hashlib
 
         from matrixprofile_1_ray.stages.ann import _locked_build
         from matrixprofile_1_ray.stages.retention import (
             RetentionPolicy,
             apply_retention,
-            tiered_read,
             write_tiered_store,
         )
         from matrixprofile_1_ray.state.manifest import file_fingerprint
 
         ident = file_fingerprint(f"{sf_dir}/documents.parquet")
-        tag = hashlib.sha1(f"{sf_dir}|{ident}|v2".encode()).hexdigest()[:10]
+        tag = hashlib.sha1(f"{sf_dir}|{ident}|v3".encode()).hexdigest()[:10]
         store = f"/tmp/tiered_store_{tag}"
         pol = RetentionPolicy({"1m": 240, "5m": None})
 
@@ -547,7 +547,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _locked_build(
             store, lambda: not os.path.exists(f"{store}/_retention_log.jsonl"),
             build)
-        return tiered_read(store, "token", 600, pol, t_lo=0, t_hi=600)
+        return store, pol
+
+    def tiered_retention_query(sf_dir: str):
+        """Serve [0, 600) from the expired store, stitched exactly:
+        [300, 600) from 1m (its horizon 600-240=360 floored to the 5m
+        serving grid -> 300), [0, 300) from the keep-forever 5m tier
+        (stages/retention.py).  The all-null mp columns of the unified
+        store schema are projected away so the oracle compares the token
+        rollup values the stitch actually serves."""
+        from matrixprofile_1_ray.stages.retention import tiered_read
+
+        store, pol = _retention_store(sf_dir)
+        return tiered_read(store, "token", 600, pol, t_lo=0,
+                           t_hi=600).select_columns(_RETENTION_COLS)
+
+    def downsample_serve_query(sf_dir: str):
+        """Retention-aware downsample over the same store: 1m is not a
+        candidate (its aligned horizon 300 > t_lo 0), and 5m's 2 points
+        fit max_points=5, so the whole [0, 600) range serves from the 5m
+        tier in one pruned read (stages/retention.py:downsample_read)."""
+        from matrixprofile_1_ray.stages.retention import downsample_read
+
+        store, pol = _retention_store(sf_dir)
+        return downsample_read(store, "token", 0, 600, max_points=5,
+                               now_sec=600,
+                               policy=pol).select_columns(_RETENTION_COLS)
 
     def pmp_discords_small_query(sf_dir: str):
         """Greedy top-2 PMP discords per bounded-slice doc through the
@@ -1088,11 +1113,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prev_event_asof": asof_query,
         "open_order_lines_semi": semi_join_query,
         # retention engine: epoch-partitioned tiered store -> expiry ->
-        # stitched tier serving (north rule "downsample + retention";
-        # value-verified against the oracle-green rollups in
-        # tests/test_retention.py — the store build itself is not
-        # SQL-replayable, so this entry is rows-only)
+        # stitched tier serving / retention-aware downsample (north rule
+        # "downsample + retention").  Both oracle-backed: the fixed
+        # policy makes every seam a compile-time constant, so DuckDB
+        # replays the stitch as bucket-range-restricted rollups.
         "tiered_retention_read": tiered_retention_query,
+        "downsample_serve": downsample_serve_query,
         # oracle-backed but parked at dict positions 51+, PAST the
         # driver's 50-entry check window by design: evicting one of the
         # 50 established green rows for them would trade green for green.
@@ -1129,6 +1155,51 @@ def _dataset_split_sql() -> str:
     from matrixprofile_1_ray.stages.split import split_sql
 
     return split_sql()
+
+
+def _tier_rollup_cte(name: str, tier: str, width: int) -> str:
+    """One tier's rollup as a CTE body (same aggregate expressions as
+    _rollup_sql, so a hash match here inherits that oracle's bit-exact
+    float parity)."""
+    return f"""{name} AS (
+  SELECT doc_id, source, '{tier}' AS tier, idx // {width} AS bucket,
+         CAST(min(tok) AS DOUBLE) AS t_min,
+         CAST(max(tok) AS DOUBLE) AS t_max,
+         CAST(sum(tok) AS DOUBLE) AS t_sum,
+         count(*) AS t_count,
+         CAST(sum(tok) AS DOUBLE) / count(*) AS t_mean
+  FROM ex GROUP BY doc_id, source, bucket
+)"""
+
+
+def _tiered_retention_sql() -> str:
+    """DuckDB replay of the stitched post-retention read.  The gate
+    query's policy is fixed ({1m: 240s, 5m: forever}, now=600, serve
+    [0, 600)), so the seam is a hand-derived constant: 1m's raw horizon
+    is 600-240 = 360, floored to the serving 5m tier's bucket grid ->
+    300.  The engine must therefore serve 1m buckets with start in
+    [300, 600) and 5m buckets with start in [0, 300) — any straddle,
+    double-count, gap, or expiry overreach breaks the value hash."""
+    return _SEQ_CTE + f"""
+, {_tier_rollup_cte('r1m', '1m', 60)}
+, {_tier_rollup_cte('r5m', '5m', 300)}
+SELECT *, bucket * 60 AS bucket_start FROM r1m
+WHERE bucket * 60 >= 300 AND bucket * 60 < 600
+UNION ALL
+SELECT *, bucket * 300 AS bucket_start FROM r5m
+WHERE bucket * 300 >= 0 AND bucket * 300 < 300
+"""
+
+
+def _downsample_serve_sql() -> str:
+    """DuckDB replay of the retention-aware downsample: with 1m expired
+    below 300 it cannot serve t_lo=0, and 5m's ceil(600/300)=2 points fit
+    max_points=5, so the whole [0, 600) range is exactly the 5m rollup."""
+    return _SEQ_CTE + f"""
+, {_tier_rollup_cte('r5m', '5m', 300)}
+SELECT *, bucket * 300 AS bucket_start FROM r5m
+WHERE bucket * 300 >= 0 AND bucket * 300 < 600
+"""
 
 
 def _media_wav_features_sql() -> str:
@@ -2439,4 +2510,6 @@ GROUP BY seq.source
         "dataset_split": _dataset_split_sql(),
         "media_real_features": _media_real_features_sql(),
         "media_wav_features": _media_wav_features_sql(),
+        "tiered_retention_read": _tiered_retention_sql(),
+        "downsample_serve": _downsample_serve_sql(),
     }
