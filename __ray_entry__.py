@@ -56,6 +56,25 @@ def _list_col_min(col):
     return mins, nz
 
 
+def _explode_features(batch):
+    """Features list column -> (media_id, dim, feature) rows, fully
+    vectorized (shared by all three media gate queries so their oracles
+    can never disagree on the exploded row layout)."""
+    import pyarrow as pa
+
+    from matrixprofile_1_ray.functions.tokenize import list_column_to_numpy
+
+    values, offsets = list_column_to_numpy(batch["features"])
+    lengths = np.diff(offsets)
+    rows = np.repeat(np.arange(len(batch)), lengths)
+    dims = np.arange(len(values)) - np.repeat(offsets[:-1], lengths)
+    return pa.table({
+        "media_id": batch["media_id"].take(pa.array(rows, pa.int64())),
+        "dim": pa.array(dims, pa.int64()),
+        "feature": pa.array(values.astype("d"), pa.float64()),
+    })
+
+
 def _query_head_embeddings(sf_dir: str, n: int) -> np.ndarray:
     """First ``n`` query vectors without materializing the embeddings
     table on the driver: stream only the ``embedding`` column and stop at
@@ -67,15 +86,27 @@ def _query_head_embeddings(sf_dir: str, n: int) -> np.ndarray:
                      for v in head["embedding"].to_pylist()])
 
 
+def _tier_rollup_cte(name: str, tier: str, width: int) -> str:
+    """One tier's token rollup as a CTE body.  The SINGLE definition of
+    the rollup aggregate expressions on the oracle side — _rollup_sql and
+    the retention-serving oracles all build from it, so the bit-exact
+    float-parity contract (CAST-to-DOUBLE before the mean division)
+    cannot desynchronize between them."""
+    return f"""{name} AS (
+  SELECT doc_id, source, '{tier}' AS tier, idx // {width} AS bucket,
+         CAST(min(tok) AS DOUBLE) AS t_min,
+         CAST(max(tok) AS DOUBLE) AS t_max,
+         CAST(sum(tok) AS DOUBLE) AS t_sum,
+         count(*) AS t_count,
+         CAST(sum(tok) AS DOUBLE) / count(*) AS t_mean
+  FROM ex GROUP BY doc_id, source, bucket
+)"""
+
+
 def _rollup_sql(tier: str, bucket: int) -> str:
     return _SEQ_CTE + f"""
-SELECT doc_id, source, '{tier}' AS tier, idx // {bucket} AS bucket,
-       CAST(min(tok) AS DOUBLE) AS t_min,
-       CAST(max(tok) AS DOUBLE) AS t_max,
-       CAST(sum(tok) AS DOUBLE) AS t_sum,
-       count(*) AS t_count,
-       CAST(sum(tok) AS DOUBLE) / count(*) AS t_mean
-FROM ex GROUP BY doc_id, source, bucket
+, {_tier_rollup_cte('r', tier, bucket)}
+SELECT * FROM r
 """
 
 
@@ -102,7 +133,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         mp_rollup_pipeline,
         profiles_pipeline,
         sequences_pipeline,
-        token_rollup_pipeline,
     )
     from matrixprofile_1_ray.stages.ann import brute_force_topk, ivf_topk
     from matrixprofile_1_ray.stages.dedup import exact_dedup, simhash_batch
@@ -156,7 +186,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def ann_query(sf_dir: str):
         queries_mat = _query_head_embeddings(sf_dir, 8)
-        import ray.data
 
         ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                    columns=["vec_id", "embedding"])
@@ -165,7 +194,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_round_score, batch_format="pandas")
 
     def ann_ivf_query(sf_dir: str):
-        import ray.data
 
         from matrixprofile_1_ray.stages.ann import ivf_index_ident
 
@@ -187,7 +215,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         the persisted-index scan + rerank + refine path must reproduce the
         brute-force answer exactly — which DuckDB can check.  (Partial
         probing stays rows-only: centroid assignment is k-means-derived.)"""
-        import ray.data
 
         from matrixprofile_1_ray.stages.ann import ivf_index_ident
 
@@ -305,7 +332,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pandas as pd
         import pyarrow as pa
         import pyarrow.compute as pc
-        import ray.data
 
         from matrixprofile_1_ray.functions.tokenize import list_column_to_numpy
         from matrixprofile_1_ray.stages.dedup import embedding_near_dup
@@ -340,7 +366,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def events_rollup(sf_dir: str):
         import pandas as pd
-        import ray.data
 
         ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                    columns=["event_type", "ts", "value"])
@@ -525,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         The store dir is keyed by the corpus fingerprint and built under
         the same cross-process mutex the IVF cache uses."""
         import hashlib
+        import json
 
         from matrixprofile_1_ray.stages.ann import _locked_build
         from matrixprofile_1_ray.stages.retention import (
@@ -534,15 +560,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         from matrixprofile_1_ray.state.manifest import file_fingerprint
 
+        # every build parameter is part of the cache key, so editing any
+        # of them below can never silently serve a /tmp store built with
+        # the OLD parameters (no hand-bumped version literal to forget)
+        params = {"tiers": {"1m": 60, "5m": 300}, "epoch_sec": 60, "w": 32,
+                  "ages": {"1m": 240, "5m": None}, "now": 600}
         ident = file_fingerprint(f"{sf_dir}/documents.parquet")
-        tag = hashlib.sha1(f"{sf_dir}|{ident}|v3".encode()).hexdigest()[:10]
+        tag = hashlib.sha1(f"{sf_dir}|{ident}|"
+                           f"{json.dumps(params, sort_keys=True)}"
+                           .encode()).hexdigest()[:10]
         store = f"/tmp/tiered_store_{tag}"
-        pol = RetentionPolicy({"1m": 240, "5m": None})
+        pol = RetentionPolicy(params["ages"])
 
         def build():
-            write_tiered_store(sf_dir, store, w=32,
-                               tiers={"1m": 60, "5m": 300}, epoch_sec=60)
-            apply_retention(store, 600, pol)
+            write_tiered_store(sf_dir, store, w=params["w"],
+                               tiers=params["tiers"],
+                               epoch_sec=params["epoch_sec"])
+            apply_retention(store, params["now"], pol)
 
         _locked_build(
             store, lambda: not os.path.exists(f"{store}/_retention_log.jsonl"),
@@ -714,27 +748,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Media decode plumbing over documents-derived opaque payloads;
         the deterministic sha256 fake features are recomputed by a DuckDB
         oracle, exploded to (media_id, dim, feature) rows."""
-        import pyarrow as pa
         import ray.data
 
-        from matrixprofile_1_ray.functions.tokenize import list_column_to_numpy
         from matrixprofile_1_ray.stages.multimodal import media_from_documents
 
         media = ray.data.from_arrow(media_from_documents(sf_dir, n=64))
         feats = media_features_stage(media, feature_dim=8)
 
-        def explode(batch):
-            values, offsets = list_column_to_numpy(batch["features"])
-            lengths = np.diff(offsets)
-            rows = np.repeat(np.arange(len(batch)), lengths)
-            dims = np.arange(len(values)) - np.repeat(offsets[:-1], lengths)
-            return pa.table({
-                "media_id": batch["media_id"].take(pa.array(rows, pa.int64())),
-                "dim": pa.array(dims, pa.int64()),
-                "feature": pa.array(values.astype("d"), pa.float64()),
-            })
-
-        return feats.map_batches(explode, batch_format="pyarrow")
+        return feats.map_batches(_explode_features,
+                                 batch_format="pyarrow")
 
     def media_real_features_query(sf_dir: str):
         """REAL image decode path with a SQL oracle: PPM payloads built
@@ -743,12 +765,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         decode + 4x4 grid-luminance featurization in the actor-pool stage
         — BT.601 integer-weight luma, reduceat cell sums, two exact
         divisions — all bit-reproducible in DuckDB (no rounding)."""
-        import pyarrow as pa
         import ray.data
 
-        from matrixprofile_1_ray.functions.tokenize import (
-            list_column_to_numpy,
-        )
         from matrixprofile_1_ray.stages.multimodal import (
             ascii_ppm_media_from_documents,
         )
@@ -757,18 +775,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ascii_ppm_media_from_documents(sf_dir, n=64))
         feats = media_features_stage(media, feature_dim=16)
 
-        def explode(batch):
-            values, offsets = list_column_to_numpy(batch["features"])
-            lengths = np.diff(offsets)
-            rows = np.repeat(np.arange(len(batch)), lengths)
-            dims = np.arange(len(values)) - np.repeat(offsets[:-1], lengths)
-            return pa.table({
-                "media_id": batch["media_id"].take(pa.array(rows, pa.int64())),
-                "dim": pa.array(dims, pa.int64()),
-                "feature": pa.array(values.astype("d"), pa.float64()),
-            })
-
-        return feats.map_batches(explode, batch_format="pyarrow")
+        return feats.map_batches(_explode_features,
+                                 batch_format="pyarrow")
 
     def media_wav_features_query(sf_dir: str):
         """REAL audio decode path with a SQL oracle: PCM WAV payloads
@@ -777,12 +785,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dyadic), squares and 8-term sums stay exact in float64, so the
         whole chain is order-independent EXACT and the compare needs no
         rounding."""
-        import pyarrow as pa
         import ray.data
 
-        from matrixprofile_1_ray.functions.tokenize import (
-            list_column_to_numpy,
-        )
         from matrixprofile_1_ray.stages.multimodal import (
             ascii_wav_media_from_documents,
         )
@@ -791,21 +795,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ascii_wav_media_from_documents(sf_dir, n=64))
         feats = media_features_stage(media, feature_dim=8)
 
-        def explode(batch):
-            values, offsets = list_column_to_numpy(batch["features"])
-            lengths = np.diff(offsets)
-            rows = np.repeat(np.arange(len(batch)), lengths)
-            dims = np.arange(len(values)) - np.repeat(offsets[:-1], lengths)
-            return pa.table({
-                "media_id": batch["media_id"].take(pa.array(rows, pa.int64())),
-                "dim": pa.array(dims, pa.int64()),
-                "feature": pa.array(values.astype("d"), pa.float64()),
-            })
-
-        return feats.map_batches(explode, batch_format="pyarrow")
+        return feats.map_batches(_explode_features,
+                                 batch_format="pyarrow")
 
     def user_sessions_query(sf_dir: str):
-        import ray.data
 
         from matrixprofile_1_ray.stages.events import session_windows
 
@@ -817,7 +810,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """lineitem x orders via the explicit partitioned hash join, then a
         combiner-first grouped aggregate — exact-integer stats only."""
         import pandas as pd
-        import ray.data
         from ray.data.aggregate import Max, Sum
 
         from matrixprofile_1_ray.stages.join import hash_join
@@ -850,7 +842,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         once, per-batch isin — zero shuffle), then one exact aggregate."""
         import pandas as pd
         import pyarrow.dataset as pads
-        import ray.data
 
         from matrixprofile_1_ray.stages.join import broadcast_semi_join
 
@@ -891,7 +882,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         matches all but each user's first event, and the gate test asserts
         the matched count is non-zero."""
         import pandas as pd
-        import ray.data
 
         from matrixprofile_1_ray.stages.join import asof_join
 
@@ -921,7 +911,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas")
 
     def sliding_counts_query(sf_dir: str):
-        import ray.data
 
         from matrixprofile_1_ray.stages.events import sliding_window_counts
 
@@ -1128,8 +1117,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_wav_features": media_wav_features_query,
     }
     # The driver verifies only the FIRST 50 dict entries against
-    # ``oracle_sql()``.  Reorder so every oracle-backed key (50) leads and
-    # the rows-only / full-size variants trail — derived from oracle_sql()
+    # ``oracle_sql()``.  Reorder so oracle-backed keys lead (in
+    # oracle_sql()'s own order: the 50 established driver-window rows
+    # first, deliberately-parked extras at positions 51+) and the
+    # rows-only / full-size variants trail — derived from oracle_sql()
     # itself so the window can never silently drop a green-capable row
     # again (round-3 verdict item #1).
     _oracle_keys = oracle_sql()
@@ -1143,7 +1134,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        f"{sorted(_orphans)}")
     qs = {**{k: qs[k] for k in _oracle_keys},
           **{k: v for k, v in qs.items() if k not in _oracle_keys}}
+    _window = set(list(qs)[:50])
+    if _window != _DRIVER_WINDOW:
+        # fail LOUDLY: inserting a new oracle_sql entry anywhere before
+        # the parked tail would push an established driver-verified row
+        # out of the 50-entry window (green silently traded for green —
+        # the exact round-3 regression).  New oracle-backed entries go at
+        # the END of oracle_sql(); promote one into the window only by
+        # updating _DRIVER_WINDOW in the same commit.
+        raise AssertionError(
+            f"driver 50-entry window changed: dropped="
+            f"{sorted(_DRIVER_WINDOW - _window)} "
+            f"added={sorted(_window - _DRIVER_WINDOW)}")
     return qs
+
+
+# The 50 oracle-backed queries the driver's CORRECTNESS gate actually
+# checks (its window = first 50 queries() entries).  Frozen so a reorder
+# or an insertion can never silently evict a driver-verified row; see the
+# assertion at the end of queries().
+_DRIVER_WINDOW = frozenset({
+    "simhash", "langid", "sequences_meta", "rollup_1m", "rollup_1h",
+    "rollup_1d", "rollup_1m_chunked", "doc_stats", "moving_stats_w8",
+    "quality", "word_counts", "dedup_exact", "events_rollup_hourly",
+    "open_order_lines_semi", "prev_event_asof", "mp_profiles_small",
+    "mp_stomp_small", "mp_scrimp_small", "mp_discords_small", "pmp_small",
+    "pmp_discords_small", "corrected_profile_small", "mpdist_pairs_small",
+    "pick_mp_small", "hclust_small", "maximum_subsequence_small",
+    "mpdist_vector_small", "regimes_small", "snippets_small",
+    "motifs_small", "corpus_discords_small", "ann_ivf_full_probe",
+    "ann_ivf_build_assignment", "mp_rollup_small", "mass_topk",
+    "ab_join_small", "dedup_minhash_lsh", "dedup_groups",
+    "dedup_jaccard_verified", "embedding_near_dup", "media_features",
+    "order_lines_by_status", "ngram_top50", "user_sessions",
+    "fingerprints", "sliding_event_counts", "ann_topk",
+    "per_source_distinct_tokens", "per_source_token_quantiles",
+    "per_source_stats",
+})
 
 
 def _round_score(df):
@@ -1155,21 +1182,6 @@ def _dataset_split_sql() -> str:
     from matrixprofile_1_ray.stages.split import split_sql
 
     return split_sql()
-
-
-def _tier_rollup_cte(name: str, tier: str, width: int) -> str:
-    """One tier's rollup as a CTE body (same aggregate expressions as
-    _rollup_sql, so a hash match here inherits that oracle's bit-exact
-    float parity)."""
-    return f"""{name} AS (
-  SELECT doc_id, source, '{tier}' AS tier, idx // {width} AS bucket,
-         CAST(min(tok) AS DOUBLE) AS t_min,
-         CAST(max(tok) AS DOUBLE) AS t_max,
-         CAST(sum(tok) AS DOUBLE) AS t_sum,
-         count(*) AS t_count,
-         CAST(sum(tok) AS DOUBLE) / count(*) AS t_mean
-  FROM ex GROUP BY doc_id, source, bucket
-)"""
 
 
 def _tiered_retention_sql() -> str:
@@ -2265,7 +2277,10 @@ FROM events GROUP BY event_type, bucket
 """,
         "open_order_lines_semi": """
 SELECT count(*) AS n_lines,
-       sum(l_quantity) AS sum_qty
+       -- coalesce pins the empty-match convention: the engine's partial
+       -- sum over zero rows is 0.0, while SQL sum() over zero rows is
+       -- NULL — without it a legitimately-empty result hash-mismatches
+       coalesce(sum(l_quantity), 0.0) AS sum_qty
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
 """,

@@ -51,10 +51,22 @@ def banded_corr(ts, w, mu, sig, min_d):
 
 def min_top2_margin(cb) -> float:
     """Smallest per-row gap between the best and second-best banded
-    correlation (the argmax-pinning margin)."""
+    correlation (the argmax-pinning margin).
+
+    FAIL CLOSED on degenerate rows: callers drop a doc when the margin
+    is ``<= margin_floor``, so a profile too short to have two candidates
+    (``pl < 2``) or a row whose band is entirely excluded (all ``-inf``,
+    margin ``-inf - -inf = NaN``) must return ``-inf`` — otherwise a NaN
+    would sail past the ``<=`` guard and keep a doc whose argmax the
+    oracle cannot pin."""
     pl = cb.shape[0]
+    if pl < 2:
+        return float("-inf")
     two = np.partition(cb, pl - 2, axis=1)[:, -2:]
-    return float((two[:, 1] - two[:, 0]).min())
+    margins = two[:, 1] - two[:, 0]
+    if np.isnan(margins).any():
+        return float("-inf")
+    return float(margins.min())
 
 
 def iter_slice_docs(batch: pa.Table, w: int | None, min_n: int = 0,

@@ -193,3 +193,22 @@ def test_synthetic_corpus_deterministic():
     c = synthetic_sequences_table(4, seed=42, start=4)
     assert a.slice(4, 4)["doc_id"].to_pylist() == c["doc_id"].to_pylist()
     assert a.slice(4, 4)["tokens"].to_pylist() == c["tokens"].to_pylist()
+
+
+def test_min_top2_margin_fails_closed_on_degenerate_rows():
+    """Callers drop a doc when margin <= floor, so degenerate inputs must
+    come back -inf (dropped), never NaN (NaN <= floor is False -> the doc
+    would be KEPT with an argmax the oracle cannot pin)."""
+    from matrixprofile_1_ray.stages.slice_rule import min_top2_margin
+
+    # a row whose band is entirely excluded: -inf - -inf = NaN margin
+    cb = np.full((3, 3), -np.inf)
+    cb[0, 1] = 0.5  # one real candidate elsewhere keeps the matrix mixed
+    assert min_top2_margin(cb) == -np.inf
+
+    # profile too short for a top-2 at all
+    assert min_top2_margin(np.zeros((1, 1))) == -np.inf
+
+    # healthy input still returns the true minimum gap
+    ok = np.array([[0.9, 0.2, 0.1], [0.8, 0.5, 0.3]])
+    assert min_top2_margin(ok) == pytest.approx(0.3)

@@ -29,12 +29,16 @@ def to_df(res) -> pd.DataFrame:
 
     if isinstance(res, ray.data.Dataset):
         # Ray 2.49's to_pandas on an empty Dataset is COLUMN-LESS; recover
-        # the typed schema so a legitimately-empty result still compares
-        schema = res.schema()
+        # the typed schema so a legitimately-empty result still compares.
+        # schema() only in that branch — calling it up front would execute
+        # the whole un-materialized plan once for the schema and then
+        # AGAIN for to_pandas, doubling every gate query's compute
         df = res.to_pandas()
-        if df.empty and schema is not None and not len(df.columns):
-            df = pa.schema(
-                list(zip(schema.names, schema.types))).empty_table().to_pandas()
+        if df.empty and not len(df.columns):
+            schema = res.schema()
+            if schema is not None:
+                df = pa.schema(list(zip(
+                    schema.names, schema.types))).empty_table().to_pandas()
         res = df
     elif isinstance(res, pa.Table):
         res = res.to_pandas()
@@ -85,6 +89,13 @@ def main() -> int:
 
     qs = m.queries()
     oracles = m.oracle_sql()
+
+    unknown = only - set(qs)
+    if unknown:
+        # fail LOUDLY: a typo'd query name would otherwise filter the run
+        # down to nothing and report "0 failures / 0 queries" vacuously
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
 
     con = duckdb.connect()
     for t in TABLES:
