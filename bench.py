@@ -171,30 +171,24 @@ def run_bench() -> dict:
     timed("codec_verify",
           lambda: sequences_pipeline(SF_DIR, verify_codec=True).count())
 
-    # 4. synthetic tokenized corpus: profiles + rollups at sequence scale
-    def synth_run():
-        ds = ray.data.read_parquet(spath)
+    # 4. synthetic tokenized corpus: profiles + rollups at sequence scale.
+    # ONE pipeline definition for both scale points — if they drifted, the
+    # 5x point would stop measuring the same code as the headline point
+    # and round-over-round deltas would compare different pipelines
+    def synth_rollup_run(path):
+        ds = ray.data.read_parquet(path)
         prof = ds.map_batches(
             lambda b: compute_profiles_batch(b, w=32),
             batch_format="pyarrow", batch_size=64)
         return prof.map_batches(mp_rollup_batch, batch_format="pyarrow").count()
 
-    timed("synth_mp_rollup", synth_run)
+    timed("synth_mp_rollup", lambda: synth_rollup_run(spath))
 
     # 4b. the same pipeline at 5x rows — the noise-robust scale point for
     # round-over-round comparisons (generation is cached and untimed)
     if SYNTH_BIG_ROWS:
         bigpath = synth_path(SYNTH_BIG_ROWS)
-
-        def synth_big_run():
-            ds = ray.data.read_parquet(bigpath)
-            prof = ds.map_batches(
-                lambda b: compute_profiles_batch(b, w=32),
-                batch_format="pyarrow", batch_size=64)
-            return prof.map_batches(mp_rollup_batch,
-                                    batch_format="pyarrow").count()
-
-        timed("synth_mp_rollup_5x", synth_big_run)
+        timed("synth_mp_rollup_5x", lambda: synth_rollup_run(bigpath))
 
     # 5. corpus-level discovery
     timed("corpus_discords",
@@ -377,8 +371,15 @@ def run_scaling() -> dict:
         out = subprocess.run([sys.executable, os.path.abspath(__file__),
                               "--scaling-worker"],
                              env=env, capture_output=True, text=True,
-                             check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))
+        if out.returncode != 0:
+            # surface the worker's actual traceback — check=True would
+            # swallow the captured stderr and leave a 2-hour best-of-3
+            # session undiagnosable on a worker OOM/import failure
+            raise RuntimeError(
+                f"scaling worker (ncpu={ncpu}) exited "
+                f"{out.returncode}; stderr tail:\n"
+                + "\n".join(out.stderr.splitlines()[-30:]))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     run(SCALE_HI)  # one untimed pass warms the page cache for both levels
@@ -398,6 +399,10 @@ def run_scaling() -> dict:
         r["probe_post_sec"] = throttle_probe()
         return r
 
+    throttle_probe()  # discard the serial kernel's first-call warmup so
+    # attempts_lo[0].probe_pre_sec reads true host state, not JIT/cache
+    # fill — a warmup-inflated first probe would falsely mark a quiet
+    # window as throttled in the emitted audit trail
     attempts_lo = [attempt(SCALE_LO) for _ in range(3)]
     attempts_hi = [attempt(SCALE_HI) for _ in range(3)]
     r_lo = min(attempts_lo, key=lambda r: r["sec"])

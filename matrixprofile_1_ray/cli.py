@@ -19,9 +19,17 @@ def _init_ray(num_cpus):
     import ray
 
     if not ray.is_initialized():
-        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
-                 num_cpus=num_cpus, include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+        address = os.environ.get("RAY_ADDRESS", "local")
+        if address == "local":
+            # num_cpus sizes a standalone session only: Ray rejects it
+            # when attaching to an existing cluster (`ray job submit`
+            # sets RAY_ADDRESS), where the cluster's resources apply
+            ray.init(address=address, num_cpus=num_cpus,
+                     include_dashboard=False, ignore_reinit_error=True,
+                     logging_level="ERROR")
+        else:
+            ray.init(address=address, ignore_reinit_error=True,
+                     logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -57,7 +65,11 @@ def cmd_rollup(args):
     # group files into coarse partitions: resume granularity trades against
     # per-partition fixed cost (each partition is one Dataset execution) —
     # and each partition must span enough blocks to feed every core
-    per_part = args.files_per_partition or max(1, len(files) // args.partitions)
+    # ceil division: floor would overshoot --partitions by up to ~2x
+    # (15 files / 8 -> 15 one-file partitions), paying the per-partition
+    # fixed streaming-startup cost that many extra times
+    per_part = args.files_per_partition or max(
+        1, -(-len(files) // args.partitions))
     groups = [files[i : i + per_part] for i in range(0, len(files), per_part)]
     partitions = {
         f"part-{gi:05d}": "|".join(
@@ -120,9 +132,17 @@ def cmd_rollup(args):
 
 
 def cmd_synth(args):
+    from .io.fsutil import guarded_clean_dir
     from .sources.sequences import write_synthetic_sequences
 
     _init_ray(args.num_cpus)
+    # write_parquet APPENDS uniquely-named files: without this guard a
+    # re-run (retry after a flaky exit) silently doubles the corpus
+    guarded_clean_dir(
+        args.output,
+        lambda names: all(n.endswith(".parquet") or n.startswith("_")
+                          for n in names),
+        "a synthetic sequences corpus (parquet files)")
     write_synthetic_sequences(args.output, args.rows, seed=args.seed,
                               rows_per_block=args.rows_per_block)
     print(json.dumps({"rows": args.rows, "path": args.output}))
@@ -194,20 +214,29 @@ def cmd_ann(args):
 
     _init_ray(args.num_cpus)
     emb_path = f"{args.input}/embeddings.parquet"
-    if args.build or not os.path.exists(
-            os.path.join(args.index_dir, "_centroids.parquet")):
-        from .io.readers import read_parquet_clean
-        ds = read_parquet_clean(emb_path, columns=["vec_id", "embedding"])
-        build_ivf_index(ds, args.index_dir, n_centroids=args.centroids)
+    from .io.readers import read_parquet_clean
     from .sources.sequences import parquet_head
+    from .stages.ann import ivf_index_ident, ivf_topk
 
     # stream only the first --queries rows off the reader — pq.read_table
     # would materialize the whole embeddings file on the driver
     head = parquet_head(emb_path, args.queries, ["vec_id", "embedding"])
     qm = np.stack([np.asarray(v, dtype="d")
                    for v in head["embedding"].to_pylist()])
-    out = ivf_search(args.index_dir, qm, k=args.k,
-                     nprobe=args.nprobe).to_pandas()
+    # the identity covers corpus path+size+mtime AND the build params, so
+    # a regenerated embeddings file or a different --centroids rebuilds
+    # instead of silently answering from the stale index
+    ident, _tag = ivf_index_ident(emb_path, n_centroids=args.centroids)
+    ds = read_parquet_clean(emb_path, columns=["vec_id", "embedding"])
+    if args.build:
+        build_ivf_index(ds, args.index_dir, n_centroids=args.centroids,
+                        input_fingerprint=ident)
+        out = ivf_search(args.index_dir, qm, k=args.k,
+                         nprobe=args.nprobe).to_pandas()
+    else:
+        out = ivf_topk(ds, qm, k=args.k, nprobe=args.nprobe,
+                       n_centroids=args.centroids, index_dir=args.index_dir,
+                       input_fingerprint=ident).to_pandas()
     print(json.dumps({"index_dir": args.index_dir,
                       "queries": args.queries, "k": args.k,
                       "rows": len(out)}))
@@ -226,8 +255,24 @@ def cmd_retention(args):
     )
 
     _init_ray(args.num_cpus)
-    keep = {k: (None if v in ("none", "inf") else float(v))
-            for k, v in (spec.split("=", 1) for spec in args.keep or [])}
+    keep = {}
+    for spec in args.keep or []:
+        # user-input mistakes get a readable message, not an unpack /
+        # float() traceback
+        tier, sep, age = spec.partition("=")
+        if not sep or not tier:
+            raise SystemExit(
+                f"--keep {spec!r}: expected TIER=SECONDS (e.g. 1m=604800) "
+                f"or TIER=none for keep-forever")
+        if age in ("none", "inf"):
+            keep[tier] = None
+        else:
+            try:
+                keep[tier] = float(age)
+            except ValueError:
+                raise SystemExit(
+                    f"--keep {spec!r}: {age!r} is not a number of seconds "
+                    f"(or 'none' for keep-forever)") from None
     policy = RetentionPolicy(keep) if keep else RetentionPolicy()
 
     report = {"store": args.store}
@@ -238,10 +283,25 @@ def cmd_retention(args):
     if args.expire:
         report["expired"] = apply_retention(args.store, args.now, policy)
     if args.serve is not None:
-        lo, hi = (float(x) for x in args.serve.split(":", 1))
+        try:
+            lo_s, hi_s = args.serve.split(":", 1)
+            lo, hi = float(lo_s), float(hi_s)
+        except ValueError:
+            raise SystemExit(
+                f"--serve {args.serve!r}: expected LO:HI seconds "
+                f"(e.g. 0:86400)") from None
         ds = tiered_read(args.store, args.kind, args.now, policy,
                          t_lo=lo, t_hi=hi)
         if args.output:
+            from .io.fsutil import guarded_clean_dir
+
+            # write_parquet appends: a re-serve to the same path would
+            # silently double every served row without this guard
+            guarded_clean_dir(
+                args.output,
+                lambda names: all(n.endswith(".parquet")
+                                  or n.startswith("_") for n in names),
+                "a served tier range (parquet files)")
             ds.write_parquet(args.output)
             report["served_to"] = args.output
         report["served_rows"] = ds.count()
