@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .moving_stats import moving_min
+# (moving_min no longer needed: mpdist_vector uses one vectorized sliding min)
 from .mpx import mpx_ab
 
 
@@ -70,14 +70,22 @@ def mass_distance_matrix(ts, query, w: int) -> np.ndarray:
 
 def calculate_mpdist(profile, threshold: float, data_length: int) -> float:
     """Order statistic of a pooled profile (reference mpdist.py:109-142) —
-    note the un-decremented index, a deliberate parity quirk vs ``mpdist``."""
+    note the un-decremented index, a deliberate parity quirk vs ``mpdist``.
+
+    np.partition selects the same dist_loc-th smallest as the reference's
+    full sort in O(R) instead of O(R log R) — this sits in
+    ``mpdist_vector``'s per-offset loop, the snippets hot path.  The
+    bounds check is strict (``>``): the reference indexes clean[dist_loc]
+    under a ``>=`` guard and crashes with IndexError on exact equality
+    (e.g. w close to len(ts_b)); equality falls through to max(clean),
+    the same value the k-past-the-end order statistic degenerates to."""
     dist_loc = int(np.ceil(threshold * data_length))
-    srt = np.sort(profile)
-    clean = srt[np.isfinite(srt)]
+    profile = np.asarray(profile, dtype="d")
+    clean = profile[np.isfinite(profile)]
     if clean.size < 1:
         return np.inf
-    if clean.size >= dist_loc:
-        return float(clean[dist_loc])
+    if clean.size > dist_loc:
+        return float(np.partition(clean, dist_loc)[dist_loc])
     return float(np.max(clean))
 
 
@@ -88,7 +96,11 @@ def mpdist_vector(ts, ts_b, w: int) -> np.ndarray:
     rows, _ = matrix.shape
 
     all_right_hist = matrix.min(axis=0)
-    mass_minimums = np.stack([moving_min(row, rows) for row in matrix])
+    # one vectorized sliding-min over axis 1 == stacking moving_min(row,
+    # rows) per row, without the per-row Python loop of window allocations
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mass_minimums = sliding_window_view(matrix, rows, axis=1).min(axis=-1)
 
     mpdist_length = len(ts) - len(ts_b) + 1
     right_hist_length = len(ts_b) - w + 1

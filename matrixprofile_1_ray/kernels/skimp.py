@@ -44,9 +44,16 @@ def binary_split(n: int):
     return index
 
 
-def skimp(ts, windows=None, cross_correlation: bool = False, pmp_obj=None,
-          sample_pct: float = 0.1):
-    """Pan-MatrixProfile over a window list (reference skimp.py:96-242)."""
+def skimp(ts, windows=None, show_progress: bool = False,
+          cross_correlation: bool = False, pmp_obj=None,
+          sample_pct: float = 0.1, n_jobs: int = 1):
+    """Pan-MatrixProfile over a window list (reference skimp.py:96-242).
+    ``show_progress`` and ``n_jobs`` are accepted in the reference's
+    POSITIONAL slots for drop-in compatibility, ignored — dropping them
+    would silently shift positional reference calls (e.g.
+    ``skimp(ts, w, False, True)`` intending cross_correlation=True would
+    bind pmp_obj instead)."""
+    del show_progress, n_jobs
     ts = np.asarray(ts, dtype="d")
     n = len(ts)
     if windows is None:
@@ -102,11 +109,16 @@ def skimp(ts, windows=None, cross_correlation: bool = False, pmp_obj=None,
     }
 
 
-def maximum_subsequence(ts, threshold: float = 0.95, refine_stepsize: float = 0.05,
+def maximum_subsequence(ts, threshold: float = 0.95,
+                        refine_stepsize: float = 0.05, n_jobs: int = 1,
                         include_pmp: bool = False, lower_window: int = 8):
     """Upper window-size search: double from ``lower_window`` while the max
     Pearson correlation stays >= threshold, then refine in +X% steps
-    (reference skimp.py:245-381)."""
+    (reference skimp.py:245-381).  ``n_jobs`` keeps the reference's
+    POSITIONAL slot 4 (ignored) — without it a reference-positional call
+    ``maximum_subsequence(ts, 0.98, 0.05, 1)`` would bind include_pmp=1
+    and return a PMP dict where the caller expects an int window."""
+    del n_jobs
     ts = np.asarray(ts, dtype="d")
     n = len(ts)
     windows = np.array([], dtype="int")

@@ -46,3 +46,25 @@ def test_pairwise_dist_condensed():
     # self-distance sanity: identical series at slots 0/1
     dm2 = pairwise_dist([series[0], series[0].copy(), series[1]], 8)
     assert dm2[0] < 1e-9
+
+
+def test_calculate_mpdist_boundary_equals_max_not_indexerror():
+    """clean.size == dist_loc must fall through to max(clean) — the
+    reference indexes clean[dist_loc] under a >= guard and crashes with
+    IndexError on exact equality (w close to len(ts_b))."""
+    from matrixprofile_1_ray.kernels.mpdist import calculate_mpdist
+
+    prof = np.array([1.0, 2.0, 3.0, 4.0])
+    assert calculate_mpdist(prof, 0.05, 80) == 4.0  # dist_loc = 4 == size
+    # and the order statistic itself is unchanged vs a full sort
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        p = rng.normal(size=int(rng.integers(5, 60)))
+        p[rng.random(size=p.size) < 0.2] = np.inf
+        dlen = int(rng.integers(10, 200))
+        srt = np.sort(p)
+        clean = srt[np.isfinite(srt)]
+        k = int(np.ceil(0.05 * dlen))
+        exp = (np.inf if clean.size < 1
+               else clean[k] if clean.size > k else clean.max())
+        assert calculate_mpdist(p, 0.05, dlen) == exp

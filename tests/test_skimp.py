@@ -89,3 +89,16 @@ def test_hierarchical_clusters():
     assert out["assignments"][0] != out["assignments"][2]
     with pytest.raises(ValueError):
         hierarchical_clusters(X, 16, 2, method="bogus")
+
+
+def test_reference_positional_signatures_do_not_shift():
+    """The reference puts show_progress/n_jobs in POSITIONAL slots; a
+    drop-in port that drops them silently shifts every positional call
+    (skimp(ts, w, False, True) intending cross_correlation=True would
+    bind pmp_obj; maximum_subsequence(ts, 0.98, 0.05, 1) intending
+    n_jobs=1 would bind include_pmp and return a dict, not an int)."""
+    ts = np.sin(np.linspace(0, 20, 300)) + 0.01 * np.arange(300)
+    p = skimp(ts, [8, 10], False, True)     # show_progress, cross_corr
+    assert p["metric"] == "pearson"
+    u = maximum_subsequence(ts, 0.98, 0.05, 1)   # n_jobs positional
+    assert isinstance(u, (int, np.integer))
