@@ -71,7 +71,10 @@ def pearson_to_euclidean(a, windows):
     if a.ndim == 1:
         w = windows[0] if isinstance(windows, (list, tuple, np.ndarray)) else windows
         return np.sqrt(2 * w * (1 - a))
-    out = np.empty(a.shape, dtype="d")
+    # np.full(inf), not np.empty: rows beyond len(windows) must come back
+    # inf like the reference's euc_a = np.full(a.shape, inf) — empty would
+    # return uninitialized heap memory for a truncated windows list
+    out = np.full(a.shape, np.inf, dtype="d")
     for idx, w in enumerate(np.asarray(windows)[: a.shape[0]]):
         row = np.sqrt(2 * w * (1 - a[idx]))
         row[np.isinf(a[idx])] = np.inf

@@ -62,11 +62,15 @@ def muinvn(a, w: int):
     if w > n:
         raise ValueError("window larger than series")
     if n * w <= _EXACT_SSQ_LIMIT:
-        cs = np.empty(n + 1)
-        cs[0] = 0.0
-        np.cumsum(a, out=cs[1:])
-        mu = (cs[w:] - cs[: n - w + 1]) / w
-        dev = sliding_window_view(a, w) - mu[:, None]
+        wins = sliding_window_view(a, w)
+        # per-window pairwise sums: exact for dyadic-rational inputs
+        # (like the raw running cumsum they replace, so perfect-match tie
+        # semantics are unchanged) but free of the cumsum's GLOBAL
+        # cancellation — a large constant offset cost the old
+        # cs[i+w]-cs[i] difference ~3 digits of mu precision because the
+        # running total grows with n, not w
+        mu = wins.sum(axis=1) / w
+        dev = wins - mu[:, None]
         ssq = np.einsum("ij,ij->i", dev, dev)
         ssq[_constant_window_mask(a, w)] = 0.0
     else:
@@ -90,12 +94,14 @@ def moving_avg_std(a, w: int):
     n = a.shape[0]
     if w > n:
         raise ValueError("window larger than series")
-    _, sums, sq_sums = _centered_sums(a, w)
+    c, sums, sq_sums = _centered_sums(a, w)
     mu_c = sums / w
     var = sq_sums / w - mu_c * mu_c
     var[var < 0] = 0.0
     var[_constant_window_mask(a, w)] = 0.0
-    return mu_c + float(np.mean(a)), np.sqrt(var)
+    # reuse the mean _centered_sums already computed (same float) instead
+    # of a second full O(n) np.mean pass
+    return mu_c + c, np.sqrt(var)
 
 
 def rolling_window(a, window: int):

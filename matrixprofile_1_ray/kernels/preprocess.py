@@ -53,9 +53,14 @@ def validate_preprocess_kwargs(preprocessing_kwargs):
 
 def to_np_array(a) -> np.ndarray:
     """Coerce array-likes to ndarray, rejecting scalars/strings/sets with
-    the reference's error contract (reference core.py:79-105)."""
+    the reference's error contract (reference core.py:79-105).  numpy
+    scalars are rejected explicitly: they carry ``__array__`` but the
+    reference (list/tuple/ndarray only) raises for them, and accepting a
+    0-d wrapper here would surface as a different, later error."""
     if isinstance(a, np.ndarray):
         return a
+    if isinstance(a, np.generic):
+        raise ValueError("Unable to convert to np.ndarray!")
     if isinstance(a, (list, tuple, range)) or hasattr(a, "__array__"):
         return np.array(a)
     raise ValueError("Unable to convert to np.ndarray!")
@@ -146,6 +151,10 @@ def gapfill(ts, mode: str = "forward_fill"):
     """Engine gap-fill (north rule): ``forward_fill`` carries the last valid
     point forward (leading gaps backfilled from the first valid point);
     ``linear`` interpolates between valid neighbors.  Fully vectorized."""
+    if mode not in ("forward_fill", "linear"):
+        # validate BEFORE the gap-free early return: a typo'd mode must
+        # fail on clean test data too, not only when a gap arrives
+        raise ValueError(f"unknown gapfill mode: {mode}")
     temp = np.array(ts, dtype="d", copy=True)
     bad = ~np.isfinite(temp)
     if not bad.any():
@@ -158,10 +167,8 @@ def gapfill(ts, mode: str = "forward_fill"):
         # index of the most recent valid point at or before each position
         pos = np.maximum(np.searchsorted(valid, idx, side="right") - 1, 0)
         return temp[valid[pos]]
-    if mode == "linear":
-        temp[bad] = np.interp(idx[bad], valid, temp[valid])
-        return temp
-    raise ValueError(f"unknown gapfill mode: {mode}")
+    temp[bad] = np.interp(idx[bad], valid, temp[valid])
+    return temp
 
 
 def preprocess(ts, window: int, impute_method: str = "mean",

@@ -58,7 +58,9 @@ def make_clipping_av(ts, window: int):
 def apply_av(profile, av: str = "default", custom_av=None):
     """Attach av/cmp to a profile: cmp = mp + (1-av)*max(mp)
     (reference transform.py:15-87)."""
-    if not (isinstance(profile, dict) and profile.get("class") == "MatrixProfile"):
+    from .core_helpers import is_mp_obj
+
+    if not is_mp_obj(profile):
         raise ValueError("apply_av expects profile as an MP data structure")
 
     makers = {

@@ -61,3 +61,13 @@ def test_exclusion_zone_and_skip_locations():
     ts = np.array([1.0, np.nan, 3.0, 4.0, 5.0, 6.0])
     skips = find_skip_locations(ts, 3, 4)
     np.testing.assert_array_equal(skips, [True, True, False])
+
+
+def test_pearson_to_euclidean_truncated_windows_rows_are_inf():
+    """Rows beyond len(windows) must come back inf (reference fills with
+    np.full(inf)); np.empty would return uninitialized heap memory."""
+    from matrixprofile_1_ray.kernels.mass import pearson_to_euclidean
+
+    out = pearson_to_euclidean(np.zeros((3, 5)), [4, 8])
+    assert np.isinf(out[2]).all()
+    assert np.allclose(out[0], np.sqrt(2 * 4 * 1.0))

@@ -52,3 +52,30 @@ def test_moving_min_max_median():
 def test_window_larger_than_series_raises():
     with pytest.raises(ValueError):
         muinvn(np.arange(3, dtype="d"), 5)
+
+
+def test_muinvn_mu_precision_on_offset_data():
+    """The exact-path mu must not inherit the running cumsum's global
+    cancellation: on data with a large constant offset the windowed mean
+    error stays near machine precision (the old length-n cumsum
+    difference lost ~3 digits because the running total grows with n)."""
+    rng = np.random.default_rng(0)
+    a = 1e8 + rng.normal(size=20000)
+    w = 32
+    mu, _ = muinvn(a, w)
+    exact = np.array([a[i:i + w].mean() for i in range(0, len(a) - w + 1,
+                                                       997)])
+    got = mu[::997][: len(exact)]
+    assert np.max(np.abs(got - exact)) < 1e-6
+
+
+def test_muinvn_exact_path_still_dyadic_exact():
+    """Integer (token) inputs: per-window pairwise sums are exact, so mu
+    is the correctly rounded rational — bit-identical to the scalar walk
+    the tie-semantics tests rely on."""
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 128, size=4096).astype("d")
+    w = 16
+    mu, _ = muinvn(a, w)
+    ref = np.array([a[i:i + w].sum() / w for i in range(len(a) - w + 1)])
+    assert np.array_equal(mu, ref)

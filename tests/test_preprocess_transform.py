@@ -140,3 +140,19 @@ def test_statistics(sampledata):
         statistics(sampledata, 2)
     with pytest.raises(ValueError):
         statistics(sampledata, len(sampledata) + 1)
+
+
+def test_gapfill_rejects_unknown_mode_even_without_gaps():
+    with pytest.raises(ValueError, match="unknown gapfill mode"):
+        gapfill(np.array([1.0, 2.0, 3.0]), mode="ffill")
+
+
+def test_to_np_array_rejects_numpy_scalars():
+    """np.float64 carries __array__ but the reference raises for it; a
+    0-d wrapper here would surface as a different, later error."""
+    from matrixprofile_1_ray.kernels.preprocess import to_np_array
+
+    with pytest.raises(ValueError, match="Unable to convert"):
+        to_np_array(np.float64(3.0))
+    # 0-d ndarray stays ACCEPTED (reference returns any ndarray as-is)
+    assert to_np_array(np.array(3.0)).ndim == 0
