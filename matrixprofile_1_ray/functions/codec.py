@@ -96,7 +96,10 @@ def encode_int_dod(values) -> bytes:
 
 def decode_int_dod(buf: bytes) -> np.ndarray:
     """Exact inverse of :func:`encode_int_dod` -> int32 array."""
-    assert buf[:1] == b"D", "not an int-dod stream"
+    if buf[:1] != b"D":
+        # explicit raise, not assert: python -O strips asserts, and a
+        # misrouted/corrupt blob would then be decoded as silent garbage
+        raise ValueError("not an int-dod stream")
     n = int(np.frombuffer(buf, np.uint32, 1, 1)[0])
     if n == 0:
         return np.empty(0, dtype=np.int32)
@@ -177,7 +180,8 @@ def _bit_length(x: np.ndarray) -> np.ndarray:
 
 def decode_float_xor(buf: bytes) -> np.ndarray:
     """Exact inverse of :func:`encode_float_xor` -> float64 array."""
-    assert buf[:1] == b"X", "not a float-xor stream"
+    if buf[:1] != b"X":
+        raise ValueError("not a float-xor stream")  # assert dies under -O
     n = int(np.frombuffer(buf, np.uint32, 1, 1)[0])
     if n == 0:
         return np.empty(0, dtype="d")

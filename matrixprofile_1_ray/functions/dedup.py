@@ -43,12 +43,16 @@ def shingle_hashes(values: np.ndarray, offsets: np.ndarray, k: int = 5):
         mix = np.zeros(windows.shape[0], dtype=np.uint64)
         for j in range(k):
             mix = (mix * _BASE + windows[:, j]) % M31
-        # keep only windows fully inside one (long-enough) row
-        keep = np.zeros(windows.shape[0], dtype=bool)
-        for i in range(len(lengths)):
-            if lengths[i] >= k:
-                keep[offsets[i] : offsets[i] + n_shingles[i]] = True
+        # keep only windows fully inside one (long-enough) row —
+        # vectorized (repeat row starts, add a per-row ramp); the old
+        # per-row Python loop ran over EVERY row of the batch
         long_rows = lengths >= k
+        starts = offsets[:-1][long_rows]
+        counts = n_shingles[long_rows]
+        ramp = np.arange(int(counts.sum()), dtype=np.int64) - \
+            np.repeat(np.cumsum(counts) - counts, counts)
+        keep = np.zeros(windows.shape[0], dtype=bool)
+        keep[np.repeat(starts, counts) + ramp] = True
         slot_is_short = np.zeros(out_offsets[-1], dtype=bool)
         short_rows = (lengths > 0) & ~long_rows
         slot_is_short[out_offsets[:-1][short_rows]] = True

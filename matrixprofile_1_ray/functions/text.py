@@ -42,9 +42,10 @@ def quality_metrics(values: np.ndarray, offsets: np.ndarray):
     shared with the DuckDB oracle."""
     n_chars = np.diff(offsets).astype(np.int64)
     n_words = segment_counts(values, offsets)
-    is_sep = (values == SPACE).astype(np.int64)
-    cs = np.concatenate(([0], np.cumsum(is_sep)))
-    n_spaces = cs[offsets[1:]] - cs[offsets[:-1]]
+    # segment_counts IS separator-count + 1 by construction (empty rows:
+    # 1 segment, 0 separators), so the separator count needs no second
+    # O(total_tokens) cumsum pass
+    n_spaces = n_words - 1
     avg_word_len = (n_chars - n_spaces) / n_words
     return n_chars, n_words, avg_word_len
 

@@ -83,20 +83,39 @@ def list_column_to_numpy(col: pa.ChunkedArray | pa.Array):
     return values, offsets
 
 
+_INT32_MAX = np.iinfo(np.int32).max
+
+
 def numpy_to_list_column(values: np.ndarray, offsets: np.ndarray,
-                         value_type=None) -> pa.ListArray:
-    """Build a list column back from flat values + offsets."""
+                         value_type=None, large: bool = False):
+    """Build a list column back from flat values + offsets.
+
+    ``large=True`` (or a flat length past int32) emits a LargeListArray —
+    the read path accepts large_list (list_column_to_numpy handles both),
+    so a round-trip like gapfill must be able to hand the same type back
+    instead of silently flipping large_list -> list (schema mismatch at
+    the next concat) or overflowing the int32 offset cast."""
     arr = pa.array(values, type=value_type) if value_type else pa.array(values)
-    return pa.ListArray.from_arrays(pa.array(offsets - offsets[0], type=pa.int32()), arr)
+    off = offsets - offsets[0]
+    if large or (len(off) and off[-1] > _INT32_MAX):
+        return pa.LargeListArray.from_arrays(
+            pa.array(off, type=pa.int64()), arr)
+    return pa.ListArray.from_arrays(pa.array(off, type=pa.int32()), arr)
 
 
-def list_column_from_parts(parts: list, value_type) -> pa.ListArray:
+def list_column_from_parts(parts: list, value_type):
     """List column from per-row numpy arrays WITHOUT per-element Python
-    boxing: one concatenate + one offsets array, zero ``.tolist()``."""
+    boxing: one concatenate + one offsets array, zero ``.tolist()``.
+    Falls back to large_list offsets past int32 (see
+    numpy_to_list_column)."""
     flat = (np.concatenate(parts) if parts
             else np.empty(0, pa.DataType.to_pandas_dtype(value_type)))
     offsets = np.zeros(len(parts) + 1, dtype=np.int64)
     if parts:
         np.cumsum([p.shape[0] for p in parts], out=offsets[1:])
+    if offsets[-1] > _INT32_MAX:
+        return pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            pa.array(flat, type=value_type))
     return pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int32()), pa.array(flat, type=value_type))

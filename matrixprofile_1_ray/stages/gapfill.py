@@ -49,6 +49,9 @@ def gapfill_batch(batch: pa.Table, mode: str = "forward_fill",
     else:
         out = fvals
 
+    # hand back the SAME list flavor we were given: a large_list input
+    # must not flip to list (schema mismatch at the next concat)
+    was_large = pa.types.is_large_list(batch[value_col].type)
     if is_int:
         # NaN -> int is undefined; restore the sentinel at any position
         # that stayed unfilled (all-missing rows)
@@ -56,8 +59,8 @@ def gapfill_batch(batch: pa.Table, mode: str = "forward_fill",
         safe = np.where(gaps, 0.0, out)
         ints = np.rint(safe).astype(values.dtype)
         ints[gaps] = sentinel
-        filled = numpy_to_list_column(ints, offsets)
+        filled = numpy_to_list_column(ints, offsets, large=was_large)
     else:
-        filled = numpy_to_list_column(out, offsets)
+        filled = numpy_to_list_column(out, offsets, large=was_large)
     idx = batch.schema.get_field_index(value_col)
     return batch.set_column(idx, value_col, filled)

@@ -59,6 +59,13 @@ def plot_data(profile) -> dict:
             "y": np.asarray(profile["pmp"], dtype="d"),
             "kind": "heatmap"}
     elif _is(profile, "Statistics"):
+        # the reference stats figure draws the raw series panel first
+        # (reference visualize.py:119-145); omitting it here left render/
+        # render_svg without the black time-series panel figure_specs has
+        if profile.get("ts") is not None:
+            ts = np.asarray(profile["ts"], dtype="d")
+            out["time_series"] = {"x": np.arange(ts.shape[0]), "y": ts,
+                                  "kind": "line"}
         for key in ("moving_min", "moving_max", "moving_mean", "moving_std",
                     "moving_median"):
             arr = np.asarray(profile[key], dtype="d")
@@ -131,18 +138,25 @@ def render_svg(profile, width: int = 640, height: int = 240) -> dict:
                 figures[name] = _svg_doc("", width, height, name)
                 continue
             x_lo, x_hi = float(x.min()), float(x.max())
+            marks_arr = np.asarray(spec.get("marks", []), dtype="d").ravel()
+            marks_arr = marks_arr[np.isfinite(marks_arr)]
+            if marks_arr.size:
+                # the x domain must COVER the marks: a motif-pair scatter's
+                # own x-extent collapses to its points, and clipping rules
+                # to that extent silently dropped the pair's other member
+                x_lo = min(x_lo, float(marks_arr.min()))
+                x_hi = max(x_hi, float(marks_arr.max()))
             y_lo, y_hi = float(y.min()), float(y.max())
             px = _svg_scale(x, x_lo, x_hi, pad, width - pad)
             # SVG y grows downward
             py = _svg_scale(y, y_lo, y_hi, height - pad, top)
-            for m in np.asarray(spec.get("marks", []), dtype="d").ravel():
-                if x_lo <= m <= x_hi:
-                    mx = _svg_scale(np.array([m]), x_lo, x_hi, pad,
-                                    width - pad)[0]
-                    body.append(
-                        f'<line x1="{mx:.1f}" y1="{top}" x2="{mx:.1f}" '
-                        f'y2="{height - pad}" stroke="#c33" '
-                        f'stroke-dasharray="4 3"/>')
+            for m in marks_arr:
+                mx = _svg_scale(np.array([m]), x_lo, x_hi, pad,
+                                width - pad)[0]
+                body.append(
+                    f'<line x1="{mx:.1f}" y1="{top}" x2="{mx:.1f}" '
+                    f'y2="{height - pad}" stroke="#c33" '
+                    f'stroke-dasharray="4 3"/>')
             if spec["kind"] == "line":
                 # cap point count so corpus-scale profiles render small
                 step = max(1, x.size // 2048)

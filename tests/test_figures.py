@@ -150,3 +150,25 @@ def test_named_plot_functions(sampledata):
     snips = K.snippets(ts, 64)
     figs = V.plot_snippets(snips, ts)
     assert len(figs) == len(snips)
+
+
+def test_motif_rules_cover_both_pair_members(mp_profile):
+    """The motif scatter's own x-extent collapses to its points; the SVG
+    mark rules must still cover BOTH members of every motif pair (the
+    x domain expands to the marks instead of clipping to the scatter)."""
+    from matrixprofile_1_ray.visualize import plot_data, render_svg
+
+    data = plot_data(mp_profile)
+    assert "motifs" in data and len(data["motifs"]["marks"]) >= 2
+    svg = render_svg(mp_profile)["motifs"]
+    assert svg.count("stroke-dasharray") == len(data["motifs"]["marks"])
+
+
+def test_stats_plot_data_includes_time_series_panel(sampledata):
+    from matrixprofile_1_ray.visualize import plot_data
+
+    import matrixprofile_1_ray.kernels as K
+
+    data = plot_data(K.statistics(sampledata, 16))
+    assert "time_series" in data
+    assert len(data["time_series"]["y"]) == len(sampledata)
