@@ -65,10 +65,9 @@ def to_disk(profile: dict, file_path: str, format: str = "json"):
     if not file_path.endswith(f".{fmt}"):
         file_path += f".{fmt}"
     if fmt == "mpf":
-        from .mpf import to_mpf
+        from .mpf import to_disk_mpf
 
-        with open(file_path, "wb") as fh:
-            fh.write(to_mpf(profile))
+        to_disk_mpf(profile, file_path)
         return file_path
     with open(file_path, "w") as fh:
         fh.write(to_json(profile))
@@ -77,14 +76,26 @@ def to_disk(profile: dict, file_path: str, format: str = "json"):
 
 def from_disk(file_path: str, format: str = "infer") -> dict:
     """Read a profile back; ``format='infer'`` dispatches on the extension
-    like the reference (io/__io.py:216-245)."""
-    if not os.path.exists(file_path) and os.path.exists(file_path + ".json"):
-        file_path += ".json"
-    fmt = infer_file_format(file_path) if format == "infer" else format
+    like the reference (io/__io.py:216-245).  A bare path written by
+    to_disk is symmetric for BOTH formats: the extension fallback tries
+    .json and .mpf, not just .json."""
+    if not os.path.exists(file_path):
+        for ext in sorted(SUPPORTED_EXTS):
+            if os.path.exists(f"{file_path}.{ext}"):
+                file_path += f".{ext}"
+                break
+    if format == "infer":
+        fmt = infer_file_format(file_path)
+    elif format in SUPPORTED_EXTS:
+        fmt = format
+    else:
+        # validate like to_disk does: an unknown format silently falling
+        # through to the JSON branch surfaces as a confusing decode error
+        raise ValueError(f"format must be 'infer' or one of "
+                         f"{sorted(SUPPORTED_EXTS)}")
     if fmt == "mpf":
-        from .mpf import from_mpf
+        from .mpf import from_disk_mpf
 
-        with open(file_path, "rb") as fh:
-            return from_mpf(fh.read())
+        return from_disk_mpf(file_path)
     with open(file_path) as fh:
         return from_json(fh.read())

@@ -285,7 +285,7 @@ def from_mpf(buf: bytes) -> dict:
     mp_msg = pmp_msg = None
     motifs: list = []
     discords: list = []
-    cmp_ = av = None
+    ts_b = query_b = cmp_b = av_b = None
     av_type = ""
     for field, wt, v in _iter_fields(buf):
         if field == 1:
@@ -301,24 +301,35 @@ def from_mpf(buf: bytes) -> dict:
                 windows.extend(_decode_packed_varints(v, signed=False))
             else:
                 windows.append(v)
+        # embedded-message fields (6-9, 12, 13): proto3 MERGE semantics —
+        # a conforming writer may emit the same submessage as several
+        # records (e.g. mp matrix in one, pi/ez in another), and the
+        # standard merge is "parse the concatenation"; replacing would
+        # silently drop every record but the last
         elif field == 6:
-            out["data"]["ts"] = _decode_matrix(v, signed=False)
+            ts_b = (ts_b or b"") + v
         elif field == 7:
-            out["data"]["query"] = _decode_matrix(v, signed=False)
+            query_b = (query_b or b"") + v
         elif field == 8:
-            mp_msg = v
+            mp_msg = (mp_msg or b"") + v
         elif field == 9:
-            pmp_msg = v
+            pmp_msg = (pmp_msg or b"") + v
         elif field == 10:
             motifs.append(_decode_motif(v))
         elif field == 11:
             discords.append(_decode_location(v))
         elif field == 12:
-            cmp_ = _decode_matrix(v, signed=False)
+            cmp_b = (cmp_b or b"") + v
         elif field == 13:
-            av = _decode_matrix(v, signed=False)
+            av_b = (av_b or b"") + v
         elif field == 14:
             av_type = v.decode()
+    if ts_b is not None:
+        out["data"]["ts"] = _decode_matrix(ts_b, signed=False)
+    if query_b is not None:
+        out["data"]["query"] = _decode_matrix(query_b, signed=False)
+    cmp_ = None if cmp_b is None else _decode_matrix(cmp_b, signed=False)
+    av = None if av_b is None else _decode_matrix(av_b, signed=False)
 
     is_one_dimensional = False
     if out["class"] == "MatrixProfile":

@@ -26,11 +26,35 @@ def fetch_available(root: str, category: str | None = None) -> list[dict]:
     for name in sorted(os.listdir(root)):
         path = os.path.join(root, name)
         if name.endswith(".parquet") or (
-                os.path.isdir(path)
-                and any(f.endswith(".parquet") for f in os.listdir(path))):
+                os.path.isdir(path) and _has_parquet(path)):
             out.append({"name": name.removesuffix(".parquet"),
                         "category": None, "path": path})
+    if category:
+        # the manifest branch filters; the fallback must agree (directory
+        # entries carry category=None, so a category filter matches none)
+        out = [e for e in out
+               if (e.get("category") or "").lower() == category.lower()]
     return out
+
+
+def _has_parquet(path: str, max_depth: int = 3) -> bool:
+    """True if any .parquet file exists under ``path`` within a few
+    levels — hive-partitioned datasets (write_profiles with
+    partition_cols) nest files under key=value directories, so a
+    one-level listdir scan would miss them entirely."""
+    if max_depth < 0:
+        return False
+    try:
+        entries = sorted(os.listdir(path))
+    except NotADirectoryError:
+        return False
+    for name in entries:
+        sub = os.path.join(path, name)
+        if name.endswith(".parquet"):
+            return True
+        if os.path.isdir(sub) and _has_parquet(sub, max_depth - 1):
+            return True
+    return False
 
 
 def load(root: str, name: str):
@@ -38,9 +62,19 @@ def load(root: str, name: str):
     import ray.data
 
     for entry in fetch_available(root):
-        if entry["name"] == name:
+        if entry.get("name") == name:
+            path = entry.get("path")
+            if not path:
+                raise ValueError(
+                    f"catalog entry {name!r} in listings.json has no "
+                    f"'path' key")
+            # manifest paths may be authored relative to the CATALOG
+            # directory; resolving them against the process CWD instead
+            # would read a different (or missing) file
+            if not os.path.isabs(path) and "://" not in path:
+                path = os.path.join(root, path)
             from ..io.readers import read_parquet_clean
-            return read_parquet_clean(entry["path"])
+            return read_parquet_clean(path)
     raise ValueError(f"dataset {name!r} not found under {root}")
 
 

@@ -309,3 +309,36 @@ def test_per_source_stats_parity(ray_session):
     b = oracle[cols].sort_values("source").reset_index(drop=True)
     for c in cols:
         np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy(), err_msg=c)
+
+
+def test_catalog_finds_partitioned_datasets_and_relative_manifest(tmp_path):
+    """Hive-partitioned datasets nest parquet under key=value dirs (one-
+    level scans miss them); manifest paths resolve against the CATALOG
+    dir, not the process CWD; the no-manifest branch honors category."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from matrixprofile_1_ray.sources.catalog import fetch_available, load
+
+    root = tmp_path / "catalog"
+    (root / "deep" / "bucket=0").mkdir(parents=True)
+    _pq.write_table(pa.table({"x": [1, 2]}),
+                    str(root / "deep" / "bucket=0" / "part.parquet"))
+    found = {e["name"] for e in fetch_available(str(root))}
+    assert "deep" in found
+    # category filter in the fallback branch matches nothing (entries
+    # carry category=None) instead of returning everything unfiltered
+    assert fetch_available(str(root), category="ecg") == []
+
+    # manifest with a path relative to the catalog dir
+    _pq.write_table(pa.table({"x": [3]}), str(root / "flat.parquet"))
+    (root / "listings.json").write_text(_json.dumps(
+        [{"name": "flat", "path": "flat.parquet", "category": "ecg"}]))
+    assert load(str(root), "flat").count() == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no 'path'"):
+        (root / "listings.json").write_text(
+            _json.dumps([{"name": "broken"}]))
+        load(str(root), "broken")

@@ -232,3 +232,78 @@ def test_mpf_wire_compatible_with_protobuf():
     np.testing.assert_allclose(back["mp"], profile["mp"])
     np.testing.assert_equal(back["pi"], profile["pi"])
     np.testing.assert_allclose(back["data"]["ts"], ts)
+
+
+def test_from_disk_bare_path_roundtrips_both_formats(tmp_path):
+    """to_disk appends the extension; from_disk with the same bare path
+    must find the file for BOTH formats (the fallback used to try only
+    .json, breaking the symmetric mpf round-trip)."""
+    from matrixprofile_1_ray.io.json_io import from_disk, to_disk
+
+    prof = {"class": "MatrixProfile", "algorithm": "mpx",
+            "metric": "euclidean", "sample_pct": 1.0, "w": 4,
+            "ez": 1, "join": False,
+            "mp": np.array([1.0, 2.0]), "pi": np.array([1, 0]),
+            "lmp": None, "lpi": None, "rmp": None, "rpi": None,
+            "data": {"ts": np.arange(8, dtype="d"), "query": None}}
+    for fmt in ("json", "mpf"):
+        bare = str(tmp_path / f"prof_{fmt}")
+        to_disk(prof, bare, format=fmt)
+        back = from_disk(bare)
+        np.testing.assert_array_equal(back["mp"], prof["mp"])
+    with pytest.raises(ValueError, match="format must be"):
+        from_disk(str(tmp_path / "prof_json.json"), format="parquet")
+
+
+def test_from_mpf_merges_split_submessages():
+    """proto3 merge semantics: a writer may emit the same embedded
+    message as several records; parsers must treat them as the
+    concatenation, not keep only the last."""
+    from matrixprofile_1_ray.io.mpf import (
+        _f_bytes,
+        _iter_fields,
+        from_mpf,
+        to_mpf,
+    )
+
+    prof = {"class": "MatrixProfile", "algorithm": "mpx",
+            "metric": "euclidean", "sample_pct": 1.0, "w": 4,
+            "ez": 1, "join": False,
+            "mp": np.array([1.0, 2.0]), "pi": np.array([1, 0]),
+            "lmp": None, "lpi": None, "rmp": None, "rpi": None,
+            "data": {"ts": np.arange(8, dtype="d"), "query": None}}
+    buf = to_mpf(prof)
+    # rebuild the top-level message, splitting the field-8 (MP
+    # submessage) record into two consecutive field-8 records at an
+    # inner record boundary
+    rebuilt = b""
+    for field, wt, v in _iter_fields(buf):
+        if field == 8:
+            inner = list(_iter_fields(v))
+            assert len(inner) >= 2
+            # locate the byte boundary after the first inner record by
+            # probing prefixes until exactly one record parses cleanly
+            first_len = None
+            for cut in range(1, len(v)):
+                try:
+                    got = list(_iter_fields(v[:cut]))
+                except Exception:
+                    continue
+                if len(got) == 1 and got[0][0] == inner[0][0] and \
+                        got[0][2] == inner[0][2]:
+                    first_len = cut
+                    break
+            assert first_len is not None
+            rebuilt += _f_bytes(8, v[:first_len])
+            rebuilt += _f_bytes(8, v[first_len:])
+        elif wt == 2:
+            rebuilt += _f_bytes(field, v)
+        elif wt == 1:  # fixed64: v is the raw 8 bytes
+            from matrixprofile_1_ray.io.mpf import _tag
+            rebuilt += _tag(field, 1) + v
+        else:          # varint
+            from matrixprofile_1_ray.io.mpf import _f_varint
+            rebuilt += _f_varint(field, int(v))
+    back = from_mpf(rebuilt)
+    np.testing.assert_array_equal(back["mp"], prof["mp"])
+    np.testing.assert_array_equal(back["pi"], prof["pi"])
