@@ -58,6 +58,7 @@ def compute(ts, windows=None, query=None, sample_pct: float = 1,
 
     if no_windows and threshold is not None:
         partial = maximum_subsequence(ts, threshold, include_pmp=True)
+        _require_upper_window(partial, threshold)
         windows = range(8, partial["upper_window"] + 1)
         return skimp(ts, windows=windows, sample_pct=sample_pct,
                      pmp_obj=partial)
@@ -67,6 +68,18 @@ def compute(ts, windows=None, query=None, sample_pct: float = 1,
         return mpx(ts, int(windows), query=query)
     return scrimp_plus_plus(ts, int(windows), query=query,
                             sample_pct=sample_pct)
+
+
+def _require_upper_window(partial, threshold) -> None:
+    """maximum_subsequence returns np.nan (with a warning) when no window
+    clears the correlation threshold — e.g. white noise.  The reference
+    then crashes with an opaque ``TypeError: 'float' object is not
+    subscriptable``; raise the actionable error instead."""
+    if not isinstance(partial, dict):
+        raise ValueError(
+            f"no window size reaches correlation threshold {threshold}: "
+            f"the series has no repeated structure to profile — lower the "
+            f"threshold or pass explicit windows=")
 
 
 def analyze(ts, query=None, windows=None, sample_pct: float = 1.0,
@@ -107,7 +120,12 @@ def analyze(ts, query=None, windows=None, sample_pct: float = 1.0,
                            windows=None if no_window else windows)
     if sample_pct >= 1:
         return analyze_mp_exact(ts, query, windows)
-    return analyze_mp_approximate(ts, query, windows, sample_pct)
+    if sample_pct > 0:
+        return analyze_mp_approximate(ts, query, windows, sample_pct)
+    # reference analyze.py:270: a single window with sample_pct <= 0 is
+    # neither exact nor approximate — running scrimp++ with 0 samples
+    # would return a meaningless profile instead of this contract error
+    raise RuntimeError("Param combination resulted in an uknown operation")
 
 
 def _discover_and_figures(profile):
@@ -151,6 +169,7 @@ def analyze_pmp(ts, query, sample_pct, threshold, windows=None,
     partial = None
     if windows is None:
         partial = maximum_subsequence(ts, threshold, include_pmp=True)
+        _require_upper_window(partial, threshold)
         windows = range(8, partial["upper_window"] + 1)
     return _discover_and_figures(
         skimp(ts, windows=windows, sample_pct=sample_pct, pmp_obj=partial))

@@ -38,9 +38,11 @@ def compute(ds, windows=None, sample_pct: float = 1.0,
 
     if windows is None:
         # upper-window search per doc, then PMP rows over 8..upper — the
-        # reference's no-windows dispatch (compute.py:116-127)
+        # reference's no-windows dispatch (compute.py:116-127), with
+        # sample_pct passed through to the anytime PMP truncation
         return ds.map_batches(
-            lambda b: threshold_pmp_batch(b, threshold=threshold),
+            lambda b: threshold_pmp_batch(b, threshold=threshold,
+                                          sample_pct=sample_pct),
             batch_format="pyarrow")
     # normalize any iterable (list/tuple/range/ndarray); a single-element
     # sequence collapses to the scalar dispatch like the reference
@@ -50,11 +52,19 @@ def compute(ds, windows=None, sample_pct: float = 1.0,
         if not windows:
             raise ValueError("windows must be a non-empty iterable, an "
                              "int, or None (threshold dispatch)")
+        if any(w < 4 for w in windows):
+            raise ValueError(
+                "Compute requires all window sizes to be greater than 3!")
         if len(windows) > 1:
             return ds.map_batches(lambda b: pmp_batch(b, windows),
                                   batch_format="pyarrow")
         windows = windows[0]
     w = int(windows)
+    if w < 4:
+        # same contract as api.compute / the reference: w<4 produces
+        # degenerate (all-zero) profiles, not an approximation
+        raise ValueError(
+            "Compute requires all window sizes to be greater than 3!")
     algorithm = "mpx" if sample_pct >= 1 else "scrimp++"
     return ds.map_batches(
         lambda b: compute_profiles_batch(b, w=w, algorithm=algorithm,
@@ -65,13 +75,15 @@ def compute(ds, windows=None, sample_pct: float = 1.0,
 def analyze(ds, window: int, sample_pct: float = 1.0):
     """Profile + discover chain (reference analyze.py:87-125): returns
     (profiles, discords, motifs, regimes) Datasets sharing one profile
-    stage."""
+    stage.  The profile stage MATERIALIZES: four lazy consumers off one
+    un-materialized stage would each re-execute the whole MPX compute
+    (verified 4x re-runs) — the same reason flagship.py materializes."""
     profiles = ds.map_batches(
         lambda b: compute_profiles_batch(
             b, w=window,
             algorithm="mpx" if sample_pct >= 1 else "scrimp++",
             sample_pct=sample_pct, keep_tokens=True),
-        batch_format="pyarrow", batch_size=256)
+        batch_format="pyarrow", batch_size=256).materialize()
     discords = profiles.map_batches(discords_batch, batch_format="pyarrow")
     motifs = profiles.map_batches(motifs_batch, batch_format="pyarrow")
     regimes = profiles.map_batches(regimes_batch, batch_format="pyarrow")

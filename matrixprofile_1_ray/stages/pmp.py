@@ -62,11 +62,15 @@ def pmp_batch(batch: pa.Table, windows=None, sample_pct: float = 0.1) -> pa.Tabl
     return _pmp_rows(batch, select)
 
 
-def threshold_pmp_batch(batch: pa.Table, threshold: float = 0.98) -> pa.Table:
+def threshold_pmp_batch(batch: pa.Table, threshold: float = 0.98,
+                        sample_pct: float = 1.0) -> pa.Table:
     """The reference's no-windows compute() dispatch (compute.py:116-127):
     per doc, ``maximum_subsequence`` finds the upper window, then the PMP
-    covers ``range(8, upper + 1)``; docs with no admissible upper window
-    emit no rows.  Same output schema as :func:`pmp_batch`."""
+    covers ``range(8, upper + 1)`` in BFS order truncated by
+    ``sample_pct`` (exactly skimp's anytime truncation, skimp.py:161-185
+    — the reference passes sample_pct through to the PMP sweep); docs
+    with no admissible upper window emit no rows.  Same output schema as
+    :func:`pmp_batch`."""
     import warnings
 
     def select(ts):
@@ -78,7 +82,12 @@ def threshold_pmp_batch(batch: pa.Table, threshold: float = 0.98) -> pa.Table:
         if upper is None or (isinstance(upper, float) and np.isnan(upper)) \
                 or int(upper) < 8:
             return []
-        return range(8, int(upper) + 1)
+        wins = list(range(8, int(upper) + 1))
+        if sample_pct < 1:
+            order = binary_split(len(wins))
+            last = min(len(order), int(np.floor(len(order) * sample_pct)))
+            return [wins[j] for j in order[:last]]
+        return wins
 
     return _pmp_rows(batch, select)
 

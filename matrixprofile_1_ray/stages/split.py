@@ -144,10 +144,15 @@ def split_sql(table: str = "documents", key: str = "doc_id",
     falls through every WHEN to the ELSE/last bucket, matching the
     engine's clamp."""
     bounds = split_thresholds(ratios)
-    case = "CASE\n"
-    for name, upper in bounds[:-1]:
-        case += f"  WHEN frac < {upper!r} THEN '{name}'\n"
-    case += f"  ELSE '{bounds[-1][0]}'\nEND"
+    if len(bounds) == 1:
+        # a CASE with zero WHEN clauses is a DuckDB parser error; a
+        # single-ratio split assigns everything to that bucket
+        case = f"'{bounds[0][0]}'"
+    else:
+        case = "CASE\n"
+        for name, upper in bounds[:-1]:
+            case += f"  WHEN frac < {upper!r} THEN '{name}'\n"
+        case += f"  ELSE '{bounds[-1][0]}'\nEND"
     return f"""
 WITH h AS (
   SELECT CAST({key} AS VARCHAR) AS {key},

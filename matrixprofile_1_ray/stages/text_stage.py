@@ -169,7 +169,13 @@ def per_source_partials_batch(batch: pa.Table) -> pa.Table:
         n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"),
         tok_sum=("tok_sum", "sum"), tok_min=("tok_min", "min"),
         tok_max=("tok_max", "max"))
-    return pa.Table.from_pandas(g, preserve_index=False)
+    # explicit schema: a 0-row batch would otherwise infer source: null
+    # (pandas empty object column) and hand the groupby shuffle blocks
+    # with divergent schemas
+    return pa.Table.from_pandas(g, preserve_index=False, schema=pa.schema([
+        ("source", pa.string()), ("n_docs", pa.int64()),
+        ("n_tokens", pa.int64()), ("tok_sum", pa.int64()),
+        ("tok_min", pa.float64()), ("tok_max", pa.float64())]))
 
 
 def per_source_stats(ds):
@@ -239,7 +245,9 @@ def per_source_token_quantiles(ds, qs=(0.5, 0.9, 0.99)):
         row = {"source": g["source"].iloc[0], "n_tokens": n}
         for q in qs:
             rank = int(np.ceil(q * n)) - 1
-            row[f"p{int(q * 100)}"] = int(toks[np.searchsorted(cum, rank + 1)])
+            # round, not int(): 0.29*100 == 28.999... would truncate to p28
+            row[f"p{round(q * 100)}"] = int(
+                toks[np.searchsorted(cum, rank + 1)])
         return pd.DataFrame([row])
 
     return hist.groupby("source").map_groups(finish, batch_format="pandas")
@@ -268,7 +276,13 @@ def per_source_distinct_tokens(ds, salt_buckets: int = 32):
         df = pd.DataFrame({"source": src, "tok": values.astype(np.int64)})
         df = df.drop_duplicates()           # within-batch dedup
         df["salt"] = (df["tok"] % salt_buckets).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # explicit schema: an all-empty-docs (or 0-row) batch would
+        # otherwise emit source: null and diverge from string blocks
+        return pa.Table.from_pandas(df, preserve_index=False,
+                                    schema=pa.schema([
+                                        ("source", pa.string()),
+                                        ("tok", pa.int64()),
+                                        ("salt", pa.int64())]))
 
     def per_salt_distinct(g):
         import pandas as pd

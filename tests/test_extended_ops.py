@@ -243,3 +243,21 @@ def test_resize_stage_clamps_dims(ray_session):
     with pytest.raises(Exception):
         resize_stage(ray.data.from_arrow(small), max_w=8, max_h=8,
                      strict=True).take_all()
+
+
+def test_split_sql_single_bucket_is_valid_sql(tmp_path):
+    """A one-ratio split must not emit a WHEN-less CASE (DuckDB parser
+    error); everything lands in the single bucket."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from matrixprofile_1_ray.stages.split import split_sql
+
+    pq.write_table(pa.table({"doc_id": ["a", "b", "c"]}),
+                   str(tmp_path / "docs.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/docs.parquet')")
+    df = con.execute(split_sql(ratios=(("train", 1.0),))).df()
+    assert set(df["split"]) == {"train"} and len(df) == 3

@@ -1,6 +1,8 @@
 """Drop-in compute()/analyze() parity with the reference's dispatch
 (reference tests/test_compute.py:23-162, test_analyze.py)."""
 
+import warnings
+
 import numpy as np
 import pytest
 
@@ -200,3 +202,24 @@ def test_analyze_single_window_validation(sampledata):
         analyze(sampledata, windows=3)
     with pytest.raises(ValueError):
         analyze(sampledata, windows=[3, 16])
+
+
+def test_analyze_rejects_zero_sample_pct_single_window():
+    """reference analyze.py:270: single window + sample_pct <= 0 is
+    neither exact nor approximate — scrimp++ with 0 samples would return
+    a meaningless profile instead of this contract error."""
+    ts = np.sin(np.linspace(0, 10, 200))
+    with pytest.raises(RuntimeError, match="uknown operation"):
+        analyze(ts, windows=32, sample_pct=0.0)
+
+
+def test_compute_no_threshold_window_gives_actionable_error():
+    """When maximum_subsequence finds no window above the threshold it
+    returns np.nan; the reference then dies with TypeError('float' not
+    subscriptable) — the guard raises the actionable ValueError instead
+    (tested directly: a series guaranteed below an extreme threshold)."""
+    from matrixprofile_1_ray.api import _require_upper_window
+
+    with pytest.raises(ValueError, match="no window size reaches"):
+        _require_upper_window(np.nan, 0.98)
+    _require_upper_window({"upper_window": 16}, 0.98)  # dict passes
