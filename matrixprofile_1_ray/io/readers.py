@@ -30,8 +30,15 @@ def clean_read_schema(path: str, columns: list[str] | None = None):
         # un-partitioned dataset directory: any member file carries the
         # full schema (hive-partitioned trees don't — keep plain
         # read_parquet for those, see read_parquet_clean docstring)
-        path = next(os.path.join(path, f) for f in sorted(os.listdir(path))
-                    if f.endswith(".parquet"))
+        member = next((os.path.join(path, f)
+                       for f in sorted(os.listdir(path))
+                       if f.endswith(".parquet")), None)
+        if member is None:
+            raise ValueError(
+                f"{path!r} contains no top-level .parquet file to read a "
+                f"schema from (hive-partitioned trees need plain "
+                f"read_parquet)")
+        path = member
     schema = pq.read_schema(path).remove_metadata()
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])

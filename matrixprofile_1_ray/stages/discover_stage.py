@@ -29,6 +29,17 @@ def _iter_profiles(batch: pa.Table, need_ts: bool = False):
         ts_vals, ts_off = list_column_to_numpy(batch["tokens"])
     valid = batch["valid"].to_numpy(zero_copy_only=False)
     ws = batch["w"].to_numpy()
+    if "metric" in batch.column_names and len(batch):
+        # discord argmax / motif radius rules assume DISTANCES: a
+        # cross-correlation profile (values in [-1,1], larger=closer)
+        # processed as euclidean would return the most SIMILAR windows
+        # as top discords — refuse rather than silently invert
+        metrics = set(batch["metric"].to_pylist())
+        bad = metrics - {"euclidean", None}
+        if bad:
+            raise ValueError(
+                f"discover stages need euclidean profiles, got metric(s) "
+                f"{sorted(bad)}; recompute without cross_correlation")
     for i in range(len(batch)):
         if not valid[i]:
             continue
@@ -84,7 +95,14 @@ def motifs_batch(batch: pa.Table, k: int = 3, max_neighbors: int = 10,
             firsts.append(int(motif["motifs"][0]))
             seconds.append(int(motif["motifs"][1]))
             neighbors.append([int(x) for x in motif["neighbors"]])
-            dists.append(float(mp[motif["motifs"][0]]))
+            # the pair's distance is the kernel's min_dist = mp at the
+            # argmin endpoint; mp[first] alone is wrong whenever the
+            # SMALLER index is not the argmin (its own mp points at a
+            # different, earlier-excluded neighbor).  min over the pair
+            # recovers the argmin's value exactly (for the global-min
+            # pair both endpoints agree, so rank 0 is unchanged).
+            a, b = motif["motifs"][0], motif["motifs"][1]
+            dists.append(float(min(mp[a], mp[b])))
     return pa.table({
         "doc_id": pa.array(doc_ids, pa.string()),
         "rank": pa.array(ranks, pa.int32()),
@@ -101,6 +119,10 @@ def regimes_batch(batch: pa.Table, num_regimes: int = 3) -> pa.Table:
     batch_docs = batch["doc_id"].to_pylist()
     for i, prof in _iter_profiles(batch):
         if prof["mp"].shape[0] <= 2 * prof["w"]:
+            # intentional: profiles too short for one full arc window
+            # yield a degenerate all-ones CAC (no regime information);
+            # emitting no row is this engine's contract, and the
+            # regimes_small SQL oracle encodes the same drop
             continue
         cac = fluss(prof)
         prof["cac"] = cac

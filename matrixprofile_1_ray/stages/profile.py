@@ -18,7 +18,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-from ..functions.tokenize import list_column_to_numpy
+from ..functions.tokenize import list_column_to_numpy, numpy_to_list_column
 from ..kernels.mpx import mpx_self
 
 
@@ -54,6 +54,11 @@ def compute_profiles_batch(batch: pa.Table, w: int = 32,
         # metric-dependent conversions
         raise ValueError("cross_correlation output requires "
                          "algorithm='mpx' (reference mpx.py:24-31)")
+    if algorithm not in ("mpx", "stomp", "scrimp++"):
+        # validate UPFRONT like the flag checks above: the per-row check
+        # alone lets a typo'd algorithm pass silently through any batch
+        # whose rows are all shorter than 2*w
+        raise ValueError(f"unknown algorithm: {algorithm}")
     values, offsets = list_column_to_numpy(batch["tokens"])
     n_rows = len(batch)
 
@@ -92,15 +97,17 @@ def compute_profiles_batch(batch: pa.Table, w: int = 32,
 
     flat_mp = np.concatenate(mp_parts) if mp_parts else np.empty(0, "d")
     flat_pi = np.concatenate(pi_parts) if pi_parts else np.empty(0, np.int64)
-    off32 = pa.array(out_offsets.astype(np.int32), type=pa.int32())
+    # numpy_to_list_column falls back to large_list past int32 — a raw
+    # astype(int32) would silently wrap offsets for a batch of ~10M-token
+    # rows and corrupt every list column
     cols = {
         "doc_id": batch["doc_id"],
         "source": batch["source"],
         "n_tok": batch["n_tok"],
         "w": pa.array(np.full(n_rows, w, dtype=np.int32)),
         "valid": pa.array(valid),
-        "mp": pa.ListArray.from_arrays(off32, pa.array(flat_mp, pa.float64())),
-        "pi": pa.ListArray.from_arrays(off32, pa.array(flat_pi, pa.int64())),
+        "mp": numpy_to_list_column(flat_mp, out_offsets, pa.float64()),
+        "pi": numpy_to_list_column(flat_pi, out_offsets, pa.int64()),
         "algorithm": pa.array([algorithm] * n_rows, pa.string()),
         # explicit type: an all-filtered (0-row) batch must still emit
         # string-typed metric or its block's schema (metric: null) breaks
@@ -116,7 +123,7 @@ def compute_profiles_batch(batch: pa.Table, w: int = 32,
             flat = np.concatenate(parts) if parts else np.empty(
                 0, np.int64 if key.endswith("pi") else "d")
             typ = pa.int64() if key.endswith("pi") else pa.float64()
-            cols[key] = pa.ListArray.from_arrays(off32, pa.array(flat, typ))
+            cols[key] = numpy_to_list_column(flat, out_offsets, typ)
     return pa.table(cols)
 
 

@@ -63,6 +63,14 @@ def bucket_reduce(values: np.ndarray, offsets: np.ndarray, bucket: int):
     pos_or_big = np.where(is_min, pos, np.iinfo(np.int64).max)
     argmin_flat = np.minimum.reduceat(pos_or_big, starts)
     argmin_in_row = argmin_flat - offsets[row_of_bucket]
+    # a bucket containing NaN has a NaN min (minimum propagates NaN) and
+    # therefore NO position equal to it — the reduce then returns
+    # int64-max minus the row offset, a plausible-looking garbage index;
+    # pin the sentinel -1 instead (the min/max/sum columns surface the
+    # NaN, the argmin must not invent a location)
+    nan_min = np.isnan(mins)
+    if nan_min.any():
+        argmin_in_row = np.where(nan_min, np.int64(-1), argmin_in_row)
 
     return row_of_bucket, bucket_idx, mins, maxs, sums, counts, argmin_in_row
 

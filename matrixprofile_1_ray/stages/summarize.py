@@ -139,14 +139,13 @@ def corrected_profile_batch(batch: pa.Table, av: str = "complexity") -> pa.Table
         av_parts.append(vec)
         cmp_parts.append(mp + (1 - vec) * np.max(mp))
 
-    lens = np.array([len(x) for x in av_parts], dtype=np.int64)
-    off = pa.array(np.concatenate(([0], np.cumsum(lens))).astype(np.int32),
-                   pa.int32())
-    flat_av = np.concatenate(av_parts) if av_parts else np.empty(0)
-    flat_cmp = np.concatenate(cmp_parts) if cmp_parts else np.empty(0)
+    # shared builder (one concatenate + offsets, large_list fallback past
+    # int32) instead of a hand-rolled copy with an unguarded int32 cast
+    from ..functions.tokenize import list_column_from_parts
+
     batch = batch.append_column(
-        "av", pa.ListArray.from_arrays(off, pa.array(flat_av, pa.float64())))
+        "av", list_column_from_parts(av_parts, pa.float64()))
     batch = batch.append_column(
-        "cmp", pa.ListArray.from_arrays(off, pa.array(flat_cmp, pa.float64())))
+        "cmp", list_column_from_parts(cmp_parts, pa.float64()))
     return batch.append_column("av_type",
                                pa.array([av] * len(batch), pa.string()))

@@ -212,3 +212,50 @@ def test_min_top2_margin_fails_closed_on_degenerate_rows():
     # healthy input still returns the true minimum gap
     ok = np.array([[0.9, 0.2, 0.1], [0.8, 0.5, 0.3]])
     assert min_top2_margin(ok) == pytest.approx(0.3)
+
+
+def test_bucket_reduce_nan_bucket_argmin_sentinel():
+    """A bucket containing NaN has a NaN min and no matching position —
+    the argmin must be the sentinel -1, not int64-max minus the offset."""
+    from matrixprofile_1_ray.stages.rollup import bucket_reduce
+
+    vals = np.array([np.nan, np.nan, 1.0, 5.0], dtype="d")
+    offsets = np.array([0, 4], dtype=np.int64)
+    row, bidx, mins, maxs, sums, counts, argmin = bucket_reduce(
+        vals, offsets, 2)
+    assert np.isnan(mins[0]) and argmin[0] == -1
+    assert mins[1] == 1.0 and argmin[1] == 2
+
+
+def test_discover_stage_rejects_cross_correlation_profiles():
+    """Discord argmax on a Pearson profile would return the most SIMILAR
+    windows as discords — the stage must refuse mislabeled metrics."""
+    from matrixprofile_1_ray.stages.discover_stage import discords_batch
+    from matrixprofile_1_ray.stages.profile import compute_profiles_batch
+
+    table = synthetic_sequences_table(4, seed=11)
+    prof = compute_profiles_batch(table, w=16, cross_correlation=True)
+    with pytest.raises(ValueError, match="euclidean profiles"):
+        discords_batch(prof)
+
+
+def test_motif_dist_is_the_pair_distance():
+    """motif_dist must equal the kernel's min_dist (the mp value at the
+    argmin endpoint) — mp at the smaller index alone can be a DIFFERENT
+    pair's distance when that index's own nearest neighbor was excluded
+    by an earlier rank."""
+    from matrixprofile_1_ray.stages.discover_stage import motifs_batch
+    from matrixprofile_1_ray.stages.profile import compute_profiles_batch
+
+    table = synthetic_sequences_table(6, seed=3)
+    prof = compute_profiles_batch(table, w=16, keep_tokens=True)
+    out = motifs_batch(prof, k=3).to_pandas()
+    assert len(out) > 0
+    from matrixprofile_1_ray.functions.tokenize import list_column_to_numpy
+    mp_vals, mp_off = list_column_to_numpy(prof["mp"])
+    docs = prof["doc_id"].to_pylist()
+    for _, r in out.iterrows():
+        i = docs.index(r.doc_id)
+        mp = mp_vals[mp_off[i]:mp_off[i + 1]]
+        assert r.motif_dist == min(mp[int(r.motif_first)],
+                                   mp[int(r.motif_second)])
