@@ -335,33 +335,35 @@ def from_mpf(buf: bytes) -> dict:
     if out["class"] == "MatrixProfile":
         sub = {"mp": None, "pi": None, "lmp": None, "lpi": None,
                "rmp": None, "rpi": None, "ez": 0, "join": False}
+        # inner embedded Matrix fields follow the same proto3 MERGE rule as
+        # the top-level ones: accumulate bytes per field number, decode the
+        # concatenation once after the loop (last-wins would drop records)
+        mat_b = {1: None, 2: None, 3: None, 4: None, 5: None, 6: None}
         for field, _wt, v in _iter_fields(mp_msg or b""):
-            if field == 1:
-                sub["mp"] = _decode_matrix(v, signed=False)
-            elif field == 2:
-                sub["pi"] = _decode_matrix(v, signed=True)
-            elif field == 3:
-                sub["lmp"] = _decode_matrix(v, signed=False)
-            elif field == 4:
-                sub["lpi"] = _decode_matrix(v, signed=True)
-            elif field == 5:
-                sub["rmp"] = _decode_matrix(v, signed=False)
-            elif field == 6:
-                sub["rpi"] = _decode_matrix(v, signed=True)
+            if field in mat_b:
+                mat_b[field] = (mat_b[field] or b"") + v
             elif field == 9:
                 sub["ez"] = v
             elif field == 10:
                 sub["join"] = bool(v)
+        for field, key, signed in ((1, "mp", False), (2, "pi", True),
+                                   (3, "lmp", False), (4, "lpi", True),
+                                   (5, "rmp", False), (6, "rpi", True)):
+            if mat_b[field] is not None:
+                sub[key] = _decode_matrix(mat_b[field], signed=signed)
         out.update(sub)
         out["w"] = int(windows[0]) if windows else 0
         is_one_dimensional = out["mp"] is not None and out["mp"].ndim == 1
     elif out["class"] == "PMP":
         out["pmp"] = out["pmpi"] = None
+        pmp_b = {1: None, 2: None}
         for field, _wt, v in _iter_fields(pmp_msg or b""):
-            if field == 1:
-                out["pmp"] = _decode_matrix(v, signed=False)
-            elif field == 2:
-                out["pmpi"] = _decode_matrix(v, signed=True)
+            if field in pmp_b:
+                pmp_b[field] = (pmp_b[field] or b"") + v
+        if pmp_b[1] is not None:
+            out["pmp"] = _decode_matrix(pmp_b[1], signed=False)
+        if pmp_b[2] is not None:
+            out["pmpi"] = _decode_matrix(pmp_b[2], signed=True)
         out["windows"] = np.array(windows, dtype=np.int64)
 
     if discords:

@@ -85,7 +85,13 @@ def threshold_pmp_batch(batch: pa.Table, threshold: float = 0.98,
         wins = list(range(8, int(upper) + 1))
         if sample_pct < 1:
             order = binary_split(len(wins))
-            last = min(len(order), int(np.floor(len(order) * sample_pct)))
+            # floor but never to zero: the reference with last_index == 0
+            # still returns a PMP object for the doc (all-inf rows,
+            # skimp.py:181-185); a row-based stage that emitted nothing
+            # would silently drop the doc from the output instead, so keep
+            # at least the BFS-first window
+            last = min(len(order),
+                       max(1, int(np.floor(len(order) * sample_pct))))
             return [wins[j] for j in order[:last]]
         return wins
 

@@ -126,6 +126,12 @@ def hash_sample(ds, rate: float, key: str = "doc_id", seed: int = 2):
         raise ValueError(f"rate must be in [0, 1], got {rate}")
 
     def keep(batch: pa.Table) -> pa.Table:
+        # rate == 1.0 keeps EVERY row: `frac < 1.0` alone would drop keys
+        # whose hash fraction rounds to exactly 1.0 (the top ~2^7 of 2^61
+        # hash values), violating the module convention that frac == 1.0
+        # lands in the kept/last bucket (see assign_split_batch's clamp)
+        if rate >= 1.0:
+            return batch
         frac = keyed_hash_fraction(batch[key].cast(pa.string()), seed=seed)
         return batch.filter(pa.array(frac < rate))
 

@@ -307,3 +307,41 @@ def test_from_mpf_merges_split_submessages():
     back = from_mpf(rebuilt)
     np.testing.assert_array_equal(back["mp"], prof["mp"])
     np.testing.assert_array_equal(back["pi"], prof["pi"])
+
+
+def test_from_mpf_merges_split_inner_matrix_fields():
+    """Nested proto3 merge: a writer may emit MatrixProfile.mp (inner
+    field 1) as TWO Matrix records inside the field-8 submessage stream;
+    the parser must decode the concatenation, not keep only the last."""
+    from matrixprofile_1_ray.io.mpf import _f_bytes, _f_varint, from_mpf
+
+    # Matrix record A: rows=4, field-3 packed doubles [1.0, 2.0]
+    mat_a = _f_varint(1, 4) + _f_bytes(3, np.array([1.0, 2.0]).tobytes())
+    # Matrix record B: remaining packed doubles [3.0, 4.0]
+    mat_b = _f_bytes(3, np.array([3.0, 4.0]).tobytes())
+    # pi as one record (zigzag-free unsigned varints are what the
+    # engine's packed-signed decoder expects for small non-negatives)
+    pi = _f_varint(1, 4) + _f_bytes(3, b"\x01\x00\x03\x02")
+    mp_sub = _f_bytes(1, mat_a) + _f_bytes(1, mat_b) + _f_bytes(2, pi) \
+        + _f_varint(9, 1)
+    buf = (_f_bytes(1, b"MatrixProfile") + _f_bytes(2, b"mpx")
+           + _f_bytes(3, b"euclidean") + _f_varint(5, 4)
+           + _f_bytes(8, mp_sub))
+    back = from_mpf(buf)
+    np.testing.assert_array_equal(back["mp"], [1.0, 2.0, 3.0, 4.0])
+    np.testing.assert_array_equal(back["pi"], [1, 0, 3, 2])
+
+
+def test_from_mpf_merges_split_inner_pmp_fields():
+    """Same nested-merge rule for PMP.pmp (inner field 1)."""
+    from matrixprofile_1_ray.io.mpf import _f_bytes, _f_varint, from_mpf
+
+    mat_a = _f_varint(1, 2) + _f_varint(2, 2) \
+        + _f_bytes(3, np.array([1.0, 2.0]).tobytes())
+    mat_b = _f_bytes(3, np.array([3.0, 4.0]).tobytes())
+    pmp_sub = _f_bytes(1, mat_a) + _f_bytes(1, mat_b)
+    buf = (_f_bytes(1, b"PMP") + _f_bytes(2, b"skimp")
+           + _f_bytes(3, b"euclidean") + _f_varint(5, 8) + _f_varint(5, 9)
+           + _f_bytes(9, pmp_sub))
+    back = from_mpf(buf)
+    np.testing.assert_array_equal(back["pmp"], [[1.0, 2.0], [3.0, 4.0]])

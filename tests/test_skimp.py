@@ -102,3 +102,21 @@ def test_reference_positional_signatures_do_not_shift():
     assert p["metric"] == "pearson"
     u = maximum_subsequence(ts, 0.98, 0.05, 1)   # n_jobs positional
     assert isinstance(u, (int, np.integer))
+
+
+def test_threshold_pmp_tiny_sample_pct_keeps_doc():
+    """sample_pct truncation floors but never to zero windows: the
+    reference with last_index == 0 still returns a PMP object for the
+    doc (skimp.py:181-185), so the row-based stage must not silently
+    drop the doc from its output."""
+    import pyarrow as pa
+
+    from matrixprofile_1_ray.stages.pmp import threshold_pmp_batch
+
+    rng = np.random.default_rng(7)
+    ts = np.sin(np.linspace(0, 12, 64)) + 0.05 * rng.standard_normal(64)
+    batch = pa.table({"doc_id": ["d0"], "source": ["s0"],
+                      "tokens": [ts.tolist()]})
+    out = threshold_pmp_batch(batch, threshold=0.5, sample_pct=0.01)
+    assert out.num_rows >= 1
+    assert set(out["doc_id"].to_pylist()) == {"d0"}

@@ -131,3 +131,18 @@ def test_hash_sample_stable_and_nested(ray_session):
     assert 0 < len(small) < len(big) < 500
     with pytest.raises(ValueError):
         hash_sample(ds, 1.5)
+
+
+def test_hash_sample_rate_one_keeps_every_row(ray_session):
+    """rate=1.0 must keep ALL rows — module convention says frac == 1.0
+    (the top ~2^7 of 2^61 hash values rounding up in float64) lands in
+    the kept bucket, so the mask short-circuits instead of comparing
+    `frac < 1.0`."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.split import hash_sample
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet") \
+        .select_columns(["doc_id"])
+    n = ds.count()
+    assert hash_sample(ds, 1.0).count() == n
