@@ -778,6 +778,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return feats.map_batches(_explode_features,
                                  batch_format="pyarrow")
 
+    def media_png_features_query(sf_dir: str):
+        """REAL PNG decode path with a SQL oracle: PNG payloads built
+        from the SAME ASCII-doc raster bytes as media_real_features but
+        deflate-compressed with all five row filters cycling
+        (stages/multimodal.py: ascii_png_media_from_documents), pushed
+        through the actual stdlib-zlib inflate + vectorized unfiltering +
+        grid-luminance featurization — strict mode, so the stub cannot
+        mask a decode failure.  PNG is lossless, so the same SQL replay
+        as the PPM corpus verifies the whole chain: any unfiltering bug
+        changes pixel values and breaks the hash."""
+        import ray.data
+
+        from matrixprofile_1_ray.stages.multimodal import (
+            ascii_png_media_from_documents,
+        )
+
+        media = ray.data.from_arrow(
+            ascii_png_media_from_documents(sf_dir, n=64))
+        feats = media_features_stage(media, feature_dim=16, strict=True)
+
+        return feats.map_batches(_explode_features,
+                                 batch_format="pyarrow")
+
     def media_wav_features_query(sf_dir: str):
         """REAL audio decode path with a SQL oracle: PCM WAV payloads
         from ASCII doc text through the actual RIFF-chunk decode +
@@ -1114,6 +1137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tools/gate_check.py and their pytest suites verify them instead.
         "dataset_split": dataset_split_query,
         "media_real_features": media_real_features_query,
+        "media_png_features": media_png_features_query,
         "media_wav_features": media_wav_features_query,
     }
     # The driver verifies only the FIRST 50 dict entries against
@@ -2524,6 +2548,11 @@ GROUP BY seq.source
         # comment.
         "dataset_split": _dataset_split_sql(),
         "media_real_features": _media_real_features_sql(),
+        # PNG corpus carries the SAME text-derived raster bytes as the PPM
+        # one and PNG decode is lossless, so the featurization replay is
+        # the identical SQL — the Ray side differs (zlib inflate + all
+        # five unfilter paths), which is exactly what the hash check pins
+        "media_png_features": _media_real_features_sql(),
         "media_wav_features": _media_wav_features_sql(),
         "tiered_retention_read": _tiered_retention_sql(),
         "downsample_serve": _downsample_serve_sql(),

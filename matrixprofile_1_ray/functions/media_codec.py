@@ -228,3 +228,196 @@ def audio_features(samples: np.ndarray, dim: int) -> np.ndarray:
     counts = np.diff(np.append(edges, n))
     out[:g] = np.sqrt(sums / counts)
     return out
+
+
+# ------------------------------------------------------------------ PNG
+#
+# Self-contained 8-bit PNG codec: stdlib zlib inflate/deflate + NumPy
+# unfiltering.  Gray / gray+alpha / RGB / RGBA / palette, non-interlaced
+# (PNG spec ISO/IEC 15948).  Lossless, so decode(encode(img)) == img
+# bit-exactly and the featurization oracle replays end-to-end.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk, validating length and CRC."""
+    import zlib
+
+    i = 8
+    n = len(payload)
+    while i + 8 <= n:
+        (size,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + size]
+        if len(data) != size or i + 12 + size > n:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, i + 8 + size)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        i += 12 + size
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG stream missing IEND")
+
+
+def _paeth_predict(left, up, upleft):
+    """Vectorized Paeth predictor (PNG spec 9.4): nearest of left/up/
+    upleft to left+up-upleft, ties broken left, up, upleft."""
+    p = left + up - upleft
+    pa_ = np.abs(p - left)
+    pb = np.abs(p - up)
+    pc = np.abs(p - upleft)
+    return np.where((pa_ <= pb) & (pa_ <= pc), left,
+                    np.where(pb <= pc, up, upleft))
+
+
+def _unfilter_scanlines(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Inverse PNG filtering -> (h, w*bpp) uint8.  None/Up are whole-row
+    vectorized; Sub is a per-lane cumsum (recon[i] = sum of filtered bytes
+    mod 256); Average/Paeth carry a left-pixel dependence, so they walk
+    pixels with every per-step op vectorized across the bpp channels."""
+    stride = w * bpp
+    need = h * (stride + 1)
+    if len(raw) < need:
+        raise ValueError("PNG: inflated stream shorter than h scanlines")
+    rows = np.frombuffer(raw, np.uint8, count=need).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    if ftypes.size and ftypes.max(initial=0) > 4:
+        raise ValueError(f"PNG: invalid filter type {int(ftypes.max())}")
+    data = rows[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    for r in range(h):
+        f = int(ftypes[r])
+        cur = data[r]
+        if f == 0:
+            line = cur
+        elif f == 2:                                   # Up
+            line = (cur + prev) & 0xFF
+        elif f == 1:                                   # Sub
+            lanes = cur.reshape(-1, bpp)
+            line = (np.cumsum(lanes, axis=0) & 0xFF).reshape(-1)
+        else:                                          # Average / Paeth
+            lanes = cur.reshape(-1, bpp)
+            ups = prev.reshape(-1, bpp)
+            out = np.empty_like(lanes)
+            left = np.zeros(bpp, np.int64)
+            upleft = np.zeros(bpp, np.int64)
+            for i in range(lanes.shape[0]):
+                if f == 3:
+                    pred = (left + ups[i]) >> 1
+                else:
+                    pred = _paeth_predict(left, ups[i], upleft)
+                left = (lanes[i] + pred) & 0xFF
+                out[i] = left
+                upleft = ups[i]
+            line = out.reshape(-1)
+        recon[r] = line
+        prev = line
+    return recon.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG -> uint8 array: gray (h, w), gray+alpha
+    (h, w, 2), RGB (h, w, 3), RGBA (h, w, 4); palette images resolve
+    through PLTE to (h, w, 3)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat = b""
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_n, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13])
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    if ctype_n not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype_n}")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if w == 0 or h == 0:
+        raise ValueError("zero-size PNG")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
+    bpp = _PNG_CHANNELS[ctype_n]
+    px = _unfilter_scanlines(raw, h, w, bpp)
+    if ctype_n == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/invalid PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px.reshape(h, w)
+        if idx.max(initial=0) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return pal[idx]
+    out = px.reshape(h, w, bpp)
+    return out[:, :, 0] if bpp == 1 else out
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray, filters: str = "cycle") -> bytes:
+    """uint8 image -> 8-bit non-interlaced PNG.  ``filters="cycle"``
+    rotates None/Sub/Up/Average/Paeth by row (exercising every unfilter
+    path on decode); ``"none"`` emits unfiltered rows.  Filtering at
+    encode is fully vectorized: the reconstructed neighbors ARE the
+    source pixels."""
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        ctype_n, bpp = 0, 1
+        flat = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] in (2, 3, 4):
+        bpp = img.shape[2]
+        ctype_n = {2: 4, 3: 2, 4: 6}[bpp]
+        flat = img
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = flat.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("cannot encode zero-size image")
+    cur = flat.astype(np.int64)
+    left = np.zeros_like(cur)
+    left[:, 1:] = cur[:, :-1]
+    up = np.zeros_like(cur)
+    up[1:] = cur[:-1]
+    upleft = np.zeros_like(cur)
+    upleft[1:, 1:] = cur[:-1, :-1]
+    preds = {0: np.zeros_like(cur), 1: left, 2: up,
+             3: (left + up) >> 1, 4: _paeth_predict(left, up, upleft)}
+    stride = w * bpp
+    out = np.empty((h, stride + 1), np.uint8)
+    for r in range(h):
+        f = r % 5 if filters == "cycle" else 0
+        out[r, 0] = f
+        out[r, 1:] = ((cur[r] - preds[f][r]) & 0xFF).reshape(-1)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_n, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(out.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+# PNG is self-contained too (stdlib zlib): register for real decode
+_IMAGE_MIMES["image/png"] = decode_png

@@ -4,11 +4,11 @@ Image/audio/video travel as Arrow ``binary`` columns with sidecar metadata
 (mime, width/height or sample rate, frame count).  Decode / feature-extract
 / resize / frame-sample run as actor-pool ``map_batches`` stages.
 
-Self-contained formats — netpbm PPM/PGM, uncompressed BMP, PCM WAV — are
-REALLY decoded, featurized and resampled (functions/media_codec.py, pure
-NumPy header parsing; no external library needed).  Formats whose codecs
-genuinely require libraries absent from this container (PNG/JPEG/MP4) go
-through the honest stub: ``DecodeStub`` either raises
+Self-contained formats — netpbm PPM/PGM, uncompressed BMP, PCM WAV, and
+8-bit PNG (stdlib zlib inflate + vectorized unfiltering) — are REALLY
+decoded, featurized and resampled (functions/media_codec.py; no external
+library needed).  Formats whose codecs genuinely require libraries absent
+from this container (JPEG/MP4) go through the honest stub: ``DecodeStub`` either raises
 ``NotImplementedError`` (strict mode) or produces a deterministic fake
 decode keyed on the payload hash (test mode).  Swap ``_decode_payload``'s
 fallback for a real PIL/libav call on a cluster that has the libraries —
@@ -111,6 +111,43 @@ def ascii_ppm_media_from_documents(sf_dir: str, n: int = 64,
     })
 
 
+def ascii_png_media_from_documents(sf_dir: str, n: int = 64,
+                                   w: int = 8, h: int = 8) -> pa.Table:
+    """Media corpus whose payloads are REAL PNG images: same ASCII doc
+    slice and raster bytes as :func:`ascii_ppm_media_from_documents`, but
+    deflate-compressed with the row filters cycling through all five PNG
+    types (None/Sub/Up/Average/Paeth) so the decode stage's unfiltering
+    paths are ALL on the oracle's critical path.  PNG is lossless, so the
+    decoded pixels equal the text-derived raster bit-exactly and the
+    featurization replay (the same SQL as the PPM corpus) verifies the
+    inflate + unfilter chain end-to-end."""
+    from ..functions.media_codec import encode_png
+    from ..sources.sequences import iter_docs_lex
+
+    need = w * h * 3
+    ids, payloads = [], []
+    for chunk in iter_docs_lex(sf_dir, ("doc_id", "text")):
+        for doc, text in zip(chunk["doc_id"].to_pylist(),
+                             chunk["text"].to_pylist()):
+            if text is None or any(ord(c) >= 128 for c in text):
+                continue
+            raster = text.encode()[:need].ljust(need, b"\0")
+            img = np.frombuffer(raster, np.uint8).reshape(h, w, 3)
+            ids.append(doc)
+            payloads.append(encode_png(img, filters="cycle"))
+            if len(ids) == n:
+                break
+        if len(ids) == n:
+            break
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "mime": pa.array(["image/png"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(np.full(len(ids), w, np.int32)),
+        "height": pa.array(np.full(len(ids), h, np.int32)),
+    })
+
+
 def ascii_wav_media_from_documents(sf_dir: str, n: int = 64,
                                    n_samples: int = 64) -> pa.Table:
     """Media corpus whose payloads are REAL PCM WAVs the oracle can
@@ -153,8 +190,8 @@ def ascii_wav_media_from_documents(sf_dir: str, n: int = 64,
 
 class DecodeStub:
     """Actor-pool decode stage.  Self-contained formats (PPM/PGM/BMP/WAV)
-    are REALLY decoded and featurized — grid luminance means for images,
-    segment RMS energy for audio.  For everything else strict=True raises
+    and PNG are REALLY decoded and featurized — grid luminance means for
+    images, segment RMS energy for audio.  For everything else strict=True raises
     (the honest stub) and strict=False emits a deterministic fake feature
     vector per payload so downstream stages are testable end-to-end."""
 
@@ -180,9 +217,9 @@ class DecodeStub:
             return audio_features(samples, self.feature_dim)
         if self.strict:
             raise NotImplementedError(
-                f"no codec for {mime!r} in this container; PPM/PGM/BMP/WAV "
-                "decode natively — plug a real decoder here for the rest "
-                "(PIL.Image.open / av.open)")
+                f"no codec for {mime!r} in this container; PPM/PGM/BMP/WAV/"
+                "PNG decode natively — plug a real decoder here for the "
+                "rest (PIL.Image.open / av.open)")
         # feature d = first 32 bits of sha256(payload || str(d)), scaled to
         # [0, 1).  Division by 2^32 is exact in float64, so the fake decode
         # is bit-reproducible in ANY engine with sha256 — the gate's DuckDB
@@ -238,12 +275,12 @@ def _clamp_dims(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
 
 
 class ResizeStub:
-    """Resize as an actor-pool stage: netpbm payloads are REALLY
-    resampled (decode -> nearest-neighbor -> re-encode, pure NumPy) using
-    the header's actual dims; other formats have their declared metadata
-    clamped to fit inside ``(max_w, max_h)`` aspect-preserved while the
-    payload passes through opaque (strict mode raises instead — no PNG/
-    JPEG codec in this container; swap the fallback for a real
+    """Resize as an actor-pool stage: netpbm and PNG payloads are REALLY
+    resampled (decode -> nearest-neighbor -> re-encode, pure NumPy + zlib)
+    using the header's actual dims; other formats have their declared
+    metadata clamped to fit inside ``(max_w, max_h)`` aspect-preserved
+    while the payload passes through opaque (strict mode raises instead —
+    no JPEG codec in this container; swap the fallback for a real
     ``PIL.Image.resize`` on a cluster that has it)."""
 
     def __init__(self, max_w: int = 224, max_h: int = 224,
@@ -254,16 +291,26 @@ class ResizeStub:
 
     def _resize_payload(self, payload: bytes, mime: str,
                         w: int, h: int) -> tuple[bytes, int, int]:
-        """-> (payload, new_w, new_h); real pixels for netpbm, declared
-        metadata clamp otherwise."""
-        if mime in _NETPBM_MIMES:
+        """-> (payload, new_w, new_h); real pixels for netpbm/PNG,
+        declared metadata clamp otherwise."""
+        if mime in _NETPBM_MIMES or mime == "image/png":
             try:
-                img = decode_ppm(payload)
+                if mime == "image/png":
+                    from ..functions.media_codec import (
+                        decode_png,
+                        encode_png,
+                    )
+
+                    img = decode_png(payload)
+                    encode = encode_png
+                else:
+                    img = decode_ppm(payload)
+                    encode = encode_ppm
                 ih, iw = img.shape[:2]      # trust the header, not sidecar
                 nw, nh = _clamp_dims(iw, ih, self.max_w, self.max_h)
                 if (nw, nh) != (iw, ih) and min(ih, iw, nh, nw) > 0:
                     img = resize_nearest(img, nw, nh)
-                    return encode_ppm(img), nw, nh
+                    return encode(img), nw, nh
                 # unchanged or degenerate (zero-area, unresampleable)
                 # raster: payload untouched, so the emitted metadata must
                 # be the HEADER's dims — clamping it would contradict the
@@ -275,9 +322,9 @@ class ResizeStub:
                 # fall through to the opaque metadata-only clamp
         elif self.strict:
             raise NotImplementedError(
-                f"no codec for {mime!r} in this container; netpbm resamples "
-                "natively — plug a real resampler here for the rest "
-                "(PIL.Image.open(...).resize(...))")
+                f"no codec for {mime!r} in this container; netpbm/PNG "
+                "resample natively — plug a real resampler here for the "
+                "rest (PIL.Image.open(...).resize(...))")
         nw, nh = _clamp_dims(int(w), int(h), self.max_w, self.max_h)
         return payload, nw, nh  # opaque pass-through, metadata-only clamp
 

@@ -1,8 +1,8 @@
 """Pure-NumPy media codecs + their wiring into the multimodal stages.
 
-PPM/PGM/BMP/WAV are self-contained formats (header + raw raster/samples),
-so decode / featurize / resample are REAL here — only PNG/JPEG/video stay
-behind the strict-mode stub.
+PPM/PGM/BMP/WAV are self-contained formats (header + raw raster/samples)
+and PNG needs only stdlib zlib, so decode / featurize / resample are REAL
+here — only JPEG/video stay behind the strict-mode stub.
 """
 
 import struct
@@ -15,8 +15,10 @@ from matrixprofile_1_ray.functions.media_codec import (
     audio_features,
     decode_any,
     decode_bmp,
+    decode_png,
     decode_ppm,
     decode_wav,
+    encode_png,
     encode_ppm,
     encode_wav,
     image_features,
@@ -92,7 +94,12 @@ def test_decode_any_dispatch():
     kind, (samples, rate) = decode_any("audio/wav",
                                        encode_wav(np.zeros(16), 8000))
     assert kind == "audio" and rate == 8000
-    assert decode_any("image/png", b"\x89PNG...") is None
+    # PNG decodes for REAL now (stdlib zlib + NumPy unfiltering); a
+    # corrupt payload raises instead of silently returning None
+    kind, val = decode_any("image/png", encode_png(_rand_img(4, 4, seed=2)))
+    assert kind == "image" and val.shape == (4, 4, 3)
+    with pytest.raises(ValueError):
+        decode_any("image/png", b"\x89PNG...")
     assert decode_any("text/plain", b"hello") is None
 
 
@@ -348,3 +355,200 @@ def test_real_wav_gate_entry_matches_oracle(ray_session):
     assert list(got.media_id) == list(want.media_id)
     np.testing.assert_array_equal(got.feature.to_numpy(),
                                   want.feature.to_numpy())  # bit-exact
+
+
+# ------------------------------------------------------------------ PNG
+
+def _naive_unfilter(raw, h, w, bpp):
+    """Independent scalar reference for PNG unfiltering, written straight
+    from the spec (ISO/IEC 15948 §9): pure-Python per-byte loop, no shared
+    code with the engine's vectorized path."""
+    stride = w * bpp
+    recon = [[0] * stride for _ in range(h)]
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        for i in range(stride):
+            a = recon[r][i - bpp] if i >= bpp else 0
+            b = recon[r - 1][i] if r > 0 else 0
+            c = recon[r - 1][i - bpp] if (r > 0 and i >= bpp) else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else \
+                    (b if pb <= pc else c)
+            recon[r][i] = (line[i] + pred) & 0xFF
+    return np.array(recon, np.uint8)
+
+
+def test_png_roundtrip_all_shapes():
+    rng = np.random.default_rng(3)
+    for shape in [(8, 8), (8, 8, 2), (8, 8, 3), (8, 8, 4), (1, 1),
+                  (13, 7, 3), (3, 1, 4), (1, 9)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for filters in ("cycle", "none"):
+            back = decode_png(encode_png(img, filters=filters))
+            assert back.shape == img.shape
+            np.testing.assert_array_equal(back, img)
+
+
+def test_png_unfilter_matches_naive_reference():
+    """The vectorized unfilter agrees byte-for-byte with a scalar
+    spec-literal implementation on random filtered streams covering all
+    five filter types."""
+    import zlib
+
+    from matrixprofile_1_ray.functions.media_codec import (
+        _unfilter_scanlines,
+    )
+
+    rng = np.random.default_rng(11)
+    for bpp in (1, 2, 3, 4):
+        h, w = 9, 6
+        stride = w * bpp
+        rows = bytearray()
+        for r in range(h):
+            rows.append(int(rng.integers(0, 5)))    # random filter type
+            rows.extend(rng.integers(0, 256, stride, dtype=np.uint8)
+                        .tobytes())
+        raw = bytes(rows)
+        got = _unfilter_scanlines(raw, h, w, bpp)
+        want = _naive_unfilter(raw, h, w, bpp)
+        np.testing.assert_array_equal(got, want)
+        # and the same stream wrapped as a full PNG file decodes equal
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[bpp]
+        from matrixprofile_1_ray.functions.media_codec import (
+            _PNG_SIG,
+            _png_chunk,
+        )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        buf = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(raw))
+               + _png_chunk(b"IEND", b""))
+        dec = decode_png(buf)
+        np.testing.assert_array_equal(
+            dec.reshape(h, stride), want)
+
+
+def test_png_palette_decode():
+    import zlib
+
+    from matrixprofile_1_ray.functions.media_codec import (
+        _PNG_SIG,
+        _png_chunk,
+    )
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1], [2, 0]], np.uint8)
+    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(2))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    buf = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"PLTE", pal.tobytes())
+           + _png_chunk(b"IDAT", zlib.compress(raw))
+           + _png_chunk(b"IEND", b""))
+    np.testing.assert_array_equal(decode_png(buf), pal[idx])
+    # palette index past PLTE end must raise, not read garbage
+    raw_bad = b"\x00" + bytes([7, 0]) + b"\x00" + bytes([1, 2])
+    buf_bad = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"PLTE", pal.tobytes())
+               + _png_chunk(b"IDAT", zlib.compress(raw_bad))
+               + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(buf_bad)
+
+
+def test_png_corrupt_inputs_raise():
+    import zlib
+
+    from matrixprofile_1_ray.functions.media_codec import (
+        _PNG_SIG,
+        _png_chunk,
+    )
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    good = encode_png(img)
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    with pytest.raises(ValueError):
+        decode_png(good[:20])                       # truncated mid-chunk
+    # flipped payload byte -> CRC mismatch
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    # undersized IDAT (fewer scanlines than IHDR promises)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    short = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+             + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 13))
+             + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(short)
+    # invalid filter type byte
+    raw = b"\x07" + b"\x00" * 12
+    badf = (_PNG_SIG + _png_chunk(b"IHDR",
+                                  struct.pack(">IIBBBBB", 4, 1, 8, 2, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(badf)
+    # interlaced + 16-bit depth both rejected honestly
+    for depth, inter in ((16, 0), (8, 1)):
+        hdr = struct.pack(">IIBBBBB", 4, 4, depth, 2, 0, inter, 0)
+        buf = (_PNG_SIG + _png_chunk(b"IHDR", hdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 13))
+               + _png_chunk(b"IEND", b""))
+        with pytest.raises(ValueError):
+            decode_png(buf)
+
+
+def test_png_decode_stage_real_features(ray_session):
+    """A PNG payload flows through the ACTUAL decode stage — zlib inflate
+    + unfiltering + grid-luminance features — no stub involved."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.multimodal import media_features_stage
+
+    img = np.full((6, 6, 3), 128, np.uint8)
+    media = pa.table({
+        "media_id": pa.array(["png"], pa.string()),
+        "mime": pa.array(["image/png"], pa.string()),
+        "payload": pa.array([encode_png(img)], pa.binary()),
+        "width": pa.array([6], pa.int32()),
+        "height": pa.array([6], pa.int32()),
+    })
+    out = (media_features_stage(ray.data.from_arrow(media), feature_dim=4,
+                                strict=True)       # strict: no fallback
+           .to_pandas())
+    np.testing.assert_allclose(np.asarray(out.features.iloc[0]),
+                               128.0 / 255.0, atol=1e-12)
+
+
+def test_resize_stage_real_png_resample(ray_session):
+    """PNG rows get REAL pixel resampling too: decode -> nearest ->
+    re-encode, new payload decodes to the clamped dims."""
+    import ray.data
+
+    from matrixprofile_1_ray.stages.multimodal import resize_stage
+
+    img = np.arange(16 * 8 * 3, dtype=np.uint8).reshape(16, 8, 3)
+    media = pa.table({
+        "media_id": pa.array(["p"], pa.string()),
+        "mime": pa.array(["image/png"], pa.string()),
+        "payload": pa.array([encode_png(img)], pa.binary()),
+        "width": pa.array([8], pa.int32()),
+        "height": pa.array([16], pa.int32()),
+    })
+    out = (resize_stage(ray.data.from_arrow(media), max_w=4, max_h=4,
+                        strict=True).to_pandas().iloc[0])
+    assert (out.width, out.height) == (2, 4)    # aspect-preserving fit
+    back = decode_png(out.payload)
+    assert back.shape == (4, 2, 3)
+    np.testing.assert_array_equal(back, resize_nearest(img, 2, 4))
