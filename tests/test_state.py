@@ -274,3 +274,20 @@ def test_run_partitioned_concurrent_jobs(ray_session, tmp_path):
     # resume skips everything
     assert set(run_partitioned(conc, parts, make,
                                concurrent_jobs=3).values()) == {"skipped"}
+
+
+def test_distributed_stomp_two_level_tree_reduce(ray_session, sampledata):
+    """n_partitions > fan_in forces a second merge level in the task-side
+    tree reduce; results must still satisfy the serial contract (values
+    almost-equal — range re-seeding differs at ulp — indices exact)."""
+    from matrixprofile_1_ray.kernels import stomp
+    from matrixprofile_1_ray.state.chunked import distributed_stomp
+
+    serial = stomp(sampledata, 32)
+    dist = distributed_stomp(sampledata, 32, n_partitions=20)
+    np.testing.assert_almost_equal(serial["mp"], dist["mp"])
+    np.testing.assert_array_equal(serial["pi"], dist["pi"])
+    np.testing.assert_almost_equal(serial["lmp"], dist["lmp"])
+    np.testing.assert_array_equal(serial["lpi"], dist["lpi"])
+    np.testing.assert_almost_equal(serial["rmp"], dist["rmp"])
+    np.testing.assert_array_equal(serial["rpi"], dist["rpi"])
