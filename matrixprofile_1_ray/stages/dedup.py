@@ -112,51 +112,60 @@ def minhash_candidates(ds, k: int = 5, num_perm: int = 64, bands: int = 16,
                               pa.int64())),
         batch_format="pyarrow")
 
-    def pairs_block(df: pd.DataFrame) -> pd.DataFrame:
+    def pairs_block(tbl: pa.Table) -> pa.Table:
         """All i<j pairs within each multi-doc bucket, vectorized by SIZE
         CLASS: buckets of equal size share one triu index pattern, so the
         loop runs over the handful of distinct bucket sizes — not over the
-        (potentially millions of) buckets themselves."""
-        df = df.sort_values(["band", "band_key", "doc_id"])
-        docs = df["doc_id"].to_numpy()
-        key_change = np.ones(len(df), dtype=bool)
-        if len(df) > 1:
-            key_change[1:] = ((df["band"].to_numpy()[1:]
-                               != df["band"].to_numpy()[:-1])
-                              | (df["band_key"].to_numpy()[1:]
-                                 != df["band_key"].to_numpy()[:-1]))
+        (potentially millions of) buckets themselves.  Arrow end to end:
+        the sort, the boundary scan and the pair gathers all stay on the
+        zero-copy block; doc ids are gathered with ``pc.take`` so the
+        strings are never round-tripped through pandas objects."""
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(tbl, sort_keys=[("band", "ascending"),
+                                                ("band_key", "ascending"),
+                                                ("doc_id", "ascending")])
+        tbl = tbl.take(order)
+        band = tbl["band"].to_numpy(zero_copy_only=False)
+        bkey = tbl["band_key"].to_numpy(zero_copy_only=False)
+        docs = tbl["doc_id"].combine_chunks()
+        n = len(tbl)
+        key_change = np.ones(n, dtype=bool)
+        if n > 1:
+            key_change[1:] = (band[1:] != band[:-1]) | (bkey[1:] != bkey[:-1])
         starts = np.flatnonzero(key_change)
-        sizes = np.diff(np.concatenate((starts, [len(df)])))
-        out_a, out_b = [], []
+        sizes = np.diff(np.concatenate((starts, [n])))
+        idx_a, idx_b = [], []
         for s in np.unique(sizes[sizes > 1]):
             grp_starts = starts[sizes == s]
             ii, jj = np.triu_indices(int(s), 1)
-            out_a.append(docs[(grp_starts[:, None] + ii[None, :]).ravel()])
-            out_b.append(docs[(grp_starts[:, None] + jj[None, :]).ravel()])
-        if not out_a:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=object),
-                                 "doc_b": pd.Series([], dtype=object)})
-        return pd.DataFrame({"doc_a": np.concatenate(out_a),
-                             "doc_b": np.concatenate(out_b)})
+            idx_a.append((grp_starts[:, None] + ii[None, :]).ravel())
+            idx_b.append((grp_starts[:, None] + jj[None, :]).ravel())
+        if not idx_a:
+            return pa.table({"doc_a": pa.array([], pa.string()),
+                             "doc_b": pa.array([], pa.string())})
+        return pa.table({
+            "doc_a": pc.take(docs, pa.array(np.concatenate(idx_a))),
+            "doc_b": pc.take(docs, pa.array(np.concatenate(idx_b))),
+        })
 
     cand = band_rows.groupby("_part").map_groups(pairs_block,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
 
-    def add_pair_part(df: pd.DataFrame) -> pd.DataFrame:
-        key = pd.util.hash_pandas_object(df["doc_a"] + "\x00" + df["doc_b"],
-                                         index=False)
-        df = df.copy()
-        df["_part"] = (key % num_partitions).astype(np.int64)
-        return df
+    def add_pair_part(tbl: pa.Table) -> pa.Table:
+        part = ((_hash_str_arrow(tbl["doc_a"]) * np.uint64(0x9E3779B97F4A7C15)
+                 ^ _hash_str_arrow(tbl["doc_b"]))
+                % np.uint64(num_partitions)).astype(np.int64)
+        return tbl.append_column("_part", pa.array(part, pa.int64()))
 
-    def uniq_block(df: pd.DataFrame) -> pa.Table:
-        out = df.drop_duplicates(["doc_a", "doc_b"])
-        return pa.table({"doc_a": pa.array(out["doc_a"], pa.string()),
-                         "doc_b": pa.array(out["doc_b"], pa.string())})
+    def uniq_block(tbl: pa.Table) -> pa.Table:
+        # Arrow group_by with no aggregates = exact distinct on the keys
+        return (tbl.select(["doc_a", "doc_b"])
+                .group_by(["doc_a", "doc_b"]).aggregate([]))
 
-    uniq = (cand.map_batches(add_pair_part, batch_format="pandas")
+    uniq = (cand.map_batches(add_pair_part, batch_format="pyarrow")
             .groupby("_part")
-            .map_groups(uniq_block, batch_format="pandas"))
+            .map_groups(uniq_block, batch_format="pyarrow"))
     # schema anchor: on a dup-free corpus the groupby has no groups, no
     # UDF ever runs, and the resulting zero-block Dataset forgets its
     # columns (to_pandas returns a column-less frame); one typed empty
@@ -355,6 +364,45 @@ def dedup_groups(pairs_ds, driver_threshold: int = 1_000_000):
             "component": [find(n) for n in nodes],
         }))
     return connected_components(pairs_ds)
+
+
+def _hash_str_arrow(col) -> np.ndarray:
+    """Deterministic uint64 hash per string of an Arrow string column,
+    vectorized over the flat UTF-8 data buffer (no pandas, no Python-level
+    per-row loop).  Polynomial rolling hash with position-in-segment
+    powers (uint64 wraparound) — used only for partition assignment, where
+    uniformity matters and cryptographic strength does not."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    col = col.cast(pa.large_string())
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset : col.offset + len(col) + 1]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    starts, ends = offs[:-1], offs[1:]
+    lengths = ends - starts
+    lo, hi = int(starts[0]), int(ends[-1])
+    if hi == lo:
+        return np.full(len(col), np.uint64(0xCBF29CE484222325))
+    chunk = data[lo:hi].astype(np.uint64)
+    pos = np.arange(hi - lo, dtype=np.int64) - np.repeat(
+        starts - lo, lengths)
+    max_len = int(lengths.max())
+    powers = np.empty(max_len, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    base = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for i in range(1, max_len):  # O(max string length), not O(rows)
+            powers[i] = powers[i - 1] * base
+        terms = (chunk + np.uint64(1)) * powers[pos]
+        # reduceat over segment starts; empty segments (reduceat would
+        # grab the next segment's first term) are zeroed explicitly
+        seg = np.add.reduceat(terms, (starts - lo)[lengths > 0]) \
+            if (lengths > 0).any() else np.zeros(0, np.uint64)
+        out = np.full(len(col), np.uint64(0xCBF29CE484222325))
+        out[lengths > 0] = seg * base + lengths[lengths > 0].astype(np.uint64)
+    return out
 
 
 def _hash_part(series: pd.Series, num_partitions: int) -> np.ndarray:
