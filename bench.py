@@ -49,6 +49,15 @@ SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "8"))
 # legs, eff 0.796-0.845); 96000 halves the fixed share and models the
 # production regime, where one session amortizes over hours of corpus.
 SCALE_ROWS = int(os.environ.get("GRAFT_SCALE_ROWS", "96000"))
+# third scaling point (efficiency CURVE, not just one ratio) — kept inside
+# the host's clean quota band (see SCALE_LO/HI note above: >8 procs hit
+# the neighbor quota and measure the host, not the engine)
+SCALE_MID = int(os.environ.get("GRAFT_SCALE_MID", "4"))
+# pinned quiet-window serial-probe reference for probe normalization
+# (rounds 3-4 measured 0.053-0.097 s quiet band on this host; the pin is
+# the band's low-middle so normalization only ever DEFLATES readings
+# taken under throttle, never inflates quiet ones)
+QUIET_PROBE_REF_SEC = float(os.environ.get("GRAFT_PROBE_REF", "0.060"))
 
 
 def synth_path(rows: int = None, rows_per_block: int = 250) -> str:
@@ -296,6 +305,17 @@ def run_bench() -> dict:
     total = round(sum(v for k, v in timings.items()
                       if k not in ("synth_mp_rollup_5x", "ann_ivf_q10k",
                                    "retention_store")), 3)
+    # probe-normalized view: each raw time scaled by QUIET_PROBE_REF /
+    # mean(bracketing probes), so a host-throttled window reads ~like a
+    # quiet one and round-over-round deltas separate engine change from
+    # neighbor load mechanically.  The reference constant is pinned in
+    # BASELINE.md ("Scaling evidence") — rounds 3 and 4 both spent prose
+    # arguing about throttle windows; this makes the artifact do it.
+    # Factor is clamped to <=1 so a faster-than-reference host never
+    # inflates the normalized numbers in the engine's favor.
+    probe_mean = (probe_pre + probe_post) / 2
+    norm_factor = min(1.0, QUIET_PROBE_REF_SEC / max(probe_mean, 1e-9))
+    queries_norm = {k: round(v * norm_factor, 3) for k, v in timings.items()}
     return {
         "metric": "flagship pipelines wall time (rollups, mp, codec, dedup, ann)",
         "value": total,
@@ -308,7 +328,11 @@ def run_bench() -> dict:
         # reference ~0.06-0.09 s — a reading >=0.15 s marks a host
         # throttle window (see BASELINE.md "Scaling evidence")
         "probe": {"pre_sec": probe_pre, "post_sec": probe_post,
-                  "kernel": "serial mpx n=8192 w=32"},
+                  "kernel": "serial mpx n=8192 w=32",
+                  "quiet_ref_sec": QUIET_PROBE_REF_SEC,
+                  "normalization_factor": round(norm_factor, 4)},
+        "value_normalized": round(total * norm_factor, 3),
+        "queries_normalized": queries_norm,
     }
 
 
@@ -404,26 +428,67 @@ def run_scaling() -> dict:
     # fill — a warmup-inflated first probe would falsely mark a quiet
     # window as throttled in the emitted audit trail
     attempts_lo = [attempt(SCALE_LO) for _ in range(3)]
+    # the mid leg is curve evidence, not the pass/fail ratio — 2 attempts
+    attempts_mid = [attempt(SCALE_MID) for _ in range(2)]
     attempts_hi = [attempt(SCALE_HI) for _ in range(3)]
     r_lo = min(attempts_lo, key=lambda r: r["sec"])
+    r_mid = min(attempts_mid, key=lambda r: r["sec"])
     r_hi = min(attempts_hi, key=lambda r: r["sec"])
     eff = (r_lo["sec"] / r_hi["sec"]) / (SCALE_HI / SCALE_LO)
+
+    # two-parameter model wall(c) = F + W/c over the three best legs:
+    # F is the per-session fixed cost (streaming-topology startup + read
+    # planning), W the perfectly-parallel work.  Round 4 derived F ~= 7.6 s
+    # by hand to explain a 0.796 reading; this makes the fit a first-class
+    # artifact field so the next throttle-vs-engine argument is mechanical.
+    import numpy as np
+
+    cs = np.array([SCALE_LO, SCALE_MID, SCALE_HI], dtype=float)
+    walls = np.array([r_lo["sec"], r_mid["sec"], r_hi["sec"]], dtype=float)
+    design = np.stack([np.ones_like(cs), 1.0 / cs], axis=1)
+    coef, *_ = np.linalg.lstsq(design, walls, rcond=None)
+    fit_f, fit_w = float(coef[0]), float(coef[1])
+    resid = walls - design @ coef
+    ss_tot = float(((walls - walls.mean()) ** 2).sum())
+    r2 = 1.0 - float((resid ** 2).sum()) / ss_tot if ss_tot > 0 else 1.0
+
+    def pair_eff(a, b, ca, cb):
+        return round((a["sec"] / b["sec"]) / (cb / ca), 3)
+
     return {
         "metric": f"flagship scaling N={SCALE_LO} vs 4N={SCALE_HI} cpus, "
                   "fresh sessions, same input",
         "sec_lo": r_lo["sec"],
+        "sec_mid": r_mid["sec"],
         "sec_hi": r_hi["sec"],
         "points_per_sec_lo": r_lo["points_per_sec"],
+        "points_per_sec_mid": r_mid["points_per_sec"],
         "points_per_sec_hi": r_hi["points_per_sec"],
         "num_cpus_lo": SCALE_LO,
+        "num_cpus_mid": SCALE_MID,
         "num_cpus_hi": SCALE_HI,
         "scaling_efficiency": round(eff, 3),
+        "efficiency_curve": {
+            f"{SCALE_LO}->{SCALE_MID}": pair_eff(r_lo, r_mid,
+                                                 SCALE_LO, SCALE_MID),
+            f"{SCALE_MID}->{SCALE_HI}": pair_eff(r_mid, r_hi,
+                                                 SCALE_MID, SCALE_HI),
+            f"{SCALE_LO}->{SCALE_HI}": round(eff, 3),
+        },
+        "fit": {"model": "wall = F + W/cpus over best-of legs",
+                "fixed_cost_sec": round(fit_f, 2),
+                "work_sec": round(fit_w, 1),
+                "r_squared": round(r2, 4)},
         "synth_rows": SCALE_ROWS,
-        "protocol": "best-of-3 per leg, serial-probe bracketed "
+        "protocol": "best-of-3 per lo/hi leg (best-of-2 mid), "
+                    "serial-probe bracketed "
                     "(quiet-window probe reference ~0.06-0.09 s)",
         "attempts_lo": [{k: a[k] for k in
                          ("sec", "probe_pre_sec", "probe_post_sec")}
                         for a in attempts_lo],
+        "attempts_mid": [{k: a[k] for k in
+                          ("sec", "probe_pre_sec", "probe_post_sec")}
+                         for a in attempts_mid],
         "attempts_hi": [{k: a[k] for k in
                          ("sec", "probe_pre_sec", "probe_post_sec")}
                         for a in attempts_hi],
