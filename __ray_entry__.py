@@ -608,6 +608,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                now_sec=600,
                                policy=pol).select_columns(_RETENTION_COLS)
 
+    def _retention_store_v2(sf_dir: str):
+        """Second ladder/policy: THREE tiers (1m/5m/15m) with two finite
+        ages, so the stitch crosses TWO seams — a structurally stronger
+        oracle than the v1 two-tier store.  Same fingerprint-keyed,
+        mutex-guarded build as v1."""
+        import hashlib
+        import json
+
+        from matrixprofile_1_ray.stages.ann import _locked_build
+        from matrixprofile_1_ray.stages.retention import (
+            RetentionPolicy,
+            apply_retention,
+            write_tiered_store,
+        )
+        from matrixprofile_1_ray.state.manifest import file_fingerprint
+
+        params = {"tiers": {"1m": 60, "5m": 300, "15m": 900},
+                  "epoch_sec": 60, "w": 32,
+                  "ages": {"1m": 120, "5m": 600, "15m": None}, "now": 1800}
+        ident = file_fingerprint(f"{sf_dir}/documents.parquet")
+        tag = hashlib.sha1(f"{sf_dir}|{ident}|"
+                           f"{json.dumps(params, sort_keys=True)}"
+                           .encode()).hexdigest()[:10]
+        store = f"/tmp/tiered_store_v2_{tag}"
+        pol = RetentionPolicy(params["ages"])
+
+        def build():
+            write_tiered_store(sf_dir, store, w=params["w"],
+                               tiers=params["tiers"],
+                               epoch_sec=params["epoch_sec"])
+            apply_retention(store, params["now"], pol)
+
+        _locked_build(
+            store, lambda: not os.path.exists(f"{store}/_retention_log.jsonl"),
+            build)
+        return store, pol
+
+    def tiered_retention_v2_query(sf_dir: str):
+        """Serve [0, 1800) from the expired three-tier store, stitched
+        across TWO seams: 1m serves [1500, 1800) (horizon 1800-120=1680
+        floored to serving-5m's grid -> 1500), 5m serves [900, 1500)
+        (horizon 1200 floored to serving-15m's grid -> 900), 15m keeps
+        forever and serves [0, 900)."""
+        from matrixprofile_1_ray.stages.retention import tiered_read
+
+        store, pol = _retention_store_v2(sf_dir)
+        return tiered_read(store, "token", 1800, pol, t_lo=0,
+                           t_hi=1800).select_columns(_RETENTION_COLS)
+
     def pmp_discords_small_query(sf_dir: str):
         """Greedy top-2 PMP discords per bounded-slice doc through the
         real pmp_top_k_discords kernel (row-major argmax, frozen exclusion
@@ -666,6 +715,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             mp_discord_top1_batch, batch_format="pyarrow")
         return (ds.sort(["discord_dist", "doc_id"], descending=[True, False])
                 .limit(10))
+
+    def corpus_motifs_small_query(sf_dir: str):
+        """Corpus-level top-10 motif pairs over the bounded slice: the
+        same distributed sort().limit() pattern as corpus_top_motifs, on
+        the per-doc pairs plus their ROUNDED profile distance so the
+        global ordering is oracle-exact."""
+        from matrixprofile_1_ray.stages.profile import (
+            corpus_motifs_small_batch,
+        )
+
+        ds = sequences_pipeline(sf_dir, verify_codec=False).map_batches(
+            corpus_motifs_small_batch, batch_format="pyarrow")
+        return (ds.sort(["motif_dist", "doc_id"],
+                        descending=[False, False]).limit(10))
 
     def mpdist_small_query(sf_dir: str):
         import pyarrow.compute as pc
@@ -1136,6 +1199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 50 established green rows for them would trade green for green.
         # tools/gate_check.py and their pytest suites verify them instead.
         "dataset_split": dataset_split_query,
+        "corpus_motifs_small": corpus_motifs_small_query,
+        "tiered_retention_read_v2": tiered_retention_v2_query,
         "media_real_features": media_real_features_query,
         "media_png_features": media_png_features_query,
         "media_wav_features": media_wav_features_query,
@@ -1224,6 +1289,30 @@ WHERE bucket * 60 >= 300 AND bucket * 60 < 600
 UNION ALL
 SELECT *, bucket * 300 AS bucket_start FROM r5m
 WHERE bucket * 300 >= 0 AND bucket * 300 < 300
+"""
+
+
+def _tiered_retention_v2_sql() -> str:
+    """DuckDB replay of the THREE-tier two-seam stitch.  Hand-derived
+    constants (independent evidence, not generated from stitch_plan):
+    policy {1m: 120s, 5m: 600s, 15m: forever}, now=1800, serve [0, 1800).
+    1m's raw horizon 1800-120 = 1680 floors to the serving 5m tier's
+    300-grid -> 1500; 5m's raw horizon 1800-600 = 1200 floors to the
+    serving 15m tier's 900-grid -> 900; 15m serves the floor.  Any
+    straddle, double-count, gap, or expiry overreach at EITHER seam
+    breaks the value hash."""
+    return _SEQ_CTE + f"""
+, {_tier_rollup_cte('r1m', '1m', 60)}
+, {_tier_rollup_cte('r5m', '5m', 300)}
+, {_tier_rollup_cte('r15m', '15m', 900)}
+SELECT *, bucket * 60 AS bucket_start FROM r1m
+WHERE bucket * 60 >= 1500 AND bucket * 60 < 1800
+UNION ALL
+SELECT *, bucket * 300 AS bucket_start FROM r5m
+WHERE bucket * 300 >= 900 AND bucket * 300 < 1500
+UNION ALL
+SELECT *, bucket * 900 AS bucket_start FROM r15m
+WHERE bucket * 900 >= 0 AND bucket * 900 < 900
 """
 
 
@@ -1903,12 +1992,18 @@ FROM ranked WHERE rn = {k_loc}
 """
 
 
-def _motifs_small_sql() -> str:
+def _motifs_small_sql(corpus_k: int | None = None) -> str:
     """Top-1 motif pair on the bounded slice — all-integer output under
     two bit-identical margin guards: per-window argmax margin pins the
-    profile index; global profile-min margin pins the argmin pick."""
+    profile index; global profile-min margin pins the argmin pick.
+
+    ``corpus_k`` switches to the corpus-level layer (corpus_top_motifs'
+    oracle sibling): join each pair's ROUNDED profile value at first_idx
+    from mp_rows as ``motif_dist`` and take the global top-k by
+    (motif_dist ASC, doc_id ASC) — the same sort/limit the engine's
+    distributed ``sort().limit()`` performs on bit-identical keys."""
     w = 16
-    return _mp_small_rows_cte(w=w) + f"""
+    base = _mp_small_rows_cte(w=w) + f"""
 , cand AS (
   SELECT doc_id, i AS idx, j AS pj, c FROM corr
   UNION ALL
@@ -1947,13 +2042,24 @@ def _motifs_small_sql() -> str:
   LEFT JOIN mpidx na ON na.doc_id = g.doc_id AND na.idx = g.a
   LEFT JOIN mpidx nb ON nb.doc_id = g.doc_id AND nb.idx = g.b
   WHERE g.k = 1 OR (g.k = 2 AND na.nn = g.b AND nb.nn = g.a))
-SELECT o.doc_id,
+"""
+    final = """SELECT o.doc_id,
        CASE WHEN o.k = 2 THEN o.a
             ELSE least(o.a, na2.nn) END AS first_idx,
        CASE WHEN o.k = 2 THEN o.b
             ELSE greatest(o.a, na2.nn) END AS second_idx
 FROM okdocs o
 JOIN mpidx na2 ON na2.doc_id = o.doc_id AND na2.idx = o.a
+"""
+    if corpus_k is None:
+        return base + final
+    return base + f""", pairs AS (
+{final})
+SELECT p.doc_id, p.first_idx, p.second_idx, r.mp AS motif_dist
+FROM pairs p
+JOIN mp_rows r ON r.doc_id = p.doc_id AND r.idx = p.first_idx
+ORDER BY motif_dist ASC, p.doc_id ASC
+LIMIT {corpus_k}
 """
 
 
@@ -2547,6 +2653,8 @@ GROUP BY seq.source
         # cannot evict an established green row — see the queries()
         # comment.
         "dataset_split": _dataset_split_sql(),
+        "corpus_motifs_small": _motifs_small_sql(corpus_k=10),
+        "tiered_retention_read_v2": _tiered_retention_v2_sql(),
         "media_real_features": _media_real_features_sql(),
         # PNG corpus carries the SAME text-derived raster bytes as the PPM
         # one and PNG decode is lossless, so the featurization replay is

@@ -325,6 +325,36 @@ def motifs_small_batch(batch: pa.Table, w: int = 16, max_n: int = 256,
     })
 
 
+def corpus_motifs_small_batch(batch: pa.Table, **small_kwargs) -> pa.Table:
+    """Per-doc top-1 motif pairs PLUS the ROUNDED motif distance, for the
+    corpus-level sort/limit layer (corpus_top_motifs' oracle sibling):
+    ``motif_dist`` is the rounded profile value at ``first_idx`` from
+    :func:`mp_rows_small_batch` — the same value the SQL oracle's
+    ``mp_rows`` CTE carries, so the global (motif_dist ASC, doc_id ASC)
+    ordering is decided on bit-identical keys in both engines."""
+    pairs = motifs_small_batch(batch, **small_kwargs)
+    empty = pa.table({
+        "doc_id": pa.array([], pa.string()),
+        "first_idx": pa.array([], pa.int64()),
+        "second_idx": pa.array([], pa.int64()),
+        "motif_dist": pa.array([], pa.float64()),
+    })
+    if len(pairs) == 0:
+        return empty
+    rows = mp_rows_small_batch(batch)
+    lookup = {}
+    r_doc = rows["doc_id"].to_pylist()
+    r_idx = rows["idx"].to_numpy()
+    r_mp = rows["mp"].to_numpy()
+    for d, i, v in zip(r_doc, r_idx, r_mp):
+        lookup[(d, int(i))] = float(v)
+    docs = pairs["doc_id"].to_pylist()
+    firsts = pairs["first_idx"].to_numpy()
+    dist = [lookup[(d, int(i))] for d, i in zip(docs, firsts)]
+    return pairs.append_column("motif_dist",
+                               pa.array(dist, pa.float64()))
+
+
 def _has_near_perfect_offband_match(ts: np.ndarray, w: int,
                                     mu: np.ndarray, sig: np.ndarray,
                                     min_d: int,
