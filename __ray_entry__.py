@@ -864,6 +864,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return feats.map_batches(_explode_features,
                                  batch_format="pyarrow")
 
+    def media_jpeg_features_query(sf_dir: str):
+        """REAL baseline-JPEG decode path (rows-only gate): payloads
+        built from the same ASCII-doc rasters at 16x16, encoded across
+        4:4:4 / 4:2:0 / restart-interval variants and pushed through the
+        actual pure-NumPy entropy decode + IDCT + featurization in
+        STRICT mode (functions/jpeg_codec.py) — a decode failure fails
+        the row count, it cannot hide behind the stub.  JPEG is lossy,
+        so no SQL can replay the decoded pixels; value-level evidence
+        lives in the codec's roundtrip-bound and component unit tests
+        (tests/test_jpeg_codec.py)."""
+        import ray.data
+
+        from matrixprofile_1_ray.stages.multimodal import (
+            ascii_jpeg_media_from_documents,
+        )
+
+        media = ray.data.from_arrow(
+            ascii_jpeg_media_from_documents(sf_dir, n=64))
+        feats = media_features_stage(media, feature_dim=16, strict=True)
+
+        return feats.map_batches(_explode_features,
+                                 batch_format="pyarrow")
+
     def media_wav_features_query(sf_dir: str):
         """REAL audio decode path with a SQL oracle: PCM WAV payloads
         from ASCII doc text through the actual RIFF-chunk decode +
@@ -1204,6 +1227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_real_features": media_real_features_query,
         "media_png_features": media_png_features_query,
         "media_wav_features": media_wav_features_query,
+        # rows-only by design (JPEG is lossy — no SQL replay); value
+        # evidence is the codec's unit-test roundtrip bounds
+        "media_jpeg_features": media_jpeg_features_query,
     }
     # The driver verifies only the FIRST 50 dict entries against
     # ``oracle_sql()``.  Reorder so oracle-backed keys lead (in

@@ -421,3 +421,16 @@ def encode_png(img: np.ndarray, filters: str = "cycle") -> bytes:
 
 # PNG is self-contained too (stdlib zlib): register for real decode
 _IMAGE_MIMES["image/png"] = decode_png
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """Lazy import so the (larger) JPEG module loads only when a JPEG
+    payload actually appears in a batch."""
+    from .jpeg_codec import decode_jpeg
+
+    return decode_jpeg(payload)
+
+
+# baseline JPEG is self-contained as well (pure-NumPy entropy decode +
+# IDCT, functions/jpeg_codec.py): register for real decode
+_IMAGE_MIMES["image/jpeg"] = _decode_jpeg

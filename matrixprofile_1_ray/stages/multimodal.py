@@ -4,15 +4,16 @@ Image/audio/video travel as Arrow ``binary`` columns with sidecar metadata
 (mime, width/height or sample rate, frame count).  Decode / feature-extract
 / resize / frame-sample run as actor-pool ``map_batches`` stages.
 
-Self-contained formats — netpbm PPM/PGM, uncompressed BMP, PCM WAV, and
-8-bit PNG (stdlib zlib inflate + vectorized unfiltering) — are REALLY
-decoded, featurized and resampled (functions/media_codec.py; no external
-library needed).  Formats whose codecs genuinely require libraries absent
-from this container (JPEG/MP4) go through the honest stub: ``DecodeStub`` either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-decode keyed on the payload hash (test mode).  Swap ``_decode_payload``'s
-fallback for a real PIL/libav call on a cluster that has the libraries —
-nothing else changes.
+Self-contained formats — netpbm PPM/PGM, uncompressed BMP, PCM WAV,
+8-bit PNG (stdlib zlib inflate + vectorized unfiltering), and baseline
+JPEG (pure-NumPy entropy decode + IDCT, functions/jpeg_codec.py) — are
+REALLY decoded, featurized and resampled (no external library needed).
+Formats whose codecs genuinely require libraries absent from this
+container (video/MP4, progressive JPEG) go through the honest stub:
+``DecodeStub`` either raises ``NotImplementedError`` (strict mode) or
+produces a deterministic fake decode keyed on the payload hash (test
+mode).  Swap ``_decode_payload``'s fallback for a real PIL/libav call on
+a cluster that has the libraries — nothing else changes.
 """
 
 from __future__ import annotations
@@ -148,6 +149,46 @@ def ascii_png_media_from_documents(sf_dir: str, n: int = 64,
     })
 
 
+def ascii_jpeg_media_from_documents(sf_dir: str, n: int = 64,
+                                    w: int = 16, h: int = 16) -> pa.Table:
+    """Media corpus whose payloads are REAL baseline JPEGs: same ASCII doc
+    slice and text-derived raster as :func:`ascii_ppm_media_from_documents`
+    (at 16x16 so the image spans multiple MCUs), encoded with the corpus
+    cycling through 4:4:4 / 4:2:0 and restart-interval variants so the
+    decoder's subsampled-upsample and RST paths are all exercised.  JPEG
+    is LOSSY (DCT quantization), so unlike the PPM/PNG/WAV families the
+    decoded pixels are NOT SQL-replayable — this family is covered by
+    rows-only gating plus the codec's own roundtrip-bound unit tests."""
+    from ..functions.jpeg_codec import encode_jpeg
+    from ..sources.sequences import iter_docs_lex
+
+    need = w * h * 3
+    ids, payloads = [], []
+    for chunk in iter_docs_lex(sf_dir, ("doc_id", "text")):
+        for doc, text in zip(chunk["doc_id"].to_pylist(),
+                             chunk["text"].to_pylist()):
+            if text is None or any(ord(c) >= 128 for c in text):
+                continue
+            raster = text.encode()[:need].ljust(need, b"\0")
+            img = np.frombuffer(raster, np.uint8).reshape(h, w, 3)
+            k = len(ids)
+            payloads.append(encode_jpeg(
+                img, quality=90, subsample=bool(k % 2),
+                restart_interval=2 if k % 3 == 0 else 0))
+            ids.append(doc)
+            if len(ids) == n:
+                break
+        if len(ids) == n:
+            break
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "mime": pa.array(["image/jpeg"] * len(ids), pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(np.full(len(ids), w, np.int32)),
+        "height": pa.array(np.full(len(ids), h, np.int32)),
+    })
+
+
 def ascii_wav_media_from_documents(sf_dir: str, n: int = 64,
                                    n_samples: int = 64) -> pa.Table:
     """Media corpus whose payloads are REAL PCM WAVs the oracle can
@@ -218,8 +259,8 @@ class DecodeStub:
         if self.strict:
             raise NotImplementedError(
                 f"no codec for {mime!r} in this container; PPM/PGM/BMP/WAV/"
-                "PNG decode natively — plug a real decoder here for the "
-                "rest (PIL.Image.open / av.open)")
+                "PNG/JPEG decode natively — plug a real decoder here for "
+                "the rest (PIL.Image.open / av.open)")
         # feature d = first 32 bits of sha256(payload || str(d)), scaled to
         # [0, 1).  Division by 2^32 is exact in float64, so the fake decode
         # is bit-reproducible in ANY engine with sha256 — the gate's DuckDB
@@ -275,13 +316,14 @@ def _clamp_dims(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
 
 
 class ResizeStub:
-    """Resize as an actor-pool stage: netpbm and PNG payloads are REALLY
-    resampled (decode -> nearest-neighbor -> re-encode, pure NumPy + zlib)
-    using the header's actual dims; other formats have their declared
-    metadata clamped to fit inside ``(max_w, max_h)`` aspect-preserved
-    while the payload passes through opaque (strict mode raises instead —
-    no JPEG codec in this container; swap the fallback for a real
-    ``PIL.Image.resize`` on a cluster that has it)."""
+    """Resize as an actor-pool stage: netpbm, PNG, and baseline JPEG
+    payloads are REALLY resampled (decode -> nearest-neighbor ->
+    re-encode, pure NumPy + zlib) using the header's actual dims; other
+    formats have their declared metadata clamped to fit inside
+    ``(max_w, max_h)`` aspect-preserved while the payload passes through
+    opaque (strict mode raises instead — no video codec in this
+    container; swap the fallback for a real ``PIL.Image.resize`` /
+    ``av`` on a cluster that has them)."""
 
     def __init__(self, max_w: int = 224, max_h: int = 224,
                  strict: bool = False):
@@ -291,9 +333,10 @@ class ResizeStub:
 
     def _resize_payload(self, payload: bytes, mime: str,
                         w: int, h: int) -> tuple[bytes, int, int]:
-        """-> (payload, new_w, new_h); real pixels for netpbm/PNG,
+        """-> (payload, new_w, new_h); real pixels for netpbm/PNG/JPEG,
         declared metadata clamp otherwise."""
-        if mime in _NETPBM_MIMES or mime == "image/png":
+        if (mime in _NETPBM_MIMES or mime == "image/png"
+                or mime == "image/jpeg"):
             try:
                 if mime == "image/png":
                     from ..functions.media_codec import (
@@ -303,6 +346,14 @@ class ResizeStub:
 
                     img = decode_png(payload)
                     encode = encode_png
+                elif mime == "image/jpeg":
+                    from ..functions.jpeg_codec import (
+                        decode_jpeg,
+                        encode_jpeg,
+                    )
+
+                    img = decode_jpeg(payload)
+                    encode = encode_jpeg
                 else:
                     img = decode_ppm(payload)
                     encode = encode_ppm
@@ -322,7 +373,7 @@ class ResizeStub:
                 # fall through to the opaque metadata-only clamp
         elif self.strict:
             raise NotImplementedError(
-                f"no codec for {mime!r} in this container; netpbm/PNG "
+                f"no codec for {mime!r} in this container; netpbm/PNG/JPEG "
                 "resample natively — plug a real resampler here for the "
                 "rest (PIL.Image.open(...).resize(...))")
         nw, nh = _clamp_dims(int(w), int(h), self.max_w, self.max_h)
