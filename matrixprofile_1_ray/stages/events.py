@@ -3,18 +3,17 @@
 Ray Data has no event-time/watermark machinery; the engine treats the
 events table as an ordered partitioned log (partition by key, sort by ts
 within the group) and implements windows inside ``groupby(key).map_groups``
-with vectorized pandas — ordering assumption: one key's events fit one
-group (they do by construction of a keyed groupby).  Late data cannot
-exist in batch replay; checkpointed resume replaces incremental state
-(SURVEY.md §2.11).
+with vectorized Arrow/NumPy passes — ordering assumption: one key's
+events fit one group (they do by construction of a keyed groupby).  Late
+data cannot exist in batch replay; checkpointed resume replaces
+incremental state (SURVEY.md §2.11).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-
-from .join import _with_part
+import pyarrow as pa
 
 
 def session_windows(ds, gap_minutes: int = 30, num_partitions: int = 16):
@@ -29,41 +28,56 @@ def session_windows(ds, gap_minutes: int = 30, num_partitions: int = 16):
     per-key Python dispatch dominates at millions of users."""
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        # shared partition-key scheme (same hash as the join stages)
-        return _with_part(df, ["user_id"], num_partitions, "a")
+    def add_part(batch: pa.Table) -> pa.Table:
+        # Arrow end to end: the shuffle-adjacent stages stay zero-copy
+        # (no pandas block conversion on either side of the exchange)
+        from .dedup import _hash_str_arrow
 
-    def sessionize_part(g: pd.DataFrame) -> pd.DataFrame:
+        part = (_hash_str_arrow(batch["user_id"])
+                % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("_part", pa.array(part, pa.int64()))
+
+    def sessionize_part(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         if len(g) == 0:
-            return pd.DataFrame({
-                "user_id": pd.Series(dtype=g["user_id"].dtype),
-                "n_sessions": pd.Series(dtype=np.int64),
-                "n_events": pd.Series(dtype=np.int64),
-                "max_session_events": pd.Series(dtype=np.int64)})
-        g = g.sort_values(["user_id", "ts"])
-        users = g["user_id"].to_numpy()
-        ts = g["ts"].to_numpy()
-        new_user = np.concatenate(([True], users[1:] != users[:-1]))
-        big_gap = np.concatenate(([True], np.diff(ts) > gap))
+            return pa.table({
+                "user_id": pa.array([], g.schema.field("user_id").type),
+                "n_sessions": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "max_session_events": pa.array([], pa.int64())})
+        order = pc.sort_indices(g, sort_keys=[("user_id", "ascending"),
+                                              ("ts", "ascending")])
+        g = g.take(order)
+        users = g["user_id"].combine_chunks()
+        ts_np = g["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(g)
+        new_user = np.ones(n, dtype=bool)
+        if n > 1:
+            new_user[1:] = ~pc.equal(users.slice(1),
+                                     users.slice(0, n - 1)).to_numpy(
+                                         zero_copy_only=False)
+        big_gap = np.concatenate(([True], np.diff(ts_np) > gap))
         starts = new_user | big_gap
         session_ids = np.cumsum(starts)          # 1-based, global in part
         sizes = np.bincount(session_ids)[1:]      # events per session
         # per-user reduction: first/last session id per user row-run
         run_starts = np.flatnonzero(new_user)
-        run_ends = np.concatenate((run_starts[1:], [len(users)]))
+        run_ends = np.concatenate((run_starts[1:], [n]))
         first_sid = session_ids[run_starts]
         last_sid = session_ids[run_ends - 1]
         max_sizes = np.maximum.reduceat(sizes, first_sid - 1)
-        return pd.DataFrame({
-            "user_id": users[run_starts],
-            "n_sessions": (last_sid - first_sid + 1).astype(np.int64),
-            "n_events": (run_ends - run_starts).astype(np.int64),
-            "max_session_events": max_sizes.astype(np.int64),
+        return pa.table({
+            "user_id": pc.take(users, pa.array(run_starts)),
+            "n_sessions": pa.array((last_sid - first_sid + 1)
+                                   .astype(np.int64)),
+            "n_events": pa.array((run_ends - run_starts).astype(np.int64)),
+            "max_session_events": pa.array(max_sizes.astype(np.int64)),
         })
 
-    return (ds.map_batches(add_part, batch_format="pandas")
+    return (ds.map_batches(add_part, batch_format="pyarrow")
             .groupby("_part")
-            .map_groups(sessionize_part, batch_format="pandas"))
+            .map_groups(sessionize_part, batch_format="pyarrow"))
 
 
 def sliding_window_counts(ds, window_minutes: int = 60, slide_minutes: int = 15):

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 # The side-tagged union holds blocks of BOTH schemas, so Arrow backfills
 # each side's missing columns with nulls; a plain to_pandas would promote
@@ -165,17 +166,23 @@ def broadcast_semi_join(ds, key_values, key, anti: bool = False):
     ``isin`` — no shuffle at all.  The small side must fit in memory; at
     larger small-sides swap the set for a Bloom filter with the same
     plumbing."""
-    import numpy as np
     import ray
 
-    keys_ref = ray.put(np.asarray(list(key_values)))
+    keys_ref = ray.put(sorted(set(key_values)))
 
-    def filt(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(keys_ref)
-        mask = df[key].isin(keys)
-        return df[~mask] if anti else df[mask]
+    def filt(batch: pa.Table) -> pa.Table:
+        # Arrow-native: zero-copy block in, one vectorized pc.is_in, and
+        # the value set deserializes from the object store per task (the
+        # actor-pool __init__ variant in dedup.ShingleSide amortizes even
+        # that when the stage is hot)
+        import pyarrow.compute as pc
 
-    return ds.map_batches(filt, batch_format="pandas")
+        mask = pc.is_in(batch[key], value_set=pa.array(ray.get(keys_ref)))
+        if anti:
+            mask = pc.invert(pc.fill_null(mask, False))
+        return batch.filter(mask)
+
+    return ds.map_batches(filt, batch_format="pyarrow")
 
 
 _BLOOM_KEYS = (3141592653589793, 2718281828459045)
