@@ -58,11 +58,11 @@ def exact_dedup(ds, num_partitions: int = 16):
     hashed = ds.map_batches(content_hash_batch, batch_format="pyarrow")
 
     def add_part(batch: pa.Table) -> pa.Table:
-        # hash digests are uniform, so any fixed slice re-hashed gives a
-        # uniform part id — vectorized, no per-row int parse
-        part = _hash_part(batch["content_hash"].to_pandas(), num_partitions)
-        return batch.append_column(
-            "_part", pa.array(part.astype(np.int64), pa.int64()))
+        # hash digests are uniform, so re-hashing them stays uniform —
+        # Arrow-native, no pandas round-trip
+        part = (_hash_str_arrow(batch["content_hash"])
+                % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("_part", pa.array(part, pa.int64()))
 
     def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("content_hash", as_index=False).agg(
