@@ -320,10 +320,36 @@ def _unfilter_scanlines(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
     return recon.astype(np.uint8)
 
 
+# Adam7 interlace pass layout (PNG spec 8.2): (x_start, y_start, dx, dy)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _deinterlace_adam7(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Adam7 -> (h, w*bpp) uint8: each pass is an independently-filtered
+    sub-image (its own scanlines, its own prev-row chain), unfiltered with
+    the same vectorized paths and scattered to its strided grid."""
+    out = np.zeros((h, w, bpp), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        hp = (h - y0 + dy - 1) // dy
+        wp = (w - x0 + dx - 1) // dx
+        if hp <= 0 or wp <= 0:
+            continue            # pass is empty at this image size
+        need = hp * (wp * bpp + 1)
+        if len(raw) - pos < need:
+            raise ValueError("PNG: inflated stream shorter than the "
+                             "Adam7 pass layout requires")
+        sub = _unfilter_scanlines(raw[pos : pos + need], hp, wp, bpp)
+        out[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
+        pos += need
+    return out.reshape(h, w * bpp)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG -> uint8 array: gray (h, w), gray+alpha
-    (h, w, 2), RGB (h, w, 3), RGBA (h, w, 4); palette images resolve
-    through PLTE to (h, w, 3)."""
+    """8-bit PNG -> uint8 array: gray (h, w), gray+alpha (h, w, 2), RGB
+    (h, w, 3), RGBA (h, w, 4); palette images resolve through PLTE to
+    (h, w, 3).  Both interlace methods (none / Adam7) are supported."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
@@ -348,8 +374,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG color type {ctype_n}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if w == 0 or h == 0:
         raise ValueError("zero-size PNG")
     try:
@@ -357,7 +383,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
     bpp = _PNG_CHANNELS[ctype_n]
-    px = _unfilter_scanlines(raw, h, w, bpp)
+    if interlace == 1:
+        px = _deinterlace_adam7(raw, h, w, bpp)
+    else:
+        px = _unfilter_scanlines(raw, h, w, bpp)
     if ctype_n == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing/invalid PLTE")
@@ -377,12 +406,34 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
 
 
-def encode_png(img: np.ndarray, filters: str = "cycle") -> bytes:
-    """uint8 image -> 8-bit non-interlaced PNG.  ``filters="cycle"``
-    rotates None/Sub/Up/Average/Paeth by row (exercising every unfilter
-    path on decode); ``"none"`` emits unfiltered rows.  Filtering at
-    encode is fully vectorized: the reconstructed neighbors ARE the
-    source pixels."""
+def _filter_subimage(flat: np.ndarray, filters: str) -> np.ndarray:
+    """Filter one (h, w, bpp) sub-image -> (h, w*bpp + 1) scanline rows.
+    Fully vectorized: the reconstructed neighbors ARE the source pixels."""
+    h, w = flat.shape[:2]
+    cur = flat.astype(np.int64)
+    left = np.zeros_like(cur)
+    left[:, 1:] = cur[:, :-1]
+    up = np.zeros_like(cur)
+    up[1:] = cur[:-1]
+    upleft = np.zeros_like(cur)
+    upleft[1:, 1:] = cur[:-1, :-1]
+    preds = {0: np.zeros_like(cur), 1: left, 2: up,
+             3: (left + up) >> 1, 4: _paeth_predict(left, up, upleft)}
+    out = np.empty((h, w * flat.shape[2] + 1), np.uint8)
+    for r in range(h):
+        f = r % 5 if filters == "cycle" else 0
+        out[r, 0] = f
+        out[r, 1:] = ((cur[r] - preds[f][r]) & 0xFF).reshape(-1)
+    return out
+
+
+def encode_png(img: np.ndarray, filters: str = "cycle",
+               interlace: bool = False) -> bytes:
+    """uint8 image -> 8-bit PNG.  ``filters="cycle"`` rotates None/Sub/
+    Up/Average/Paeth by row (exercising every unfilter path on decode);
+    ``"none"`` emits unfiltered rows.  ``interlace=True`` writes Adam7:
+    each of the seven passes is filtered as an independent sub-image, per
+    the spec."""
     import zlib
 
     img = np.ascontiguousarray(img, dtype=np.uint8)
@@ -398,24 +449,19 @@ def encode_png(img: np.ndarray, filters: str = "cycle") -> bytes:
     h, w = flat.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("cannot encode zero-size image")
-    cur = flat.astype(np.int64)
-    left = np.zeros_like(cur)
-    left[:, 1:] = cur[:, :-1]
-    up = np.zeros_like(cur)
-    up[1:] = cur[:-1]
-    upleft = np.zeros_like(cur)
-    upleft[1:, 1:] = cur[:-1, :-1]
-    preds = {0: np.zeros_like(cur), 1: left, 2: up,
-             3: (left + up) >> 1, 4: _paeth_predict(left, up, upleft)}
-    stride = w * bpp
-    out = np.empty((h, stride + 1), np.uint8)
-    for r in range(h):
-        f = r % 5 if filters == "cycle" else 0
-        out[r, 0] = f
-        out[r, 1:] = ((cur[r] - preds[f][r]) & 0xFF).reshape(-1)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_n, 0, 0, 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = flat[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_filter_subimage(sub, filters).tobytes())
+        raw = b"".join(parts)
+    else:
+        raw = _filter_subimage(flat, filters).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_n, 0, 0,
+                       1 if interlace else 0)
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(out.tobytes(), 6))
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
             + _png_chunk(b"IEND", b""))
 
 

@@ -117,11 +117,13 @@ def ascii_png_media_from_documents(sf_dir: str, n: int = 64,
     """Media corpus whose payloads are REAL PNG images: same ASCII doc
     slice and raster bytes as :func:`ascii_ppm_media_from_documents`, but
     deflate-compressed with the row filters cycling through all five PNG
-    types (None/Sub/Up/Average/Paeth) so the decode stage's unfiltering
-    paths are ALL on the oracle's critical path.  PNG is lossless, so the
-    decoded pixels equal the text-derived raster bit-exactly and the
-    featurization replay (the same SQL as the PPM corpus) verifies the
-    inflate + unfilter chain end-to-end."""
+    types (None/Sub/Up/Average/Paeth) and the interlace method
+    alternating none/Adam7 per doc, so the decode stage's unfiltering
+    AND deinterlacing paths are ALL on the oracle's critical path.  PNG
+    is lossless, so the decoded pixels equal the text-derived raster
+    bit-exactly and the featurization replay (the same SQL as the PPM
+    corpus) verifies the inflate + unfilter + deinterlace chain
+    end-to-end."""
     from ..functions.media_codec import encode_png
     from ..sources.sequences import iter_docs_lex
 
@@ -134,8 +136,9 @@ def ascii_png_media_from_documents(sf_dir: str, n: int = 64,
                 continue
             raster = text.encode()[:need].ljust(need, b"\0")
             img = np.frombuffer(raster, np.uint8).reshape(h, w, 3)
+            payloads.append(encode_png(img, filters="cycle",
+                                       interlace=bool(len(ids) % 2)))
             ids.append(doc)
-            payloads.append(encode_png(img, filters="cycle"))
             if len(ids) == n:
                 break
         if len(ids) == n:

@@ -552,3 +552,60 @@ def test_resize_stage_real_png_resample(ray_session):
     back = decode_png(out.payload)
     assert back.shape == (4, 2, 3)
     np.testing.assert_array_equal(back, resize_nearest(img, 2, 4))
+
+
+def test_adam7_pass_layout_matches_spec():
+    """The 8x8 pass-assignment grid is the canonical Adam7 pattern
+    (PNG spec figure 8.2)."""
+    from matrixprofile_1_ray.functions.media_codec import _ADAM7
+
+    grid = np.zeros((8, 8), np.int64)
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7, start=1):
+        grid[y0::dy, x0::dx] = p
+    expect = np.array([
+        [1, 6, 4, 6, 2, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [3, 6, 4, 6, 3, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7]])
+    np.testing.assert_array_equal(grid, expect)
+
+
+def test_adam7_interlaced_roundtrip_lossless():
+    """Interlaced encode -> decode is bit-exact and equals the
+    non-interlaced decode, across shapes smaller and larger than one
+    8x8 pass tile, all filter modes, every channel count."""
+    rng = np.random.default_rng(5)
+    for shape in [(8, 8, 3), (13, 17, 3), (1, 1), (2, 3), (7, 5, 4),
+                  (16, 16, 2), (3, 9), (64, 48, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for filt in ("none", "cycle"):
+            inter = decode_png(encode_png(img, filters=filt,
+                                          interlace=True))
+            plain = decode_png(encode_png(img, filters=filt))
+            np.testing.assert_array_equal(inter, plain)
+            np.testing.assert_array_equal(inter.reshape(img.shape), img)
+
+
+def test_adam7_truncated_stream_raises():
+    import zlib
+
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    good = encode_png(img, interlace=True)
+    # rebuild with the IDAT payload cut short: the pass walk must notice
+    from matrixprofile_1_ray.functions.media_codec import (
+        _PNG_SIG,
+        _png_chunk,
+    )
+
+    raw = zlib.decompress(good[good.index(b"IDAT") + 4:
+                               good.index(b"IEND") - 4])
+    ihdr = good[good.index(b"IHDR") + 4 : good.index(b"IHDR") + 17]
+    bad = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(raw[: len(raw) // 2]))
+           + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="Adam7|shorter"):
+        decode_png(bad)
