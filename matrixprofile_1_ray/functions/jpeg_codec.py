@@ -546,34 +546,52 @@ def _encode_plane_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     return quantized
 
 
-def _write_block(writer: _BitWriter, zz: np.ndarray, pred: int,
+def _block_structure(zz_flat: np.ndarray):
+    """(N, 64) quantized scan-order blocks -> per-block nonzero-AC
+    structure, computed in ONE numpy pass over the whole component:
+    [(positions list, values list), ...].  The bit emitter then loops
+    only over actual nonzeros — an all-zero (EOB-only) block costs no
+    per-coefficient Python at all."""
+    n = zz_flat.shape[0]
+    rows, cols = np.nonzero(zz_flat[:, 1:])
+    vals = zz_flat[:, 1:][rows, cols]
+    counts = np.bincount(rows, minlength=n)
+    bounds = np.cumsum(counts)[:-1]
+    pos_split = np.split(cols + 1, bounds)
+    val_split = np.split(vals, bounds)
+    return [(p.tolist(), v.tolist())
+            for p, v in zip(pos_split, val_split)]
+
+
+def _write_block(writer: _BitWriter, dc_val: int, nonzeros, pred: int,
                  dc_codes, ac_codes) -> int:
-    diff = int(zz[0]) - pred
-    mag = abs(diff)
-    size = int(mag).bit_length()
+    """Emit one block: DC diff + run-length-coded nonzero ACs.  The
+    Huffman code and the magnitude bits are fused into ONE writer call
+    per token (code << size | mag, total <= 27 bits)."""
+    diff = dc_val - pred
+    size = abs(diff).bit_length()
     code, length = dc_codes[size]
-    writer.write(code, length)
     if size:
-        writer.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
-    run = 0
-    for k in range(1, 64):
-        v = int(zz[k])
-        if v == 0:
-            run += 1
-            continue
+        mag = diff if diff >= 0 else diff + (1 << size) - 1
+        writer.write((code << size) | mag, length + size)
+    else:
+        writer.write(code, length)
+    prev = 0
+    for k, v in zip(*nonzeros):
+        run = k - prev - 1
         while run > 15:
-            code, length = ac_codes[0xF0]
-            writer.write(code, length)
+            zc, zl = ac_codes[0xF0]
+            writer.write(zc, zl)
             run -= 16
         size = abs(v).bit_length()
         code, length = ac_codes[(run << 4) | size]
-        writer.write(code, length)
-        writer.write(v if v >= 0 else v + (1 << size) - 1, size)
-        run = 0
-    if run:
+        mag = v if v >= 0 else v + (1 << size) - 1
+        writer.write((code << size) | mag, length + size)
+        prev = k
+    if prev != 63:
         code, length = ac_codes[0x00]
         writer.write(code, length)
-    return int(zz[0])
+    return dc_val
 
 
 def _dht_segment(tc: int, th: int, bits, vals) -> bytes:
@@ -639,7 +657,11 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         p = np.pad(p, ((0, need_h - p.shape[0]), (0, need_w - p.shape[1])),
                    mode="edge")
         blocks = _encode_plane_blocks(p, qy if c["tq"] == 0 else qc)
-        c["zz"] = blocks[:, :, ZIGZAG]      # natural -> scan order
+        zz = blocks[:, :, ZIGZAG]           # natural -> scan order
+        flat_zz = zz.reshape(-1, 64)
+        c["nbx"] = zz.shape[1]
+        c["nz"] = _block_structure(flat_zz)
+        c["dcv"] = flat_zz[:, 0].tolist()
         c["pred"] = 0
 
     writer = _BitWriter()
@@ -661,8 +683,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
                 ch, cv = c["hv"]
                 for by in range(cv):
                     for bx in range(ch):
-                        zz = c["zz"][my * cv + by, mx * ch + bx]
-                        c["pred"] = _write_block(writer, zz, c["pred"],
+                        idx = (my * cv + by) * c["nbx"] + (mx * ch + bx)
+                        c["pred"] = _write_block(writer, c["dcv"][idx],
+                                                 c["nz"][idx], c["pred"],
                                                  c["dc"], c["ac"])
             mcu_idx += 1
     writer.flush()
